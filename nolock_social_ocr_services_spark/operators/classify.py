@@ -1,0 +1,106 @@
+"""Span MIME classification as a DataFrame stage.
+
+Vectorized re-creation of the reference's classify step
+(``OcrRequestHandler.DetectMimeType``, OcrRequestHandler.cs:115-118, and
+``PipelineNodeImageToUrl``, PipelineNodeImageToUrl.cs:22-48): a compiled
+trie is broadcast and applied to Arrow batches inside a pandas UDF.
+
+Scale notes (SURVEY.md §4 O1):
+  * only a ``PREFIX_LEN``-byte slice of each payload crosses the
+    JVM->Python Arrow boundary — the slice happens JVM-side via
+    ``substring`` on the binary / base64 string column, so full payloads
+    never ship to the Python worker;
+  * the trie tables are compiled once on the driver and broadcast; the
+    UDF does ``max_depth`` (<= 8) vectorized NumPy steps per batch, no
+    per-row Python.
+"""
+
+from __future__ import annotations
+
+import base64 as _b64
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..trie import OCTET_STREAM, PREFIX_LEN, CompiledTrie, lenient_trie
+
+# base64 chars needed to decode PREFIX_LEN bytes (4 chars per 3 bytes).
+_B64_PREFIX_CHARS = ((PREFIX_LEN + 2) // 3) * 4
+
+
+def decode_data_url_prefix(media_ref: Column) -> Column:
+    """JVM-side: data-URL string -> first PREFIX_LEN payload bytes.
+
+    The reference receives raw streams and *builds* data URLs
+    (PipelineNodeImageToUrl.cs:30-32); our corpus stores the data URL, so
+    classification first recovers the leading payload bytes. Everything
+    here is built-in (codegen'd): locate ';base64,', slice just enough
+    base64 chars to cover PREFIX_LEN bytes, unbase64.
+    """
+    b64_part = F.substring_index(media_ref, ";base64,", -1)
+    # unbase64 needs length % 4 == 0; _B64_PREFIX_CHARS already is.
+    return F.unbase64(F.substring(b64_part, 1, _B64_PREFIX_CHARS))
+
+
+def _make_classifier_udf(spark: SparkSession, compiled: CompiledTrie, fallback: str | None):
+    bc = spark.sparkContext.broadcast(compiled)
+
+    @pandas_udf("string")
+    def classify_prefix(prefix: pd.Series) -> pd.Series:
+        trie: CompiledTrie = bc.value
+        n = len(prefix)
+        L = max(trie.max_depth, 1)
+        mat = np.zeros((n, L), dtype=np.uint8)
+        lengths = np.zeros(n, dtype=np.int64)
+        vals = prefix.to_numpy(dtype=object)
+        # one tight loop to unpack variable-length byte strings into the
+        # fixed matrix; all classification below is fully vectorized.
+        for i, p in enumerate(vals):
+            if p is not None and len(p) > 0:
+                lengths[i] = len(p)
+                head = p[:L]
+                mat[i, : len(head)] = np.frombuffer(head, dtype=np.uint8)
+        ids = trie.classify_batch(mat, lengths)
+        lut = np.array(list(trie.mimes) + [fallback], dtype=object)
+        out = lut[ids]  # ids == -1 -> last element == fallback
+        return pd.Series(out)
+
+    return classify_prefix
+
+
+def classify_mime(
+    df: DataFrame,
+    payload_col: str = "payload_prefix",
+    out_col: str = "mime",
+    *,
+    data_url_col: str | None = None,
+    strict: bool = False,
+    trie=None,
+) -> DataFrame:
+    """Add ``out_col`` with the trie-detected MIME of each row's payload.
+
+    Args:
+        payload_col: binary column holding (at least) the payload head.
+        data_url_col: if given, derive the payload prefix JVM-side from a
+            data-URL string column instead of ``payload_col``.
+        strict: strict mode maps unknown signatures to NULL (callers
+            quarantine; the reference throws NotSupportedException,
+            PipelineNodeImageToUrl.cs:38-48); lenient mode (default) falls
+            back to application/octet-stream (OcrRequestHandler.cs:115-118).
+    """
+    spark = df.sparkSession
+    compiled = (trie or lenient_trie()).compile()
+    fallback = None if strict else OCTET_STREAM
+    udf = _make_classifier_udf(spark, compiled, fallback)
+    if data_url_col is not None:
+        prefix = decode_data_url_prefix(F.col(data_url_col))
+    else:
+        prefix = F.substring(F.col(payload_col), 1, PREFIX_LEN)
+    # NULL payload stays NULL mime in both modes (nothing to classify).
+    src = F.col(data_url_col) if data_url_col is not None else F.col(payload_col)
+    return df.withColumn(
+        out_col, F.when(src.isNull(), F.lit(None).cast("string")).otherwise(udf(prefix))
+    )
