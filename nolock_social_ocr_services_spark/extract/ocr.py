@@ -1,0 +1,270 @@
+"""Deterministic synthetic OCR: media payload -> ordered markdown pages.
+
+Architectural stand-in for the reference's external OCR call
+(MistralOcrApiService.SendRequestAsync, MistralOcrApiService.cs:127-192):
+a *batched* ``mapInPandas`` stage, exactly where a real engine would put
+the network call — batches arrive via Arrow, results leave via Arrow, no
+per-row Python beyond vectorized pandas ops. The OCR text is a pure
+function of ``md5(media_ref)`` (computed JVM-side with the built-in
+``md5`` before the UDF), so goldens are stable, the pipeline has zero
+network dependencies, and the DuckDB oracle can recompute every field.
+
+Output shape mirrors the reference's page model
+(OcrPageObject {index, markdown}, OcrModels.cs:131-144): an array of
+(index, markdown) structs **emitted in reversed order** so the
+downstream order-by-index concat (T3, MistralOcrApiService.cs:164 —
+``concat_pages`` here) is genuinely exercised. Unknown media
+(octet-stream) yields zero pages -> empty text, hitting the empty-OCR
+guard (OcrRequestHandler.cs:53-56).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..corpus import DUCK, SPARK, Dialect
+
+OCR_MODEL = "synth-ocr-v1"
+
+PAGE_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("index", T.IntegerType(), False),
+            T.StructField("markdown", T.StringType(), True),
+        ]
+    )
+)
+
+_H = "__ocr_h"  # internal md5 column, computed JVM-side
+
+
+# -- shared deterministic rules (python + sql forms) -------------------------
+#
+# h      = md5(media_ref)                       (32 hex chars)
+# digits = first 20 of (strip non-digits from h, right-padded with '0')
+#
+# receipt (mime image/*):          check (mime application/pdf):
+#   merchant = 'M-' + h[0:8]         number = digits[0:6]
+#   mm = 1 + int(digits[0:2]) % 12   payee  = 'P-' + h[8:16]
+#   dd = 1 + int(digits[2:4]) % 28   amount = money(digits[6:12])
+#   total = money(digits[4:10])      bank   = 'B-' + h[16:24]
+#   tax   = money(digits[10:14])     signed = int(digits[12]) % 2 == 1
+#   payment = cycle[int(digits[14]) % 3]
+#   items   = 1 + int(digits[15]) % 9
+# n_pages  = 1 + int(digits[16]) % 3; appendix page p: 'Page {p} appendix {h[24:28]}'
+# money(c) = int(c) rendered as dollars.cents with no float math
+
+PAYMENT_CYCLE = ("cash", "card", "check")
+
+
+def _money_py(c: str) -> "pd.Series":
+    s = c.astype("int64").astype(str).str.zfill(3)
+    return s.str.slice(0, -2) + "." + s.str.slice(-2)
+
+
+def receipt_markdown(h: pd.Series) -> pd.Series:
+    digits = (h.str.replace(r"[^0-9]", "", regex=True) + "0" * 20).str.slice(0, 20)
+    mm = (1 + digits.str.slice(0, 2).astype(int) % 12).astype(str).str.zfill(2)
+    dd = (1 + digits.str.slice(2, 4).astype(int) % 28).astype(str).str.zfill(2)
+    total = _money_py(digits.str.slice(4, 10))
+    tax = _money_py(digits.str.slice(10, 14))
+    pay = digits.str.slice(14, 15).astype(int).mod(3).map(dict(enumerate(PAYMENT_CYCLE)))
+    items = (1 + digits.str.slice(15, 16).astype(int) % 9).astype(str)
+    return (
+        "# Receipt\n\nMerchant: M-" + h.str.slice(0, 8)
+        + "\nDate: 2024-" + mm + "-" + dd
+        + "\nTotal: " + total
+        + "\nTax: " + tax
+        + "\nPayment: " + pay
+        + "\nItems: " + items
+    )
+
+
+def check_markdown(h: pd.Series) -> pd.Series:
+    digits = (h.str.replace(r"[^0-9]", "", regex=True) + "0" * 20).str.slice(0, 20)
+    amount = _money_py(digits.str.slice(6, 12))
+    signed = digits.str.slice(12, 13).astype(int).mod(2).map({1: "yes", 0: "no"})
+    return (
+        "# Check\n\nCheck Number: " + digits.str.slice(0, 6)
+        + "\nPayee: P-" + h.str.slice(8, 16)
+        + "\nAmount: " + amount
+        + "\nBank: B-" + h.str.slice(16, 24)
+        + "\nSigned: " + signed
+    )
+
+
+def n_pages_of(h: pd.Series) -> pd.Series:
+    digits = (h.str.replace(r"[^0-9]", "", regex=True) + "0" * 20).str.slice(0, 20)
+    return 1 + digits.str.slice(16, 17).astype(int) % 3
+
+
+def appendix_markdown(h: pd.Series, page: int) -> pd.Series:
+    return f"Page {page} appendix " + h.str.slice(24, 28)
+
+
+def run_ocr(
+    df: DataFrame, media_ref_col: str = "media_ref", mime_col: str = "mime"
+) -> DataFrame:
+    """Append ``ocr_pages`` (unordered page structs), ``ocr_model``,
+    ``ocr_tokens`` to rows with a media payload. Non-media rows pass
+    through with NULL OCR columns.
+    """
+    hashed = df.withColumn(_H, F.md5(F.col(media_ref_col)))
+    out_schema = T.StructType(
+        list(hashed.schema.fields)
+        + [
+            T.StructField("ocr_pages", PAGE_SCHEMA, True),
+            T.StructField("ocr_model", T.StringType(), True),
+            T.StructField("ocr_tokens", T.IntegerType(), True),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            h = pdf[_H].astype("string").astype(object)
+            mime = pdf[mime_col].astype("string")
+            hs = pd.Series(h, dtype="string").fillna("")
+            is_receipt = mime.str.startswith("image/").fillna(False) & (hs != "")
+            is_check = (mime == "application/pdf").fillna(False) & (hs != "")
+            known = (is_receipt | is_check).to_numpy()
+
+            main = pd.Series([""] * len(pdf), dtype="string")
+            if is_receipt.any():
+                main[is_receipt] = receipt_markdown(hs[is_receipt])
+            if is_check.any():
+                main[is_check] = check_markdown(hs[is_check])
+            npages = pd.Series(np.zeros(len(pdf), dtype=int))
+            npages[known] = n_pages_of(hs[known]).to_numpy()
+            app1 = pd.Series([""] * len(pdf), dtype="string")
+            app2 = pd.Series([""] * len(pdf), dtype="string")
+            if known.any():
+                app1[known] = appendix_markdown(hs[known], 1)
+                app2[known] = appendix_markdown(hs[known], 2)
+
+            digits = (hs.str.replace(r"[^0-9]", "", regex=True) + "0" * 20).str.slice(0, 20)
+            tokvals = np.zeros(len(pdf), dtype="int32")
+            if known.any():
+                tokvals[known] = (
+                    100 + digits[known].str.slice(17, 19).astype(int)
+                ).to_numpy()
+            tokens = pd.Series(pd.array(tokvals, dtype="Int32"))
+            tokens[~known] = pd.NA
+
+            # pages emitted highest-index-first: order must be REBUILT
+            # downstream, never assumed (the W1 invariant).
+            m = main.to_numpy(dtype=object)
+            a1 = app1.to_numpy(dtype=object)
+            a2 = app2.to_numpy(dtype=object)
+            np_arr = npages.to_numpy()
+            kn = known
+            # media row + unknown payload -> ZERO pages (MistralOcrResult.Empty
+            # sentinel, MistralOcrResult.cs:11) -> '' text downstream, which
+            # trips the empty-OCR guard; non-media rows stay NULL.
+            is_media = pdf[media_ref_col].notna().to_numpy()
+            pages = [
+                (
+                    None
+                    if not is_media[i]
+                    else []
+                    if not kn[i]
+                    else [
+                        {"index": 2, "markdown": a2[i]},
+                        {"index": 1, "markdown": a1[i]},
+                        {"index": 0, "markdown": m[i]},
+                    ][3 - np_arr[i] :]
+                )
+                for i in range(len(pdf))
+            ]
+            pdf = pdf.copy()
+            pdf["ocr_pages"] = pages
+            pdf["ocr_model"] = pd.Series(
+                np.where(kn, OCR_MODEL, None), dtype=object
+            )
+            pdf["ocr_tokens"] = tokens
+            yield pdf
+
+    return hashed.mapInPandas(process, schema=out_schema).drop(_H)
+
+
+def concat_pages(df: DataFrame, pages_col: str = "ocr_pages", out_col: str = "ocr_text") -> DataFrame:
+    """T3 page concat, pure built-ins: sort pages by index, join markdown
+    with blank lines (MistralOcrApiService.cs:164). Empty/NULL page
+    arrays yield '' for media rows (empty-OCR guard input) and NULL for
+    non-media rows.
+    """
+    pages = F.col(pages_col)
+    ordered = F.array_sort(
+        pages,
+        lambda a, b: F.when(a["index"] < b["index"], -1)
+        .when(a["index"] > b["index"], 1)
+        .otherwise(0),
+    )
+    joined = F.array_join(F.transform(ordered, lambda p: p["markdown"]), "\n\n")
+    return df.withColumn(
+        out_col, F.when(pages.isNull(), F.lit(None).cast("string")).otherwise(joined)
+    )
+
+
+# -- oracle SQL fragments (DuckDB + Spark SQL) -------------------------------
+
+
+def _sql_digits(d: Dialect, href: str) -> str:
+    stripped = d.re_strip(href, "[^0-9]")
+    return f"substr(concat({stripped}, '00000000000000000000'), 1, 20)"
+
+
+def _sql_money(cents: str) -> str:
+    s = f"CAST(CAST({cents} AS BIGINT) AS STRING)"
+    padded = f"(CASE WHEN length({s}) < 3 THEN lpad({s}, 3, '0') ELSE {s} END)"
+    return (
+        f"concat(substr({padded}, 1, length({padded}) - 2), '.', "
+        f"substr({padded}, length({padded}) - 1, 2))"
+    )
+
+
+def ocr_field_exprs(d: Dialect, h: str = "h") -> dict[str, str]:
+    """SQL expressions (dialect d) for every synthetic-OCR-derived field,
+    given ``h`` = md5(media_ref). Used to build DuckDB oracles that
+    recompute what the Spark pipeline must extract.
+    """
+    dg = _sql_digits(d, h)
+    pay = " ".join(f"WHEN {i} THEN '{p}'" for i, p in enumerate(PAYMENT_CYCLE))
+    return {
+        "merchant_name": f"concat('M-', substr({h}, 1, 8))",
+        "receipt_date": (
+            f"concat('2024-', lpad(CAST(1 + CAST(substr({dg}, 1, 2) AS INT) % 12 AS STRING), 2, '0'),"
+            f" '-', lpad(CAST(1 + CAST(substr({dg}, 3, 2) AS INT) % 28 AS STRING), 2, '0'))"
+        ),
+        "total_amount": _sql_money(f"substr({dg}, 5, 6)"),
+        "tax_amount": _sql_money(f"substr({dg}, 11, 4)"),
+        "payment_method": f"CASE CAST(substr({dg}, 15, 1) AS INT) % 3 {pay} END",
+        "items_count": f"1 + CAST(substr({dg}, 16, 1) AS INT) % 9",
+        "check_number": f"substr({dg}, 1, 6)",
+        "payee": f"concat('P-', substr({h}, 9, 8))",
+        "check_amount": _sql_money(f"substr({dg}, 7, 6)"),
+        "bank_name": f"concat('B-', substr({h}, 17, 8))",
+        "is_signed": f"CAST(substr({dg}, 13, 1) AS INT) % 2 = 1",
+        "n_pages": f"1 + CAST(substr({dg}, 17, 1) AS INT) % 3",
+        "appendix_1": f"concat('Page 1 appendix ', substr({h}, 25, 4))",
+        "appendix_2": f"concat('Page 2 appendix ', substr({h}, 25, 4))",
+        "ocr_tokens": f"100 + CAST(substr({dg}, 18, 2) AS INT)",
+    }
+
+
+__all__ = [
+    "run_ocr",
+    "concat_pages",
+    "receipt_markdown",
+    "check_markdown",
+    "ocr_field_exprs",
+    "OCR_MODEL",
+    "PAYMENT_CYCLE",
+    "SPARK",
+    "DUCK",
+]

@@ -1,0 +1,161 @@
+"""Typed field extraction: OCR/cleaned text -> Receipt / Check structs.
+
+Re-creation of the reference's extraction stage with deterministic rule
+parsing in place of the LLM call (JsonExtractionService.ExtractJson,
+JsonExtractionService.cs:35-59; prompt+model call :107-145): the
+reference sends text to a model and parses JSON back; we parse the
+typed fields straight out of the text with **built-in** ``regexp_extract``
+expressions — JVM-side, whole-stage-codegen'd, no UDF in this stage.
+
+Schemas mirror the reference's models field-for-field:
+  * simple receipt/check — ReceiptModels.cs:451-476, CheckModels.cs:168-193;
+  * money is DecimalType(38,6) (reference uses C# decimal; 29-significant-
+    digit fidelity tested by DataValidationTests.cs:30-110);
+  * full->simple fallback (OcrExtractionService.cs:51-56) is a single-pass
+    ``coalesce`` over both parse attempts (SURVEY.md §4 O9).
+
+``clean_extracted_text`` is the T5 cleanup chain
+(JsonExtractionService.CleanJsonText, :193-243): strips markdown fences
+and "Here is the JSON:"-style prefixes with built-in regexp_replace.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MONEY = T.DecimalType(38, 6)
+
+SIMPLE_RECEIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("merchant_name", T.StringType(), True),
+        T.StructField("receipt_date", T.StringType(), True),
+        T.StructField("total_amount", MONEY, True),
+        T.StructField("tax_amount", MONEY, True),
+        T.StructField("payment_method", T.StringType(), True),
+        T.StructField("items_count", T.IntegerType(), True),
+    ]
+)
+
+SIMPLE_CHECK_SCHEMA = T.StructType(
+    [
+        T.StructField("check_number", T.StringType(), True),
+        T.StructField("check_date", T.StringType(), True),
+        T.StructField("payee", T.StringType(), True),
+        T.StructField("amount", MONEY, True),
+        T.StructField("bank_name", T.StringType(), True),
+        T.StructField("is_signed", T.BooleanType(), True),
+    ]
+)
+
+
+def clean_extracted_text(col: Column) -> Column:
+    """T5: strip ``` fences / json hints / chatty prefixes (CleanJsonText)."""
+    c = F.regexp_replace(col, r"(?s)^\s*```(?:json|markdown)?\s*", "")
+    c = F.regexp_replace(c, r"(?s)\s*```\s*$", "")
+    c = F.regexp_replace(
+        c, r"(?is)^\s*here\s+is\s+the\s+(?:extracted\s+)?(?:json|data)\s*:?\s*", ""
+    )
+    return F.trim(c)
+
+
+def _field(text: Column, label: str) -> Column:
+    """'Label: value' line -> value; '' (no match) -> NULL."""
+    return F.nullif(
+        F.regexp_extract(text, rf"(?m)^{label}:\s*(.+?)\s*$", 1), F.lit("")
+    )
+
+
+def parse_receipt(text: Column) -> Column:
+    """Receipt struct from markdown text; NULL unless required fields
+    (merchant, date, total — the 'simple schema' contract) all parse."""
+    merchant = _field(text, "Merchant")
+    date = _field(text, "Date")
+    total = _field(text, "Total").cast(MONEY)
+    struct = F.struct(
+        merchant.alias("merchant_name"),
+        date.alias("receipt_date"),
+        total.alias("total_amount"),
+        _field(text, "Tax").cast(MONEY).alias("tax_amount"),
+        F.nullif(
+            F.regexp_extract(text, r"(?m)^Payment:\s*(cash|card|check)\s*$", 1),
+            F.lit(""),
+        ).alias("payment_method"),
+        _field(text, "Items").cast("int").alias("items_count"),
+    )
+    ok = merchant.isNotNull() & date.isNotNull() & total.isNotNull()
+    return F.when(ok, struct).otherwise(F.lit(None).cast(SIMPLE_RECEIPT_SCHEMA))
+
+
+def parse_check(text: Column) -> Column:
+    number = _field(text, "Check Number")
+    payee = _field(text, "Payee")
+    amount = _field(text, "Amount").cast(MONEY)
+    struct = F.struct(
+        number.alias("check_number"),
+        _field(text, "Date").alias("check_date"),
+        payee.alias("payee"),
+        amount.alias("amount"),
+        _field(text, "Bank").alias("bank_name"),
+        F.when(_field(text, "Signed").isNull(), F.lit(None).cast("boolean"))
+        .otherwise(_field(text, "Signed") == "yes")
+        .alias("is_signed"),
+    )
+    ok = number.isNotNull() & payee.isNotNull() & amount.isNotNull()
+    return F.when(ok, struct).otherwise(F.lit(None).cast(SIMPLE_CHECK_SCHEMA))
+
+
+def route_and_extract(
+    df: DataFrame,
+    text_col: str = "ocr_text",
+    mime_col: str = "mime",
+    kind_col: str = "kind",
+) -> DataFrame:
+    """T8 document-type router, single pass (no re-scan per branch):
+
+      * image/* spans  -> receipt extraction (receipts endpoint semantics,
+        Program.cs:79-88)
+      * application/pdf -> check extraction (Program.cs:91-100)
+      * blank OCR text  -> error sentinel (empty-text guard,
+        OcrRequestHandler.cs:53-56,169-179) — rows become data, never
+        failures (ST6)
+
+    Adds: ``receipt`` / ``check`` structs, ``extract_error``,
+    ``confidence`` (defaults mirroring OcrExtractionService.cs:231-241).
+    """
+    text = clean_extracted_text(F.col(text_col))
+    mime = F.col(mime_col)
+    kind = F.col(kind_col)
+    is_media = kind.isin("image", "pdf")
+    empty_text = is_media & (F.coalesce(F.trim(F.col(text_col)), F.lit("")) == "")
+
+    receipt = F.when(
+        mime.startswith("image/") & ~empty_text, parse_receipt(text)
+    ).otherwise(F.lit(None).cast(SIMPLE_RECEIPT_SCHEMA))
+    check = F.when(
+        (mime == "application/pdf") & ~empty_text, parse_check(text)
+    ).otherwise(F.lit(None).cast(SIMPLE_CHECK_SCHEMA))
+
+    out = (
+        df.withColumn("receipt", receipt)
+        .withColumn("check", check)
+        .withColumn(
+            "extract_error",
+            F.when(empty_text, F.lit("empty_ocr_text")).otherwise(
+                F.lit(None).cast("string")
+            ),
+        )
+    )
+    # confidence: 0.8 for a parsed simple model, 0.5 unknown/unparsed
+    # (OcrExtractionService.cs:231-241; OcrConfiguration.cs:36).
+    return out.withColumn(
+        "confidence",
+        F.when(
+            F.col("receipt").isNotNull() | F.col("check").isNotNull(), F.lit(0.8)
+        ).otherwise(
+            F.when(is_media & ~empty_text, F.lit(0.5)).otherwise(
+                F.lit(None).cast("double")
+            )
+        ),
+    )

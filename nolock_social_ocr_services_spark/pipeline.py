@@ -1,0 +1,116 @@
+"""End-to-end extraction pipeline (the reference's EP1/EP2 spine,
+SURVEY.md §3, re-expressed as one declarative Spark plan):
+
+    documents(doc_id, spans[])                  Iceberg/parquet scan
+      -> explode(spans)                         U2 flatten
+      -> salted repartition                     §4 custom #1 (skew)
+      -> trie classify (prefix-only UDF)        C1-C4
+      -> synthetic OCR (mapInPandas)            T2 stand-in
+      -> ordered page concat (built-ins)        T3 / W1
+      -> html boilerplate strip                 north_rule text path
+      -> typed field extraction (built-ins)     T4-T8
+      -> per-doc ordered re-assembly            W1 invariant
+
+Every stage keeps per-row failures as data (error columns), never
+failing the job for one row (ST6, ReactivePipelineExtensions.cs:180-188).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .extract.html import strip_boilerplate
+from .extract.ocr import concat_pages, run_ocr
+from .extract.records import route_and_extract
+from .operators.classify import classify_mime
+from .operators.reassemble import reassemble_spans, span_sequence_equal
+from .operators.salt import salted_repartition
+
+FLAT_COLUMNS = (
+    "doc_id",
+    "offset",
+    "kind",
+    "mime",
+    "text",
+    "media_ref",
+    "receipt",
+    "check",
+    "extract_error",
+    "confidence",
+    "ocr_model",
+    "ocr_tokens",
+)
+
+
+def explode_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, spans[]) -> one row per span. Catalyst prunes unselected
+    nested fields out of the scan (check ReadSchema in .explain)."""
+    return docs.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
+
+
+def extract_spans(
+    docs: DataFrame, salt_buckets: int = 64, partitions: int | None = None
+) -> DataFrame:
+    """Flat extracted spans: classify + extract every span.
+
+    ``text`` holds the extraction result per kind: raw text for 'text'
+    spans, boilerplate-stripped for 'html', ordered-page OCR markdown for
+    media spans ('' for unknown payloads, flagged in extract_error).
+    """
+    exploded = explode_spans(docs)
+    salted = salted_repartition(
+        exploded, num_partitions=partitions, salt_buckets=salt_buckets
+    )
+    classified = classify_mime(salted, data_url_col="media_ref", out_col="mime")
+    ocred = concat_pages(run_ocr(classified))
+    extracted = ocred.withColumn(
+        "extracted_text",
+        F.when(F.col("kind") == "html", strip_boilerplate(F.col("text")))
+        .when(F.col("kind") == "text", F.col("text"))
+        .otherwise(F.col("ocr_text")),
+    )
+    typed = route_and_extract(extracted, text_col="ocr_text")
+    return typed.select(
+        "doc_id",
+        "offset",
+        "kind",
+        "mime",
+        F.col("extracted_text").alias("text"),
+        "media_ref",
+        "receipt",
+        "check",
+        "extract_error",
+        "confidence",
+        "ocr_model",
+        "ocr_tokens",
+    )
+
+
+def extracted_documents(docs: DataFrame, salt_buckets: int = 64) -> DataFrame:
+    """Nested output: (doc_id, spans[]) with extracted text, offset order
+    restored after the salted shuffle — the span-sequence contract."""
+    flat = extract_spans(docs, salt_buckets=salt_buckets)
+    return reassemble_spans(
+        flat, span_fields=("kind", "text", "media_ref", "offset")
+    )
+
+
+def identity_roundtrip_report(docs: DataFrame, salt_buckets: int = 64) -> DataFrame:
+    """Build-plan step 3 invariant: explode -> salt -> reassemble with NO
+    extraction must reproduce the input spans exactly (per-doc equal flag).
+    """
+    exploded = explode_spans(docs)
+    salted = salted_repartition(exploded, salt_buckets=salt_buckets)
+    rebuilt = reassemble_spans(salted)
+    return span_sequence_equal(docs, rebuilt)
+
+
+def equality_pass_rate(report: DataFrame) -> float:
+    """Fraction of docs whose span sequence matches (north-star metric)."""
+    row = report.agg(
+        F.avg(F.col("equal").cast("double")).alias("rate")
+    ).first()
+    return float(row.rate) if row.rate is not None else 0.0

@@ -1,0 +1,132 @@
+"""End-to-end pipeline: span-sequence equality against the independent
+pure-Python oracle, identity round-trip under salting, and extraction
+semantics (typed fields, fallback, empty-text guard).
+"""
+
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from nolock_social_ocr_services_spark import corpus, pipeline
+from nolock_social_ocr_services_spark.extract.ocr import concat_pages, run_ocr
+from nolock_social_ocr_services_spark.extract.records import (
+    clean_extracted_text,
+    parse_receipt,
+)
+from tests.pandas_oracle import expected_extracted_spans
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return corpus.synthesize_documents(spark, sf_dir).cache()
+
+
+def test_identity_roundtrip_under_salting(spark, docs):
+    report = pipeline.identity_roundtrip_report(docs, salt_buckets=16)
+    assert pipeline.equality_pass_rate(report) == 1.0
+
+
+def test_span_sequence_equality_vs_python_oracle(spark, docs, sf_dir):
+    got_rows = pipeline.extract_spans(docs, salt_buckets=16).collect()
+    got: dict[str, list] = {}
+    for r in got_rows:
+        got.setdefault(r.doc_id, []).append((r.kind, r.text, r.media_ref, r.offset))
+    for v in got.values():
+        v.sort(key=lambda t: t[3])
+    expected = expected_extracted_spans(sf_dir)
+    assert set(got) == set(expected)
+    mismatched = [
+        k for k in expected if got[k] != expected[k]
+    ]
+    assert not mismatched, (
+        f"{len(mismatched)} docs mismatch; first: "
+        f"{got[mismatched[0]][:2]} vs {expected[mismatched[0]][:2]}"
+    )
+
+
+def test_extracted_documents_nested_order(spark, docs, sf_dir):
+    nested = pipeline.extracted_documents(docs, salt_buckets=8)
+    row = nested.filter(F.size("spans") >= 6).first()
+    offsets = [s.offset for s in row.spans]
+    assert offsets == sorted(offsets)
+
+
+def test_typed_receipt_fields(spark, docs):
+    flat = pipeline.extract_spans(docs, salt_buckets=8)
+    receipts = flat.filter(F.col("receipt").isNotNull())
+    assert receipts.count() > 0
+    r = receipts.select("receipt.*", "mime").first()
+    assert r.merchant_name.startswith("M-")
+    assert r.receipt_date.startswith("2024-")
+    assert isinstance(r.total_amount, Decimal)
+    assert r.payment_method in ("cash", "card", "check")
+    assert 1 <= r.items_count <= 9
+    # receipts only from image mimes
+    assert receipts.filter(~F.col("mime").startswith("image/")).count() == 0
+
+
+def test_typed_check_fields(spark, docs):
+    flat = pipeline.extract_spans(docs, salt_buckets=8)
+    checks = flat.filter(F.col("check").isNotNull())
+    assert checks.count() > 0
+    c = checks.select("check.*").first()
+    assert c.payee.startswith("P-")
+    assert c.bank_name.startswith("B-")
+    assert isinstance(c.amount, Decimal)
+    assert c.is_signed in (True, False)
+
+
+def test_empty_ocr_guard_for_unknown_payloads(spark, docs):
+    flat = pipeline.extract_spans(docs, salt_buckets=8)
+    unknown = flat.filter(F.col("mime") == "application/octet-stream")
+    assert unknown.count() > 0
+    assert unknown.filter(F.col("extract_error") != "empty_ocr_text").count() == 0
+    assert unknown.filter(F.col("receipt").isNotNull()).count() == 0
+    # errors are data: no rows lost
+    assert unknown.filter(F.col("text") != "").count() == 0
+
+
+def test_confidence_defaults(spark, docs):
+    flat = pipeline.extract_spans(docs, salt_buckets=8)
+    parsed = flat.filter(F.col("receipt").isNotNull() | F.col("check").isNotNull())
+    assert parsed.filter(F.col("confidence") != 0.8).count() == 0
+    text_spans = flat.filter(F.col("kind").isin("text", "html"))
+    assert text_spans.filter(F.col("confidence").isNotNull()).count() == 0
+
+
+def test_page_order_reconstruction(spark, docs):
+    exploded = pipeline.explode_spans(docs).filter(F.col("media_ref").isNotNull())
+    from nolock_social_ocr_services_spark.operators.classify import classify_mime
+
+    ocred = run_ocr(classify_mime(exploded, data_url_col="media_ref"))
+    multi = ocred.filter(F.size("ocr_pages") == 3).first()
+    # pages are emitted reversed by the OCR stage...
+    assert [p["index"] for p in multi.ocr_pages] == [2, 1, 0]
+    # ...and concat_pages must restore index order
+    joined = concat_pages(ocred).filter(F.size("ocr_pages") == 3).first()
+    parts = joined.ocr_text.split("\n\n")
+    assert parts[0].startswith("# ")
+    assert parts[-2].startswith("Page 1 appendix")
+    assert parts[-1].startswith("Page 2 appendix")
+
+
+def test_clean_extracted_text_chain(spark):
+    rows = [
+        ("```json\n{\"a\": 1}\n```",),
+        ("Here is the JSON: {\"a\": 1}",),
+        ("```markdown\n# Receipt\n```",),
+        ("plain text",),
+    ]
+    df = spark.createDataFrame(rows, "t string")
+    got = [r.c for r in df.select(clean_extracted_text(F.col("t")).alias("c")).collect()]
+    assert got == ['{"a": 1}', '{"a": 1}', "# Receipt", "plain text"]
+
+
+def test_receipt_parse_fallback_returns_null_struct(spark):
+    # missing required Total -> whole struct NULL (simple-schema contract)
+    df = spark.createDataFrame(
+        [("# Receipt\n\nMerchant: M-abc\nDate: 2024-01-01",)], "t string"
+    )
+    row = df.select(parse_receipt(F.col("t")).alias("r")).first()
+    assert row.r is None
