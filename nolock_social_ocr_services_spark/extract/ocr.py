@@ -257,6 +257,36 @@ def ocr_field_exprs(d: Dialect, h: str = "h") -> dict[str, str]:
     }
 
 
+def oracle_ocr_text_sql(d: Dialect, mime: str = "mime", h: str = "h") -> str:
+    """SQL expression for the FULL concatenated OCR text (pages in index
+    order) given mime + h = md5(media_ref). Lets the DuckDB oracle verify
+    the mapInPandas OCR stage + ordered page concat end to end."""
+    e = ocr_field_exprs(d, h)
+    nl = "chr(10)"
+    receipt_md = (
+        f"concat('# Receipt', {nl}, {nl}, 'Merchant: ', {e['merchant_name']}, {nl}, "
+        f"'Date: ', {e['receipt_date']}, {nl}, 'Total: ', {e['total_amount']}, {nl}, "
+        f"'Tax: ', {e['tax_amount']}, {nl}, 'Payment: ', {e['payment_method']}, {nl}, "
+        f"'Items: ', CAST({e['items_count']} AS STRING))"
+    )
+    check_md = (
+        f"concat('# Check', {nl}, {nl}, 'Check Number: ', {e['check_number']}, {nl}, "
+        f"'Payee: ', {e['payee']}, {nl}, 'Amount: ', {e['check_amount']}, {nl}, "
+        f"'Bank: ', {e['bank_name']}, {nl}, "
+        f"'Signed: ', CASE WHEN {e['is_signed']} THEN 'yes' ELSE 'no' END)"
+    )
+    main = (
+        f"CASE WHEN {mime} = 'application/octet-stream' THEN '' "
+        f"WHEN {mime} LIKE 'image/%' THEN {receipt_md} ELSE {check_md} END"
+    )
+    return (
+        f"CASE WHEN {mime} = 'application/octet-stream' THEN '' "
+        f"WHEN {e['n_pages']} = 1 THEN {main} "
+        f"WHEN {e['n_pages']} = 2 THEN concat({main}, {nl}, {nl}, {e['appendix_1']}) "
+        f"ELSE concat({main}, {nl}, {nl}, {e['appendix_1']}, {nl}, {nl}, {e['appendix_2']}) END"
+    )
+
+
 __all__ = [
     "run_ocr",
     "concat_pages",
