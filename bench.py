@@ -1,0 +1,87 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is total wall time over the headline queries; ``queries``
+holds per-query seconds; extra keys report the north-star docs/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from nolock_social_ocr_services_spark import corpus, pipeline  # noqa: E402
+from nolock_social_ocr_services_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replicate = int(os.environ.get("SPARK_GRAFT_SCALE", "20"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    spark = get_spark(app_name="bench", cpus=cpus)
+
+    import __spark_entry__ as entrymod
+
+    timings: dict[str, float] = {}
+
+    # headline 1: full end-to-end pipeline (classify -> OCR -> extract ->
+    # reassemble), the north-star docs/sec path. The corpus is replicated
+    # deterministically and MATERIALIZED first (the pipeline's real input
+    # is a table scan, not an in-flight synthesis plan).
+    corpus_path = os.environ.get(
+        "SPARK_GRAFT_CORPUS_DIR", f"/tmp/bench_corpus_sf{sf}_x{replicate}"
+    )
+    t0 = time.monotonic()
+    if not os.path.exists(f"{corpus_path}/_SUCCESS"):
+        corpus.write_corpus(
+            spark, sf_dir, corpus_path, partitions=cpus * 2, replicate=replicate
+        )
+    timings["corpus_build"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    docs = spark.read.parquet(corpus_path)
+    nested = pipeline.extracted_documents(docs, salt_buckets=64)
+    stats = nested.agg(
+        F.count("*").alias("docs"), F.sum(F.size("spans")).alias("spans")
+    ).first()
+    t_pipeline = time.monotonic() - t0
+    timings["pipeline_e2e"] = round(t_pipeline, 3)
+    n_docs, n_spans = stats.docs, stats.spans
+
+    # headline 2-4: representative oracle queries (foreachBatch-free count
+    # to force execution without driver-side collect of payloads).
+    qs = entrymod.queries()
+    for name in ("classify_spans", "extract_receipts", "span_reassembly",
+                 "mime_histogram", "ocr_text"):
+        fn = qs[name]
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "docs_per_sec_e2e": round(n_docs / t_pipeline, 1),
+        "spans_per_sec_e2e": round(n_spans / t_pipeline, 1),
+        "n_docs": int(n_docs),
+        "n_spans": int(n_spans),
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

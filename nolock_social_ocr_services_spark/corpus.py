@@ -175,21 +175,43 @@ def oracle_flat_spans_sql() -> str:
     return flat_spans_sql(DUCK)
 
 
-def flat_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark: flat (doc_id, offset, kind, mime, text, media_ref) spans."""
+# doc_id shift per replica; keeps ids within the 8-digit zero-pad width
+# for any realistic base table (base ids < 1e6, replicas < 100).
+REPLICA_SHIFT = 1_000_000
+
+
+def flat_spans(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
+    """Spark: flat (doc_id, offset, kind, mime, text, media_ref) spans.
+
+    ``replicate`` > 1 unions ``replicate`` deterministic copies of the
+    base table with shifted doc_ids — a pure bench/scale knob (the
+    oracle-checked path always runs replicate=1). The copies diverge in
+    every derived value because all rules key on doc_id.
+    """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if replicate > 1:
+        from pyspark.sql import functions as F
+
+        reps = spark.range(replicate).withColumnRenamed("id", "__rep")
+        docs = (
+            docs.crossJoin(F.broadcast(reps))
+            .withColumn("doc_id", F.col("doc_id") + F.col("__rep") * REPLICA_SHIFT)
+            .drop("__rep")
+        )
     docs.createOrReplaceTempView("__corpus_base_documents")
     return spark.sql(flat_spans_sql(SPARK, "__corpus_base_documents"))
 
 
-def synthesize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synthesize_documents(
+    spark: SparkSession, sf_dir: str, replicate: int = 1
+) -> DataFrame:
     """Nested input_hint-shaped corpus: (doc_id, spans array<struct<...>>).
 
     Spans are packed in md5-shuffled physical order (offset order must be
     *reconstructed*, never assumed). One hash-aggregate on doc_id; at
     scale this is the only shuffle of corpus construction.
     """
-    flat = flat_spans(spark, sf_dir)
+    flat = flat_spans(spark, sf_dir, replicate=replicate)
     flat.createOrReplaceTempView("__corpus_flat_spans")
     # array_sort on struct arrays orders by fields left-to-right, so a
     # leading md5 shuffle-key pseudo-randomizes physical order; transform
@@ -212,9 +234,13 @@ def synthesize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def write_corpus(
-    spark: SparkSession, sf_dir: str, out_path: str, partitions: int = 32
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    partitions: int = 32,
+    replicate: int = 1,
 ) -> None:
     """Materialize the nested corpus as parquet (test/bench fixture)."""
-    synthesize_documents(spark, sf_dir).repartition(partitions).write.mode(
-        "overwrite"
-    ).parquet(out_path)
+    synthesize_documents(spark, sf_dir, replicate=replicate).repartition(
+        partitions
+    ).write.mode("overwrite").parquet(out_path)

@@ -20,8 +20,6 @@ guard (OcrRequestHandler.cs:53-56).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -108,88 +106,102 @@ def appendix_markdown(h: pd.Series, page: int) -> pd.Series:
     return f"Page {page} appendix " + h.str.slice(24, 28)
 
 
+OCR_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("pages", PAGE_SCHEMA, True),
+        T.StructField("model", T.StringType(), True),
+        T.StructField("tokens", T.IntegerType(), True),
+    ]
+)
+
+
+def _ocr_batch(h: pd.Series, mime: pd.Series) -> pd.DataFrame:
+    """One Arrow batch of synthetic OCR. ``h`` = md5(media_ref) or NULL
+    for non-media rows (the Arrow transfer then carries only nulls for
+    those rows — see run_ocr)."""
+    hs = h.astype("string").fillna("")
+    mime = mime.astype("string")
+    is_receipt = mime.str.startswith("image/").fillna(False) & (hs != "")
+    is_check = (mime == "application/pdf").fillna(False) & (hs != "")
+    known = (is_receipt | is_check).to_numpy()
+    n = len(hs)
+
+    main = pd.Series([""] * n, dtype="string")
+    if is_receipt.any():
+        main[is_receipt] = receipt_markdown(hs[is_receipt])
+    if is_check.any():
+        main[is_check] = check_markdown(hs[is_check])
+    npages = np.zeros(n, dtype=int)
+    app1 = pd.Series([""] * n, dtype="string")
+    app2 = pd.Series([""] * n, dtype="string")
+    digits = (hs.str.replace(r"[^0-9]", "", regex=True) + "0" * 20).str.slice(0, 20)
+    tokvals = np.zeros(n, dtype="int32")
+    if known.any():
+        kn_idx = pd.Series(known)
+        npages[known] = n_pages_of(hs[kn_idx]).to_numpy()
+        app1[kn_idx] = appendix_markdown(hs[kn_idx], 1)
+        app2[kn_idx] = appendix_markdown(hs[kn_idx], 2)
+        tokvals[known] = (100 + digits[kn_idx].str.slice(17, 19).astype(int)).to_numpy()
+    tokens = pd.Series(pd.array(tokvals, dtype="Int32"))
+    tokens[~known] = pd.NA
+
+    # pages emitted highest-index-first: order must be REBUILT downstream,
+    # never assumed (the W1 invariant). Media row + unknown payload ->
+    # ZERO pages (MistralOcrResult.Empty sentinel, MistralOcrResult.cs:11)
+    # -> '' text downstream -> empty-OCR guard; non-media rows stay NULL.
+    m = main.to_numpy(dtype=object)
+    a1 = app1.to_numpy(dtype=object)
+    a2 = app2.to_numpy(dtype=object)
+    is_media = (hs != "").to_numpy()
+    pages = [
+        (
+            None
+            if not is_media[i]
+            else []
+            if not known[i]
+            else [
+                {"index": 2, "markdown": a2[i]},
+                {"index": 1, "markdown": a1[i]},
+                {"index": 0, "markdown": m[i]},
+            ][3 - npages[i] :]
+        )
+        for i in range(n)
+    ]
+    return pd.DataFrame(
+        {
+            "pages": pages,
+            "model": pd.Series(np.where(known, OCR_MODEL, None), dtype=object),
+            "tokens": tokens,
+        }
+    )
+
+
+@F.pandas_udf(OCR_RESULT_SCHEMA)
+def _ocr_udf(h: pd.Series, mime: pd.Series) -> pd.DataFrame:
+    return _ocr_batch(h, mime)
+
+
 def run_ocr(
     df: DataFrame, media_ref_col: str = "media_ref", mime_col: str = "mime"
 ) -> DataFrame:
     """Append ``ocr_pages`` (unordered page structs), ``ocr_model``,
-    ``ocr_tokens`` to rows with a media payload. Non-media rows pass
-    through with NULL OCR columns.
+    ``ocr_tokens`` to rows with a media payload; non-media rows get NULLs.
+
+    Scale design: a *scalar* Arrow-vectorized struct UDF over just
+    ``(md5(media_ref), mime)`` — unlike mapInPandas, only those two thin
+    columns cross the JVM->Python boundary (never the span text), and
+    non-media rows contribute NULLs, which Arrow encodes for free. The
+    md5 is computed JVM-side with the built-in. One ArrowEvalPython node
+    serves all three output columns (common-subexpression collapsed).
     """
-    hashed = df.withColumn(_H, F.md5(F.col(media_ref_col)))
-    out_schema = T.StructType(
-        list(hashed.schema.fields)
-        + [
-            T.StructField("ocr_pages", PAGE_SCHEMA, True),
-            T.StructField("ocr_model", T.StringType(), True),
-            T.StructField("ocr_tokens", T.IntegerType(), True),
-        ]
+    res = _ocr_udf(F.md5(F.col(media_ref_col)), F.col(mime_col))
+    tmp = df.withColumn(_H, res)
+    return (
+        tmp.withColumn("ocr_pages", F.col(_H)["pages"])
+        .withColumn("ocr_model", F.col(_H)["model"])
+        .withColumn("ocr_tokens", F.col(_H)["tokens"])
+        .drop(_H)
     )
-
-    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            h = pdf[_H].astype("string").astype(object)
-            mime = pdf[mime_col].astype("string")
-            hs = pd.Series(h, dtype="string").fillna("")
-            is_receipt = mime.str.startswith("image/").fillna(False) & (hs != "")
-            is_check = (mime == "application/pdf").fillna(False) & (hs != "")
-            known = (is_receipt | is_check).to_numpy()
-
-            main = pd.Series([""] * len(pdf), dtype="string")
-            if is_receipt.any():
-                main[is_receipt] = receipt_markdown(hs[is_receipt])
-            if is_check.any():
-                main[is_check] = check_markdown(hs[is_check])
-            npages = pd.Series(np.zeros(len(pdf), dtype=int))
-            npages[known] = n_pages_of(hs[known]).to_numpy()
-            app1 = pd.Series([""] * len(pdf), dtype="string")
-            app2 = pd.Series([""] * len(pdf), dtype="string")
-            if known.any():
-                app1[known] = appendix_markdown(hs[known], 1)
-                app2[known] = appendix_markdown(hs[known], 2)
-
-            digits = (hs.str.replace(r"[^0-9]", "", regex=True) + "0" * 20).str.slice(0, 20)
-            tokvals = np.zeros(len(pdf), dtype="int32")
-            if known.any():
-                tokvals[known] = (
-                    100 + digits[known].str.slice(17, 19).astype(int)
-                ).to_numpy()
-            tokens = pd.Series(pd.array(tokvals, dtype="Int32"))
-            tokens[~known] = pd.NA
-
-            # pages emitted highest-index-first: order must be REBUILT
-            # downstream, never assumed (the W1 invariant).
-            m = main.to_numpy(dtype=object)
-            a1 = app1.to_numpy(dtype=object)
-            a2 = app2.to_numpy(dtype=object)
-            np_arr = npages.to_numpy()
-            kn = known
-            # media row + unknown payload -> ZERO pages (MistralOcrResult.Empty
-            # sentinel, MistralOcrResult.cs:11) -> '' text downstream, which
-            # trips the empty-OCR guard; non-media rows stay NULL.
-            is_media = pdf[media_ref_col].notna().to_numpy()
-            pages = [
-                (
-                    None
-                    if not is_media[i]
-                    else []
-                    if not kn[i]
-                    else [
-                        {"index": 2, "markdown": a2[i]},
-                        {"index": 1, "markdown": a1[i]},
-                        {"index": 0, "markdown": m[i]},
-                    ][3 - np_arr[i] :]
-                )
-                for i in range(len(pdf))
-            ]
-            pdf = pdf.copy()
-            pdf["ocr_pages"] = pages
-            pdf["ocr_model"] = pd.Series(
-                np.where(kn, OCR_MODEL, None), dtype=object
-            )
-            pdf["ocr_tokens"] = tokens
-            yield pdf
-
-    return hashed.mapInPandas(process, schema=out_schema).drop(_H)
 
 
 def concat_pages(df: DataFrame, pages_col: str = "ocr_pages", out_col: str = "ocr_text") -> DataFrame:

@@ -59,6 +59,15 @@ def extract_spans(
     ``text`` holds the extraction result per kind: raw text for 'text'
     spans, boilerplate-stripped for 'html', ordered-page OCR markdown for
     media spans ('' for unknown payloads, flagged in extract_error).
+
+    Plan shape (scale-deliberate): ONE scan, ONE salted exchange, no
+    branch-and-union (Catalyst would push branch filters below the
+    exchange and triple the scan+shuffle). Pandas UDFs are evaluated
+    unconditionally on every row even under when(), so instead the UDF
+    *inputs* are masked to NULL for non-applicable rows — a scalar Arrow
+    UDF ships only its argument columns, and NULL inputs cost ~1 bit/row
+    on the transfer: text spans never ship their text into the OCR UDF,
+    media spans never ship into the boilerplate stripper.
     """
     exploded = explode_spans(docs)
     salted = salted_repartition(
@@ -66,9 +75,10 @@ def extract_spans(
     )
     classified = classify_mime(salted, data_url_col="media_ref", out_col="mime")
     ocred = concat_pages(run_ocr(classified))
+    html_only = F.when(F.col("kind") == "html", F.col("text"))  # masked input
     extracted = ocred.withColumn(
         "extracted_text",
-        F.when(F.col("kind") == "html", strip_boilerplate(F.col("text")))
+        F.when(F.col("kind") == "html", strip_boilerplate(html_only))
         .when(F.col("kind") == "text", F.col("text"))
         .otherwise(F.col("ocr_text")),
     )
