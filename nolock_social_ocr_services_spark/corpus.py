@@ -188,6 +188,10 @@ def flat_spans(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFram
     oracle-checked path always runs replicate=1). The copies diverge in
     every derived value because all rules key on doc_id.
     """
+    if not 1 <= replicate <= 100:
+        # ids are zero-padded to 8 digits; >100 replicas at shift 1e6
+        # would overflow the pad width and collide doc_ids.
+        raise ValueError("replicate must be in [1, 100]")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if replicate > 1:
         from pyspark.sql import functions as F

@@ -1,0 +1,120 @@
+"""Multimodal column plumbing: images/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched ``mapInPandas``
+stages.
+
+The Spark-side architecture here is real and tested — schemas,
+partition-preserving batch iteration, UDF signatures, batch shapes. The
+codec step itself is STUBBED (this container has no image/audio libs):
+``decode_image`` raises ``NotImplementedError`` unless
+``deterministic_fake=True``, in which case a seeded pure function of the
+payload bytes produces stable metadata + features, which is what the
+tests pin down. Swapping the fake for Pillow/ffmpeg is a one-function
+change; nothing in the Spark plan moves.
+
+The reference treats payloads the same way: opaque byte streams with a
+sniffed MIME (OcrRequestHandler.cs:69-82) handed to an external decoder.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Deterministic stand-in for a real image decoder: dims + a feature
+    vector derived from the payload digest. Stable across runs/hosts."""
+    d = hashlib.md5(payload).digest()
+    width = 64 + d[0] % 192
+    height = 64 + d[1] % 192
+    channels = 1 + (d[2] % 2) * 2  # 1 or 3
+    rng = np.frombuffer(d, dtype=np.uint8).astype(np.float64)
+    feats = np.resize(rng, FEATURE_DIM) / 255.0
+    return width, height, channels, feats
+
+
+def decode_image_batch(
+    payloads: pd.Series, deterministic_fake: bool = False
+) -> pd.DataFrame:
+    """One Arrow batch: binary payloads -> (width,height,channels,
+    decode_ok, features). Real decoder NOT available in this container."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image decoding requires Pillow/libvips (not in this container); "
+            "pass deterministic_fake=True for the seeded stand-in"
+        )
+    metas = []
+    feats = []
+    for p in payloads:
+        if p is None or len(p) == 0:
+            metas.append((None, None, None, False))
+            feats.append(None)
+        else:
+            w, h, c, f = _fake_decode(bytes(p))
+            metas.append((w, h, c, True))
+            feats.append(f.tolist())
+    out = pd.DataFrame(metas, columns=["width", "height", "channels", "decode_ok"])
+    out["features"] = feats
+    return out
+
+
+def decode_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """mapInPandas stage: append image metadata + feature vector columns.
+
+    Batch shape contract: output rows == input rows per batch, original
+    columns preserved, so the stage composes anywhere in a pipeline
+    without realignment joins.
+    """
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("channels", T.IntegerType(), True),
+            T.StructField("decode_ok", T.BooleanType(), False),
+            T.StructField("features", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = decode_image_batch(
+                pdf[payload_col], deterministic_fake=deterministic_fake
+            )
+            yield pd.concat(
+                [pdf.reset_index(drop=True), decoded.reset_index(drop=True)], axis=1
+            )
+
+    return df.mapInPandas(process, schema=out_schema)
+
+
+def frame_sample_offsets(
+    duration_ms: F.Column, every_ms: int = 1000
+) -> F.Column:
+    """Video frame-sampling plan: offsets [0, every_ms, ...] < duration.
+    Pure built-ins; the decode of each offset would be another
+    mapInPandas stage over (payload, offset)."""
+    return F.sequence(
+        F.lit(0), F.greatest(duration_ms - 1, F.lit(0)), F.lit(every_ms)
+    )

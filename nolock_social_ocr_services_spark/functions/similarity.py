@@ -1,0 +1,152 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two tiers, mirroring what a 100 TB training pipeline needs:
+
+* ``cosine_topk`` — exact brute force: normalize once, self-join, rank.
+  The correctness baseline; quadratic, so only for modest query sets
+  (or query-subset vs corpus joins).
+* ``lsh_topk`` — sign-random-projection LSH: deterministic hyperplanes
+  (seeded per plane, generated driver-side, broadcast as literal
+  arrays), bucket join on the signature prefix, exact re-rank inside
+  buckets. Sub-quadratic: candidates ~ corpus / 2^bits per query.
+
+Dot products use ``F.zip_with`` + ``aggregate`` (JVM built-ins, no
+Python). Floats are summed in array order, so results are deterministic
+run-to-run.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def with_unit_vector(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "unit"
+) -> DataFrame:
+    """Pre-normalize embeddings (do it ONCE, upstream of any join)."""
+    n = _norm(F.col(vec_col))
+    return df.withColumn(
+        out_col,
+        F.when(n == 0, F.lit(None)).otherwise(
+            F.transform(F.col(vec_col), lambda x: x.cast("double") / n)
+        ),
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors: (query_id, neighbor_id, rank, sim).
+
+    ``queries`` defaults to the whole table (all-pairs). Normalization
+    happens once per side; the join computes a single dot product per
+    pair; ranking is a window over the query id."""
+    base = with_unit_vector(df, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("unit_n")
+    )
+    qdf = queries if queries is not None else df
+    q = with_unit_vector(qdf, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("unit").alias("unit_q")
+    )
+    pairs = q.crossJoin(base).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        _dot(F.col("unit_q"), F.col("unit_n")).alias("sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def random_hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (driver-side, tiny)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim)).tolist()
+
+
+def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket id (int) for a vector."""
+    sig = F.lit(0)
+    for j, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(p)) for p in plane]),
+                lambda x, p: (x * p).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_topk(
+    df: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: SRP bucket join + exact re-rank in-bucket.
+
+    Recall < 1 by construction (neighbors in other buckets are missed);
+    verified against ``cosine_topk`` in tests. Bucket key cardinality
+    2^bits spreads the join; tune bits so corpus/2^bits rows fit a task.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, bits, seed)
+    sig = with_unit_vector(df, vec_col).select(
+        F.col(id_col).alias("id"),
+        F.col("unit"),
+        srp_signature(F.col("unit"), planes).alias("bucket"),
+    )
+    a = sig.select(
+        F.col("id").alias("query_id"), F.col("unit").alias("unit_q"), "bucket"
+    )
+    b = sig.select(
+        F.col("id").alias("neighbor_id"), F.col("unit").alias("unit_n"), "bucket"
+    )
+    pairs = a.join(b, on="bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id", "neighbor_id", _dot(F.col("unit_q"), F.col("unit_n")).alias("sim")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

@@ -1,0 +1,93 @@
+"""Text-analysis operators for a large-scale training-data pipeline:
+token counting, quality scoring, language-ID heuristic, document
+fingerprinting. All pure built-in expressions (JVM-side, codegen'd) —
+no UDFs — so they run at full scan speed over 100 TB and push down
+column pruning to the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# token that a BPE-ish tokenizer would emit: word runs or single punctuation
+BPE_TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+# tiny per-language stopword marker sets (heuristic language ID)
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "les", "des", "est"),
+}
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace tokenization count; 0 for empty/blank/NULL-safe."""
+    trimmed = F.trim(col)
+    return F.when(
+        col.isNull() | (trimmed == ""), F.lit(0)
+    ).otherwise(F.size(F.split(trimmed, r"\s+")))
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish token estimate: word runs + individual punctuation marks."""
+    return F.when(col.isNull(), F.lit(0)).otherwise(
+        F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), F.lit(0)))
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    """Punctuation chars / total chars (NULL for empty)."""
+    total = F.length(col)
+    punct = total - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    return F.when(col.isNull() | (total == 0), F.lit(None).cast("double")).otherwise(
+        punct.cast("double") / total
+    )
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    """Count of marker-stopword occurrences (word-boundary matches)."""
+    words = "|".join(LANG_MARKERS[lang])
+    return F.when(col.isNull(), F.lit(0)).otherwise(
+        F.size(F.regexp_extract_all(F.lower(col), F.lit(rf"\b({words})\b"), F.lit(0)))
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite 0..1 quality heuristic: length band + stopword presence
+    - punctuation excess. Deterministic, monotone in the usual document-
+    quality signals; thresholds follow common web-corpus filters."""
+    n_tok = token_count(col)
+    len_ok = F.when(n_tok.between(5, 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_hits(col, "en") >= 2, F.lit(0.4)).otherwise(F.lit(0.0))
+    pr = F.coalesce(punct_ratio(col), F.lit(0.0))
+    punct_ok = F.when(pr <= 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+    return F.when(col.isNull(), F.lit(None).cast("double")).otherwise(
+        len_ok + stop_ok + punct_ok
+    )
+
+
+def predict_lang(col: Column) -> Column:
+    """Argmax of marker hits across LANG_MARKERS; 'und' when all zero.
+    Ties break by language-key order (deterministic)."""
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in LANG_MARKERS:  # insertion order = tie-break order
+        hits = stopword_hits(col, lang)
+        take = hits > best_hits
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(take, hits).otherwise(best_hits)
+    return best_lang
+
+
+def shingle_fingerprint(col: Column, k: int = 8) -> Column:
+    """Document fingerprint: lexicographic-min md5 over all k-char
+    shingles (rolling-hash family; md5-of-window stands in for the
+    polynomial hash so the DuckDB oracle can recompute it exactly).
+    Short documents (< k chars) hash the whole text."""
+    n = F.length(col)
+    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.when(col.isNull() | (n == 0), F.lit(None).cast("string")).otherwise(
+        F.array_min(F.transform(starts, lambda i: F.md5(col.substr(i, F.lit(k)))))
+    )

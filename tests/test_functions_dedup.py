@@ -1,0 +1,97 @@
+"""Dedup operators: exact, MinHash LSH candidates, Jaccard verify, SimHash."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nolock_social_ocr_services_spark.functions import dedup as dd
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    base = (
+        "spark builds distributed query plans over columnar data and "
+        "optimizes joins aggregations and shuffles for large clusters"
+    )
+    near = base.replace("large clusters", "big clusters")
+    rows = [
+        (0, base),
+        (1, base),            # exact dup of 0
+        (2, near),            # near dup of 0
+        (3, "completely different text about cooking pasta with garlic and olive oil every sunday"),
+        (4, base),            # another exact dup
+        (5, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, df):
+    out = dd.exact_dedup(df)
+    canon = {r.doc_id: r.canonical_id for r in out.collect()}
+    assert canon[0] == 0 and canon[1] == 0 and canon[4] == 0
+    assert canon[2] == 2 and canon[3] == 3
+    survivors = out.filter("is_canonical").count()
+    assert survivors == 4  # 0, 2, 3, 5
+
+
+def test_minhash_lsh_finds_near_dups(spark, df):
+    cand = dd.minhash_lsh_candidates(df, num_hashes=16, bands=8, k=6)
+    pairs = {(r.id_a, r.id_b) for r in cand.collect()}
+    # exact dups always collide; the near-dup pair should too (high jaccard)
+    assert (0, 1) in pairs and (0, 4) in pairs and (1, 4) in pairs
+    assert (0, 2) in pairs
+    # unrelated doc never pairs with the base cluster
+    assert not any(3 in p for p in pairs)
+
+
+def test_jaccard_verification(spark, df):
+    cand = dd.minhash_lsh_candidates(df, num_hashes=16, bands=8, k=6)
+    verified = dd.jaccard_pairs(df, cand, k=6)
+    jac = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
+    assert jac[(0, 1)] == 1.0
+    assert 0.6 < jac[(0, 2)] < 1.0
+
+
+def test_jaccard_matches_python(spark, df):
+    cand = dd.minhash_lsh_candidates(df, num_hashes=16, bands=8, k=6)
+    verified = dd.jaccard_pairs(df, cand, k=6)
+    texts = {r.doc_id: r.text for r in df.collect()}
+
+    def sh(t):
+        return {t[i : i + 6] for i in range(max(len(t) - 5, 1))}
+
+    for r in verified.collect():
+        a, b = sh(texts[r.id_a]), sh(texts[r.id_b])
+        assert r.jaccard == pytest.approx(len(a & b) / len(a | b))
+
+
+def test_simhash_near_dup_distance(spark, df):
+    sims = dd.simhash_table(df, k=4)
+    by_id = {r.id: r.simhash for r in sims.collect()}
+    assert by_id[0] == by_id[1] == by_id[4]  # identical text -> identical hash
+    d_near = bin(by_id[0] ^ by_id[2]).count("1")
+    d_far = bin(by_id[0] ^ by_id[3]).count("1")
+    assert d_near < d_far
+    assert d_near <= 14  # one-word edit flips few bits (9 observed)
+    assert d_far > 20  # unrelated text ~half the bits (33 observed)
+
+
+def test_simhash_hamming_column(spark, df):
+    sims = dd.simhash_table(df, k=4)
+    a = sims.select(F.col("id").alias("ia"), F.col("simhash").alias("sa"))
+    b = sims.select(F.col("id").alias("ib"), F.col("simhash").alias("sb"))
+    pairs = a.crossJoin(b).filter("ia < ib").select(
+        "ia", "ib", dd.hamming64(F.col("sa"), F.col("sb")).alias("d")
+    )
+    got = {(r.ia, r.ib): r.d for r in pairs.collect()}
+    assert got[(0, 1)] == 0
+    assert got[(0, 2)] < got[(0, 3)]
+
+
+def test_empty_and_short_docs(spark):
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "abc")], "doc_id long, text string"
+    )
+    sh = df.select(dd.shingles(F.col("text"), k=8).alias("s")).collect()
+    assert [len(r.s) for r in sh] == [0, 0, 0]
+    sims = dd.simhash_table(df, k=8)
+    assert all(r.simhash is None for r in sims.collect())

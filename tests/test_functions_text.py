@@ -1,0 +1,98 @@
+"""Text-analysis operators: unit vectors + independent recomputation."""
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from nolock_social_ocr_services_spark.functions import text as tx
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [
+        (0, "the quick brown fox and the lazy dog of doom"),
+        (1, "el perro de la casa que ladra los lunes"),
+        (2, "one-token"),
+        (3, ""),
+        (4, None),
+        (5, "der Hund und die Katze das ist gut"),
+        (6, "!!! ??? ,,,"),
+        (7, "word " * 200),
+    ]
+    return spark.createDataFrame(rows, "id long, t string")
+
+
+def _collect(df, col):
+    return {r.id: r.v for r in df.select("id", col.alias("v")).collect()}
+
+
+def test_token_count(df):
+    got = _collect(df, tx.token_count(F.col("t")))
+    assert got[0] == 10
+    assert got[2] == 1
+    assert got[3] == 0
+    assert got[4] == 0
+    assert got[7] == 200
+
+
+def test_bpe_token_count(df):
+    got = _collect(df, tx.bpe_token_count(F.col("t")))
+    assert got[2] == 3  # one, -, token
+    assert got[6] == 9  # nine punctuation marks
+    assert got[3] == 0 and got[4] == 0
+
+
+def test_punct_ratio(df):
+    got = _collect(df, tx.punct_ratio(F.col("t")))
+    assert got[6] == pytest.approx(9 / 11)
+    assert got[0] == 0.0
+    assert got[3] is None and got[4] is None
+
+
+def test_predict_lang(df):
+    got = _collect(df, tx.predict_lang(F.col("t")))
+    assert got[0] == "en"
+    assert got[1] == "es"
+    assert got[5] == "de"
+    assert got[6] == "und"
+
+
+def test_quality_score_monotone(df):
+    got = _collect(df, tx.quality_score(F.col("t")))
+    assert got[0] == 1.0  # good length, stopwords, low punct
+    assert got[6] == 0.0  # punct-only garbage
+    assert got[4] is None
+
+
+def test_shingle_fingerprint_matches_independent_python(df):
+    got = _collect(df, tx.shingle_fingerprint(F.col("t"), k=8))
+    rows = {r.id: r.t for r in df.collect()}
+    for i, t in rows.items():
+        if not t:
+            assert got[i] is None
+            continue
+        if len(t) < 8:
+            expected = min(
+                hashlib.md5(t[j : j + 8].encode()).hexdigest()
+                for j in range(max(len(t) - 7, 1))
+            )
+        else:
+            expected = min(
+                hashlib.md5(t[j : j + 8].encode()).hexdigest()
+                for j in range(len(t) - 7)
+            )
+        assert got[i] == expected, i
+
+
+def test_fingerprint_shift_invariance(spark):
+    # rolling fingerprint ignores leading boilerplate when content shared
+    base = "shared core content that dominates the fingerprint window"
+    df = spark.createDataFrame(
+        [(0, base), (1, "PREFIX " + base)], "id long, t string"
+    )
+    got = _collect(df, tx.shingle_fingerprint(F.col("t"), k=8))
+    # min-shingle of superstring <= min-shingle of substring; equal unless
+    # the prefix introduces a smaller shingle
+    assert got[1] <= got[0]

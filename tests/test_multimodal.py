@@ -1,0 +1,57 @@
+"""Multimodal plumbing: schema, batch-shape, and stub contracts."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nolock_social_ocr_services_spark.functions import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def payloads(spark):
+    rows = [
+        (0, bytes.fromhex("FFD8FFE0") + b"jpegdata" * 10),
+        (1, bytes.fromhex("89504E470D0A1A0A") + b"pngdata" * 10),
+        (2, b""),
+        (3, None),
+    ]
+    return spark.createDataFrame(rows, "id long, payload binary")
+
+
+def test_decode_stub_raises_without_fake(payloads):
+    df = mm.decode_images(payloads, deterministic_fake=False)
+    with pytest.raises(Exception, match="NotImplementedError|Pillow|libvips"):
+        df.collect()
+
+
+def test_fake_decode_schema_and_shape(payloads):
+    out = mm.decode_images(payloads, deterministic_fake=True)
+    rows = {r.id: r for r in out.collect()}
+    assert len(rows) == 4  # row-count preserved
+    ok = rows[0]
+    assert ok.decode_ok and 64 <= ok.width < 256 and ok.channels in (1, 3)
+    assert len(ok.features) == mm.FEATURE_DIM
+    assert all(0 <= f <= 1 for f in ok.features)
+    for bad in (2, 3):
+        assert not rows[bad].decode_ok
+        assert rows[bad].features is None
+    # original columns preserved
+    assert rows[1].payload is not None
+
+
+def test_fake_decode_deterministic(payloads):
+    a = {r.id: r.features for r in mm.decode_images(payloads, deterministic_fake=True).collect()}
+    b = {r.id: r.features for r in mm.decode_images(payloads, deterministic_fake=True).collect()}
+    assert a == b
+
+
+def test_frame_sample_offsets(spark):
+    df = spark.createDataFrame([(3500,), (0,), (1000,)], "dur long")
+    got = [
+        r.offs
+        for r in df.select(
+            mm.frame_sample_offsets(F.col("dur"), every_ms=1000).alias("offs")
+        ).collect()
+    ]
+    assert got[0] == [0, 1000, 2000, 3000]
+    assert got[1] == [0]
+    assert got[2] == [0]
