@@ -179,7 +179,9 @@ def _q_union_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    from nolock_social_ocr_services_spark.queries import extra_queries
+
+    qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "classify_spans": _q_classify_spans,
         "mime_histogram": _q_mime_histogram,
         "extract_receipts": _q_extract_receipts,
@@ -191,12 +193,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_route": _q_filter_route,
         "union_spans": _q_union_spans,
     }
+    for name, (fn, _sql) in extra_queries().items():
+        qs[name] = fn
+    return qs
 
 
 # -- DuckDB oracles -----------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
+    from nolock_social_ocr_services_spark.queries import extra_queries
+
+    extra = {
+        name: sql for name, (_fn, sql) in extra_queries().items() if sql is not None
+    }
     e = ocr_field_exprs(DUCK, h="md5(media_ref)")
     ocr_text = oracle_ocr_text_sql(DUCK, mime="mime", h="md5(media_ref)")
     strip_pfx = corpus.HTML_PREFIX.replace("'", "''")
@@ -268,4 +278,5 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, "offset", kind FROM {_FLAT} f WHERE kind = 'pdf'
         """,
+        **extra,
     }

@@ -35,13 +35,16 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
     """MinHash signature: per hash family j, min over shingles of
     md5(j || shingle) (string min == min over a random permutation).
     Empty shingle sets get NULL signature."""
+    def salted(j: int):
+        # NB: must close over j via a factory — a `lambda s, j=j` default
+        # arg makes the lambda binary, and pyspark's transform() would
+        # then pass the ARRAY INDEX as the second argument, silently
+        # replacing the hash-family salt.
+        return lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
+
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(
-                    shingle_col, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}:"), s))
-                )
-            )
+            F.array_min(F.transform(shingle_col, salted(j)))
             for j in range(num_hashes)
         ]
     )

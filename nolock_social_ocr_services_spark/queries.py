@@ -1,0 +1,402 @@
+"""Secondary query surface for the driver contract: training-data ops
+(text analysis, dedup, similarity) and the relational built-in coverage
+(joins, windows, set ops, JSON scalar functions) over the driver tables.
+
+Each entry returns (callable, duckdb_sql | None); __spark_entry__ merges
+them into queries()/oracle_sql(). Numeric outputs are decimals/ints (or
+rounded) so the value-hash comparison is representation-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import dedup as dd
+from .functions import similarity as sim
+from .functions import text as tx
+
+MINHASH_K = 8  # shingle width
+MINHASH_N = 16  # hash family size
+MINHASH_BANDS = 4
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# -- text analysis -------------------------------------------------------------
+
+
+def q_text_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        tx.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.round(F.coalesce(tx.punct_ratio(F.col("text")), F.lit(0.0)), 6).alias(
+            "punct_ratio_r"
+        ),
+    )
+
+
+SQL_TEXT_STATS = r"""
+SELECT doc_id,
+       CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+       CASE WHEN text IS NULL THEN 0
+            ELSE len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) END AS n_bpe_tokens,
+       round(CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
+             ELSE (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1.0
+                  / length(text) END, 6) AS punct_ratio_r
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", tx.predict_lang(F.col("text")).alias("pred_lang"))
+
+
+def _sql_lang_hits(lang: str) -> str:
+    words = "|".join(tx.LANG_MARKERS[lang])
+    return rf"len(regexp_extract_all(lower(text), '\b({words})\b'))"
+
+
+SQL_LANG_ID = f"""
+WITH hits AS (
+  SELECT doc_id,
+         {_sql_lang_hits('en')} AS h_en,
+         {_sql_lang_hits('es')} AS h_es,
+         {_sql_lang_hits('de')} AS h_de,
+         {_sql_lang_hits('fr')} AS h_fr
+  FROM documents
+)
+SELECT doc_id,
+  CASE
+    WHEN h_fr > greatest(h_en, h_es, h_de) THEN 'fr'
+    WHEN h_de > greatest(h_en, h_es) THEN 'de'
+    WHEN h_es > h_en THEN 'es'
+    WHEN h_en > 0 THEN 'en'
+    ELSE 'und' END AS pred_lang
+FROM hits
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", tx.shingle_fingerprint(F.col("text"), k=8).alias("fp")
+    )
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+  CASE WHEN text IS NULL OR length(text) = 0 THEN NULL
+       ELSE list_min(list_transform(
+              generate_series(1, greatest(length(text) - 7, 1)),
+              i -> md5(substr(text, CAST(i AS INT), 8)))) END AS fp
+FROM documents
+"""
+
+
+# -- dedup ---------------------------------------------------------------------
+
+
+def q_exact_dedup(spark, sf_dir):
+    return dd.exact_dedup(_docs(spark, sf_dir)).select(
+        "doc_id", "canonical_id", "is_canonical"
+    )
+
+
+SQL_EXACT_DEDUP = """
+WITH hashed AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+canon AS (SELECT text_hash, min(doc_id) AS canonical_id FROM hashed GROUP BY text_hash)
+SELECT h.doc_id, c.canonical_id, h.doc_id = c.canonical_id AS is_canonical
+FROM hashed h JOIN canon c USING (text_hash)
+"""
+
+
+def q_minhash_signature(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    sig = dd.minhash_signature(
+        dd.shingles(F.col("text"), k=MINHASH_K), num_hashes=MINHASH_N
+    )
+    return d.select("doc_id", F.array_join(sig, "|").alias("sig"))
+
+
+def _sql_minhash_parts() -> str:
+    parts = [
+        (
+            "list_min(list_transform(sh, s -> md5(concat('" + f"{j}:" + "', s))))"
+        )
+        for j in range(MINHASH_N)
+    ]
+    return ", ".join(parts)
+
+
+SQL_MINHASH_SIGNATURE = f"""
+WITH sh AS (
+  SELECT doc_id,
+    CASE WHEN text IS NULL OR length(text) < {MINHASH_K}
+         THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(generate_series(1, length(text) - {MINHASH_K - 1}),
+                             i -> substr(text, CAST(i AS INT), {MINHASH_K})) END AS sh
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN len(sh) = 0 THEN NULL
+       ELSE concat_ws('|', {_sql_minhash_parts()}) END AS sig
+FROM sh
+"""
+
+
+def q_lsh_candidates(spark, sf_dir):
+    return dd.minhash_lsh_candidates(
+        _docs(spark, sf_dir),
+        num_hashes=MINHASH_N,
+        bands=MINHASH_BANDS,
+        k=MINHASH_K,
+    )
+
+
+def _sql_band_exprs() -> str:
+    r = MINHASH_N // MINHASH_BANDS
+    mins = [
+        f"list_min(list_transform(sh, s -> md5(concat('{j}:', s))))"
+        for j in range(MINHASH_N)
+    ]
+    bands = []
+    for b in range(MINHASH_BANDS):
+        cols = ", ".join(mins[b * r + i] for i in range(r))
+        bands.append(f"md5(concat_ws('|', {cols})) AS band_{b}")
+    return ", ".join(bands)
+
+
+SQL_LSH_CANDIDATES = f"""
+WITH sh AS (
+  SELECT doc_id,
+    CASE WHEN text IS NULL OR length(text) < {MINHASH_K}
+         THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(generate_series(1, length(text) - {MINHASH_K - 1}),
+                             i -> substr(text, CAST(i AS INT), {MINHASH_K})) END AS sh
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, {_sql_band_exprs()} FROM sh WHERE len(sh) > 0
+),
+banded AS (
+  {' UNION ALL '.join(f"SELECT doc_id, {b} AS band_idx, band_{b} AS band_hash FROM sig" for b in range(MINHASH_BANDS))}
+)
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM banded l JOIN banded r
+  ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+"""
+
+
+# -- similarity ----------------------------------------------------------------
+
+
+def q_cosine_top3(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = sim.cosine_topk(emb, k=3)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+SQL_COSINE_TOP3 = """
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.embedding, b.embedding) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
+"""
+
+
+# -- relational built-in coverage over driver tables ---------------------------
+
+
+def q_lineitem_agg(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = "decimal(28,6)"
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(dec)).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(dec)).alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice").cast(dec) * (F.lit(1).cast(dec) - F.col("l_discount").cast(dec))).cast(dec)
+            ).alias("revenue"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(28,6))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS sum_base_price,
+       sum(CAST(CAST(l_extendedprice AS DECIMAL(28,6))
+           * (CAST(1 AS DECIMAL(28,6)) - CAST(l_discount AS DECIMAL(28,6))) AS DECIMAL(28,6))) AS revenue,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_customer_revenue(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,4)")).alias("total_spent"),
+        )
+    )
+
+
+SQL_CUSTOMER_REVENUE = """
+SELECT c_custkey, c_name, count(*) AS n_orders,
+       sum(CAST(o_totalprice AS DECIMAL(28,4))) AS total_spent
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+def q_first_events(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+SQL_FIRST_EVENTS = """
+SELECT user_id, event_id, rn FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
+def q_event_gaps(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))  # parquet gives NTZ
+    return ev.select(
+        "user_id",
+        "event_id",
+        (ms - F.lag(ms).over(w)).alias("gap_ms"),
+    )
+
+
+SQL_EVENT_GAPS = """
+SELECT user_id, event_id,
+       epoch_ms(ts) - lag(epoch_ms(ts))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+FROM events
+"""
+
+
+def q_users_except(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def heavy(event_type: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= 15)
+            .select("user_id")
+        )
+
+    return heavy("click").exceptAll(heavy("error"))
+
+
+SQL_USERS_EXCEPT = """
+SELECT user_id FROM events WHERE event_type = 'click'
+GROUP BY user_id HAVING count(*) >= 15
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error'
+GROUP BY user_id HAVING count(*) >= 15
+"""
+
+
+def q_events_json(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+FROM events
+"""
+
+
+def q_top_parts(spark, sf_dir):
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return (
+        p.orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+        .limit(10)
+        .select("p_partkey", "p_name", F.col("p_retailprice").cast("decimal(18,2)").alias("price"))
+    )
+
+
+SQL_TOP_PARTS = """
+SELECT p_partkey, p_name, CAST(p_retailprice AS DECIMAL(18,2)) AS price
+FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 10
+"""
+
+
+def q_explode_tokens(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_EXPLODE_TOKENS = r"""
+SELECT word, count(*) AS n FROM (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents
+) WHERE word <> '' GROUP BY word
+"""
+
+
+def extra_queries() -> dict[str, tuple]:
+    """name -> (callable, oracle_sql | None)"""
+    return {
+        "text_stats": (q_text_stats, SQL_TEXT_STATS),
+        "lang_id": (q_lang_id, SQL_LANG_ID),
+        "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+        "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+        "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
+        "lsh_candidates": (q_lsh_candidates, SQL_LSH_CANDIDATES),
+        "cosine_top3": (q_cosine_top3, SQL_COSINE_TOP3),
+        "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
+        "customer_revenue": (q_customer_revenue, SQL_CUSTOMER_REVENUE),
+        "first_events": (q_first_events, SQL_FIRST_EVENTS),
+        "event_gaps": (q_event_gaps, SQL_EVENT_GAPS),
+        "users_except": (q_users_except, SQL_USERS_EXCEPT),
+        "events_json": (q_events_json, SQL_EVENTS_JSON),
+        "top_parts": (q_top_parts, SQL_TOP_PARTS),
+        "explode_tokens": (q_explode_tokens, SQL_EXPLODE_TOKENS),
+    }
