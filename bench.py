@@ -37,7 +37,7 @@ def main() -> None:
     # deterministically and MATERIALIZED first (the pipeline's real input
     # is a table scan, not an in-flight synthesis plan).
     corpus_path = os.environ.get(
-        "SPARK_GRAFT_CORPUS_DIR", f"/tmp/bench_corpus_sf{sf}_x{replicate}"
+        "SPARK_GRAFT_CORPUS_DIR", f"/dev/shm/bench_corpus_sf{sf}_x{replicate}"
     )
     t0 = time.monotonic()
     if not os.path.exists(f"{corpus_path}/_SUCCESS"):

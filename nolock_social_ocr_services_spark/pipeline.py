@@ -70,6 +70,12 @@ def extract_spans(
     media spans never ship into the boilerplate stripper.
     """
     exploded = explode_spans(docs)
+    if partitions is None:
+        # explicit partition count: AQE would coalesce the salted
+        # exchange to ~64MB partitions, leaving cores idle and a
+        # straggler tail; 3 tasks/core keeps the wave granular.
+        cores = docs.sparkSession.sparkContext.defaultParallelism
+        partitions = max(salt_buckets, cores * 3)
     salted = salted_repartition(
         exploded, num_partitions=partitions, salt_buckets=salt_buckets
     )

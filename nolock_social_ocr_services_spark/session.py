@@ -42,6 +42,12 @@ def get_spark(
         # large text payloads -> keep Arrow batches moderate (SURVEY.md §4 O6)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # shuffle/spill scratch on tmpfs: local-mode shuffles are disk
+        # round-trips; a spinning/virtio /tmp adds minutes of jitter
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

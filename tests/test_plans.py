@@ -1,0 +1,69 @@
+"""Plan-shape regression tests: the efficiency properties SURVEY.md §4
+commits to must hold in the physical plan, not just in intent."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nolock_social_ocr_services_spark import corpus, pipeline
+from nolock_social_ocr_services_spark.plans.inspect import (
+    arrow_eval_count,
+    batch_eval_count,
+    exchange_count,
+    explain_str,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema,
+    scan_count,
+)
+from nolock_social_ocr_services_spark.queries import q_customer_revenue
+
+
+@pytest.fixture(scope="module")
+def corpus_path(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plan_corpus"))
+    corpus.write_corpus(spark, sf_dir, path, partitions=4)
+    return path
+
+
+def test_extract_pipeline_one_scan_one_shuffle(spark, corpus_path):
+    docs = spark.read.parquet(corpus_path)
+    flat = pipeline.extract_spans(docs, salt_buckets=16)
+    assert scan_count(flat) == 1
+    assert exchange_count(flat) == 1  # the salted repartition only
+    assert arrow_eval_count(flat) == 2  # classify + (ocr, strip)
+    assert batch_eval_count(flat) == 0  # no row-at-a-time Python anywhere
+
+
+def test_extracted_documents_two_shuffles_total(spark, corpus_path):
+    docs = spark.read.parquet(corpus_path)
+    nested = pipeline.extracted_documents(docs, salt_buckets=16)
+    assert scan_count(nested) == 1
+    assert exchange_count(nested) == 2  # salt + reassembly hash-agg
+
+
+def test_filter_pushdown_reaches_scan(spark, corpus_path):
+    docs = spark.read.parquet(corpus_path)
+    q = docs.filter(F.col("doc_id") == "doc-00000042").select("doc_id")
+    assert "IsNotNull(doc_id)" in pushed_filters(q) or "EqualTo(doc_id" in pushed_filters(q)
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.select("l_orderkey").filter(F.col("l_orderkey") > 0)
+    rs = read_schema(q)
+    assert "l_orderkey" in rs
+    assert "l_extendedprice" not in rs  # untouched columns pruned
+
+
+def test_customer_revenue_join_is_broadcast(spark, sf_dir):
+    q = q_customer_revenue(spark, sf_dir)
+    assert has_broadcast_join(q)
+
+
+def test_classifier_udf_input_is_prefix_projection(spark, corpus_path):
+    # the ArrowEvalPython node's input must be the unbase64(substring(...))
+    # projection, never the raw media_ref/spans payload column
+    docs = spark.read.parquet(corpus_path)
+    flat = pipeline.extract_spans(docs, salt_buckets=16)
+    plan = explain_str(flat)
+    assert "unbase64" in plan and "substring" in plan
