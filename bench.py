@@ -48,7 +48,7 @@ def main() -> None:
 
     t0 = time.monotonic()
     docs = spark.read.parquet(corpus_path)
-    nested = pipeline.extracted_documents(docs, salt_buckets=64)
+    nested = pipeline.extracted_documents(docs)
     stats = nested.agg(
         F.count("*").alias("docs"), F.sum(F.size("spans")).alias("spans")
     ).first()

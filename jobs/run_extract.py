@@ -32,7 +32,7 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--num-parts", type=int, default=64)
-    ap.add_argument("--salt-buckets", type=int, default=256)
+    ap.add_argument("--salt-buckets", type=int, default=None)
     args = ap.parse_args()
 
     spark = SparkSession.getActiveSession() or get_spark(app_name="extract_job")

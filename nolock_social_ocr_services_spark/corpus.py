@@ -175,9 +175,10 @@ def oracle_flat_spans_sql() -> str:
     return flat_spans_sql(DUCK)
 
 
-# doc_id shift per replica; keeps ids within the 8-digit zero-pad width
-# for any realistic base table (base ids < 1e6, replicas < 100).
-REPLICA_SHIFT = 1_000_000
+# doc_id shift per replica; keeps ids within the 8-digit zero-pad width.
+# Base tables must have ids < REPLICA_SHIFT (driver testdata: sf0.001/
+# 0.01/0.1 have 50/500/5000 docs), so <= 999 replicas fit in 8 digits.
+REPLICA_SHIFT = 100_000
 
 
 def flat_spans(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
@@ -188,14 +189,22 @@ def flat_spans(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFram
     oracle-checked path always runs replicate=1). The copies diverge in
     every derived value because all rules key on doc_id.
     """
-    if not 1 <= replicate <= 100:
-        # ids are zero-padded to 8 digits; >100 replicas at shift 1e6
+    if not 1 <= replicate <= 999:
+        # ids are zero-padded to 8 digits; >999 replicas at shift 1e5
         # would overflow the pad width and collide doc_ids.
-        raise ValueError("replicate must be in [1, 100]")
+        raise ValueError("replicate must be in [1, 999]")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if replicate > 1:
         from pyspark.sql import functions as F
 
+        # bench-only path: one parquet-stats scan to enforce the id
+        # contract instead of silently colliding replica doc_ids.
+        max_id = docs.agg(F.max("doc_id")).first()[0]
+        if max_id is not None and max_id >= REPLICA_SHIFT:
+            raise ValueError(
+                f"base doc_id {max_id} >= REPLICA_SHIFT {REPLICA_SHIFT}; "
+                "replicated ids would collide"
+            )
         reps = spark.range(replicate).withColumnRenamed("id", "__rep")
         docs = (
             docs.crossJoin(F.broadcast(reps))

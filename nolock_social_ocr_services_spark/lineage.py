@@ -92,7 +92,7 @@ def run_extract_job(
     out_dir: str,
     run_id: str,
     num_parts: int = 16,
-    salt_buckets: int = 64,
+    salt_buckets: int | None = None,
     fail_after: int | None = None,
 ) -> list[int]:
     """Run (or resume) the checkpointed extraction job.

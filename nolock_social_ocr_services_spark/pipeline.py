@@ -52,7 +52,7 @@ def explode_spans(docs: DataFrame) -> DataFrame:
 
 
 def extract_spans(
-    docs: DataFrame, salt_buckets: int = 64, partitions: int | None = None
+    docs: DataFrame, salt_buckets: int | None = None, partitions: int | None = None
 ) -> DataFrame:
     """Flat extracted spans: classify + extract every span.
 
@@ -75,7 +75,7 @@ def extract_spans(
         # exchange to ~64MB partitions, leaving cores idle and a
         # straggler tail; 3 tasks/core keeps the wave granular.
         cores = docs.sparkSession.sparkContext.defaultParallelism
-        partitions = max(salt_buckets, cores * 3)
+        partitions = max(salt_buckets or 0, cores * 3, 64)
     salted = salted_repartition(
         exploded, num_partitions=partitions, salt_buckets=salt_buckets
     )
@@ -105,7 +105,7 @@ def extract_spans(
     )
 
 
-def extracted_documents(docs: DataFrame, salt_buckets: int = 64) -> DataFrame:
+def extracted_documents(docs: DataFrame, salt_buckets: int | None = None) -> DataFrame:
     """Nested output: (doc_id, spans[]) with extracted text, offset order
     restored after the salted shuffle — the span-sequence contract."""
     flat = extract_spans(docs, salt_buckets=salt_buckets)
@@ -114,7 +114,7 @@ def extracted_documents(docs: DataFrame, salt_buckets: int = 64) -> DataFrame:
     )
 
 
-def identity_roundtrip_report(docs: DataFrame, salt_buckets: int = 64) -> DataFrame:
+def identity_roundtrip_report(docs: DataFrame, salt_buckets: int | None = None) -> DataFrame:
     """Build-plan step 3 invariant: explode -> salt -> reassemble with NO
     extraction must reproduce the input spans exactly (per-doc equal flag).
     """

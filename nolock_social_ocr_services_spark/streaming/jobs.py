@@ -35,7 +35,7 @@ def stream_extract(
     corpus_path: str,
     schema=None,
     max_files_per_trigger: int = 4,
-    salt_buckets: int = 16,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Streaming DataFrame of extracted spans from a corpus directory."""
     if schema is None:
