@@ -104,3 +104,60 @@ def classify_mime(
     return df.withColumn(
         out_col, F.when(src.isNull(), F.lit(None).cast("string")).otherwise(udf(prefix))
     )
+
+
+# -- S4: extension -> MIME fallback (URL sources) -----------------------------
+
+# Mirrors the reference's MimeTypeMap (ImageUrlToDataUrlTransformer.cs:21-36)
+# and DetectMimeTypeFromUrl (:217-236): extension of the URL *path* (query/
+# fragment excluded), lowercased; unknown/missing -> "image/jpeg".
+EXT_MIME: dict[str, str] = {
+    "jpg": "image/jpeg",
+    "jpeg": "image/jpeg",
+    "png": "image/png",
+    "gif": "image/gif",
+    "bmp": "image/bmp",
+    "webp": "image/webp",
+    "svg": "image/svg+xml",
+    "ico": "image/x-icon",
+    "tiff": "image/tiff",
+    "tif": "image/tiff",
+    "pdf": "application/pdf",
+}
+EXT_MIME_DEFAULT = "image/jpeg"
+
+
+def mime_from_url(url: Column) -> Column:
+    """MIME type from a URL's file extension — pure built-ins (codegen'd).
+
+    Re-creation of ``DetectMimeTypeFromUrl``
+    (ImageUrlToDataUrlTransformer.cs:217-236): take the extension of the
+    URL path (``Uri.LocalPath`` semantics -> strip query/fragment first),
+    case-insensitive map, default ``image/jpeg``.
+    """
+    path = F.regexp_replace(url, r"[?#].*$", "")
+    ext = F.lower(F.regexp_extract(path, r"\.([A-Za-z0-9]+)$", 1))
+    expr = F.lit(EXT_MIME_DEFAULT)
+    for e, m in EXT_MIME.items():
+        expr = F.when(ext == e, F.lit(m)).otherwise(expr)
+    return F.when(url.isNull(), F.lit(None).cast("string")).otherwise(expr)
+
+
+def classify_with_url_fallback(
+    df: DataFrame,
+    payload_col: str = "payload_prefix",
+    url_col: str = "url",
+    out_col: str = "mime",
+) -> DataFrame:
+    """Trie classification with S4 URL-extension fallback: magic bytes
+    win; unknown payloads (octet-stream) defer to the URL extension —
+    the combined behavior of OcrRequestHandler.DetectMimeType +
+    DetectMimeTypeFromUrl when a source URL is available."""
+    classified = classify_mime(df, payload_col=payload_col, out_col="__trie_mime")
+    return classified.withColumn(
+        out_col,
+        F.when(
+            F.col("__trie_mime").isNotNull() & (F.col("__trie_mime") != OCTET_STREAM),
+            F.col("__trie_mime"),
+        ).otherwise(mime_from_url(F.col(url_col))),
+    ).drop("__trie_mime")

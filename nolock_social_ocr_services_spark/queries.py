@@ -381,6 +381,55 @@ SELECT word, count(*) AS n FROM (
 """
 
 
+
+
+# -- S4: URL extension -> MIME fallback map ------------------------------------
+#
+# The driver tables carry no URL column, so the query synthesizes
+# deterministic URLs from doc_id (same SQL rule in Spark and DuckDB) and
+# applies the reference's extension->MIME map
+# (ImageUrlToDataUrlTransformer.cs:21-36, DetectMimeTypeFromUrl :217-236).
+
+_URL_EXTS = [".jpg", ".jpeg", ".png", ".gif", ".bmp", ".webp", ".svg",
+             ".ico", ".tiff", ".tif", ".pdf", ".dat", ""]
+
+_URL_EXPR = (
+    "concat('https://img.example/doc/', CAST(doc_id AS STRING), "
+    + "CASE CAST(doc_id % 13 AS INT) "
+    + " ".join(f"WHEN {i} THEN '{e}'" for i, e in enumerate(_URL_EXTS))
+    + " END, CASE WHEN doc_id % 3 = 0 THEN '?w=1#frag' ELSE '' END)"
+)
+
+
+def q_mime_from_url(spark, sf_dir):
+    from .operators.classify import mime_from_url
+
+    d = _docs(spark, sf_dir)
+    url = F.expr(_URL_EXPR.replace("AS STRING", "AS STRING"))
+    return d.select(
+        "doc_id", url.alias("url"), mime_from_url(url).alias("mime")
+    )
+
+
+def _sql_ext_mime_case() -> str:
+    from .operators.classify import EXT_MIME, EXT_MIME_DEFAULT
+
+    whens = " ".join(f"WHEN '{e}' THEN '{m}'" for e, m in EXT_MIME.items())
+    return (
+        "CASE lower(regexp_extract(regexp_replace(u.url, '[?#].*$', ''), "
+        f"'\\.([A-Za-z0-9]+)$', 1)) {whens} ELSE '{EXT_MIME_DEFAULT}' END"
+    )
+
+
+SQL_MIME_FROM_URL = f"""
+WITH u AS (
+  SELECT doc_id, {_URL_EXPR.replace("AS STRING", "AS VARCHAR")} AS url
+  FROM documents
+)
+SELECT doc_id, url, {_sql_ext_mime_case()} AS mime FROM u
+"""
+
+
 def extra_queries() -> dict[str, tuple]:
     """name -> (callable, oracle_sql | None)"""
     return {
@@ -399,4 +448,5 @@ def extra_queries() -> dict[str, tuple]:
         "events_json": (q_events_json, SQL_EVENTS_JSON),
         "top_parts": (q_top_parts, SQL_TOP_PARTS),
         "explode_tokens": (q_explode_tokens, SQL_EXPLODE_TOKENS),
+        "mime_from_url": (q_mime_from_url, SQL_MIME_FROM_URL),
     }

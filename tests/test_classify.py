@@ -99,3 +99,47 @@ def test_prefix_slicing_stays_jvm_side(media_spans):
     out = classify_mime(media_spans, data_url_col="media_ref", out_col="detected")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan  # vectorized (Arrow) UDF, not BatchEvalPython
+
+
+def test_mime_from_url_map(spark):
+    """S4 extension map (ImageUrlToDataUrlTransformer.cs:21-36): path
+    extension wins case-insensitively, query/fragment stripped, unknown
+    or missing extension -> image/jpeg default (:235)."""
+    from nolock_social_ocr_services_spark.operators.classify import mime_from_url
+
+    cases = [
+        ("https://a/x.jpg", "image/jpeg"),
+        ("https://a/x.JPEG", "image/jpeg"),
+        ("https://a/x.png?w=1", "image/png"),
+        ("https://a/x.svg#frag", "image/svg+xml"),
+        ("https://a/x.tif", "image/tiff"),
+        ("https://a/x.pdf", "application/pdf"),
+        ("https://a/x.dat", "image/jpeg"),  # unknown ext -> default
+        ("https://a/noext", "image/jpeg"),  # no ext -> default
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(u,) for u, _ in cases], "url string"
+    ).withColumn("mime", mime_from_url(F.col("url")))
+    got = {r.url: r.mime for r in df.collect()}
+    for url, want in cases:
+        assert got[url] == want, (url, got[url], want)
+
+
+def test_classify_with_url_fallback(spark, media_spans):
+    """Magic bytes win; octet-stream payloads defer to the URL ext."""
+    from nolock_social_ocr_services_spark.operators.classify import (
+        classify_with_url_fallback,
+    )
+
+    with_url = media_spans.withColumn(
+        "payload_prefix", decode_data_url_prefix(F.col("media_ref"))
+    ).withColumn("url", F.lit("https://img.example/x.webp"))
+    out = classify_with_url_fallback(with_url, url_col="url", out_col="combined")
+    # every known payload keeps its trie mime
+    known = out.filter(F.col("intended_mime") != "application/octet-stream")
+    assert known.filter(F.col("combined") != F.col("intended_mime")).count() == 0
+    # unknown payloads pick up the url extension mime
+    unknown = out.filter(F.col("intended_mime") == "application/octet-stream")
+    assert unknown.count() > 0
+    assert unknown.filter(F.col("combined") != "image/webp").count() == 0

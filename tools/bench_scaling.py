@@ -5,18 +5,21 @@ parallelism levels on the same input).
 Levels default to local[4] vs local[16] (N=4, 4N=16), NOT 8 vs 32:
 a calibration pass with pure CPU spin processes (run_calibration below,
 results embedded in BENCH/BASELINE.md) shows this VM's hypervisor
-supplies only ~16-20 effective cores for its 32 vCPUs — 8->32 spin
-scaling tops out at ~2.1x (hard ceiling 0.52 efficiency, lock-holder
-preemption beyond it), while 2->8 and 4->16 spin scaling reach
-0.87-0.92. The 4/16 pair therefore measures the JOB's scaling inside
-the machine's linear region instead of measuring the hypervisor cap.
+supplies only ~16-26 effective cores for its 32 vCPUs — 8->32 spin
+scaling is capped by the HOST (vCPU overcommit), while 2->8 and 4->16
+stay in the machine's linear region. The 4/16 pair therefore measures
+the JOB's scaling, not the hypervisor cap.
 
-Each parallelism level runs in its OWN subprocess (fresh JVM) pinned
-with taskset, does ``warmups`` untimed passes (JIT + python-worker pool
-spin-up take 2-3 passes to converge) then ``iters`` timed passes of the
-full extraction pipeline over the same materialized corpus, and reports
-min-of-N docs/sec (the sandbox VM shows multi-second host-side noise
-transients; min isolates the job's true cost — raw timings reported).
+Measurement protocol — PAIRED ALTERNATION: the host's effective CPU
+supply drifts +-60% on minute timescales (noisy neighbors), so timing
+level N for six passes and then level 4N for six passes confounds the
+level with the host phase. Instead both taskset-pinned JVMs stay alive
+and a file-token protocol alternates single passes N, 4N, N, 4N, ...;
+each adjacent pair samples near-identical host conditions and yields
+one efficiency estimate (t_N / t_4N) / 4. The reported figure is the
+median of per-pair efficiencies (best pair also shown). Each level does
+``warmups`` untimed passes first (JIT + python-worker spin-up take 2-3
+passes to converge).
 
 Writes BENCH/BASELINE.md. Usage: python tools/bench_scaling.py
 """
@@ -26,6 +29,7 @@ from __future__ import annotations
 import json
 import multiprocessing
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -40,7 +44,7 @@ from nolock_social_ocr_services_spark.session import get_spark
 from nolock_social_ocr_services_spark import pipeline
 
 cpus = int(sys.argv[1]); corpus_path = sys.argv[2]
-warmups = int(sys.argv[3]); iters = int(sys.argv[4])
+warmups = int(sys.argv[3]); iters = int(sys.argv[4]); sync_dir = sys.argv[5]
 spark = get_spark(app_name=f"scaling_{cpus}", cpus=cpus)
 docs = spark.read.parquet(corpus_path)
 nested = pipeline.extracted_documents(docs)
@@ -53,10 +57,19 @@ def run_once():
 
 for _ in range(warmups):
     run_once()
-times = sorted(round(run_once(), 2) for _ in range(iters))
-best = times[0]
-print(json.dumps({"cpus": cpus, "n_docs": n_docs, "best_sec": best,
-                  "times": times, "docs_per_sec": n_docs / best}))
+
+# token protocol: wait for sync_dir/turn_<cpus>_<i>, run one pass,
+# write sync_dir/done_<cpus>_<i> with the seconds, repeat.
+with open(os.path.join(sync_dir, f"ready_{cpus}"), "w") as f:
+    f.write("1")
+for i in range(iters):
+    tok = os.path.join(sync_dir, f"turn_{cpus}_{i}")
+    while not os.path.exists(tok):
+        time.sleep(0.05)
+    sec = run_once()
+    with open(os.path.join(sync_dir, f"done_{cpus}_{i}"), "w") as f:
+        f.write(repr(sec))
+print(json.dumps({"cpus": cpus, "n_docs": n_docs}))
 spark.stop()
 """
 
@@ -83,7 +96,8 @@ def run_calibration(levels=(2, 4, 8, 16, 32)) -> dict[int, float]:
     return out
 
 
-def run_level(cpus: int, corpus_path: str, warmups: int, iters: int) -> dict:
+def start_child(cpus: int, corpus_path: str, warmups: int, iters: int,
+                sync_dir: str) -> subprocess.Popen:
     # taskset pins the WHOLE process tree (JVM executor threads AND the
     # Python UDF worker processes) to exactly `cpus` cores — local[N]
     # alone is not an N-core cluster, because Arrow UDF workers are
@@ -91,12 +105,26 @@ def run_level(cpus: int, corpus_path: str, warmups: int, iters: int) -> dict:
     cmd = [
         "taskset", "-c", f"0-{cpus - 1}",
         sys.executable, "-c", CHILD % {"repo": REPO},
-        str(cpus), corpus_path, str(warmups), str(iters),
+        str(cpus), corpus_path, str(warmups), str(iters), sync_dir,
     ]
     env = dict(os.environ, PYTHONPATH=REPO)
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, env=env)
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    return subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL, env=env)
+
+
+def _await(path: str, timeout: float = 3600) -> None:
+    t0 = time.monotonic()
+    while not os.path.exists(path):
+        if time.monotonic() - t0 > timeout:
+            raise TimeoutError(path)
+        time.sleep(0.1)
+
+
+def _read_sec(path: str) -> float:
+    _await(path)
+    time.sleep(0.05)  # let the write land
+    with open(path) as f:
+        return float(f.read())
 
 
 def main() -> None:
@@ -117,10 +145,44 @@ def main() -> None:
 
     calib = run_calibration()
     warmups = int(os.environ.get("SCALING_WARMUPS", "2"))
-    iters = int(os.environ.get("SCALING_ITERS", "6"))
-    lo = run_level(lo_cores, corpus_path, warmups, iters)
-    hi = run_level(hi_cores, corpus_path, warmups, iters)
-    efficiency = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
+    pairs = int(os.environ.get("SCALING_PAIRS", "5"))
+    sync_dir = f"/dev/shm/scaling_sync_{os.getpid()}"
+    os.makedirs(sync_dir, exist_ok=True)
+
+    n_docs = None
+    lo_proc = start_child(lo_cores, corpus_path, warmups, pairs, sync_dir)
+    hi_proc = start_child(hi_cores, corpus_path, warmups, pairs, sync_dir)
+    try:
+        # both children finish warmup before any timed pass
+        _await(os.path.join(sync_dir, f"ready_{lo_cores}"))
+        _await(os.path.join(sync_dir, f"ready_{hi_cores}"))
+        lo_times, hi_times, pair_eff = [], [], []
+        for i in range(pairs):
+            # strictly serialized: lo pass i, then hi pass i
+            open(os.path.join(sync_dir, f"turn_{lo_cores}_{i}"), "w").close()
+            t_lo = _read_sec(os.path.join(sync_dir, f"done_{lo_cores}_{i}"))
+            open(os.path.join(sync_dir, f"turn_{hi_cores}_{i}"), "w").close()
+            t_hi = _read_sec(os.path.join(sync_dir, f"done_{hi_cores}_{i}"))
+            lo_times.append(round(t_lo, 2))
+            hi_times.append(round(t_hi, 2))
+            pair_eff.append(round((t_lo / t_hi) / 4.0, 3))
+        lo_proc.wait(timeout=600)
+        hi_proc.wait(timeout=600)
+    finally:
+        for p in (lo_proc, hi_proc):
+            if p.poll() is None:
+                p.kill()
+
+    sys.path.insert(0, REPO)
+    import duckdb
+
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{corpus_path}/*.parquet'"
+    ).fetchone()[0]
+
+    med_eff = statistics.median(pair_eff)
+    best_i = max(range(len(pair_eff)), key=lambda i: pair_eff[i])
+    lo_best, hi_best = min(lo_times), min(hi_times)
 
     c_eff = {
         f"{a}->{b}": round(calib[b] / calib[a] / (b / a), 2)
@@ -132,37 +194,41 @@ def main() -> None:
 Same job (full extraction pipeline: parquet scan -> explode -> balanced
 hash repartition on (doc_id, offset) -> trie classify -> synthetic OCR
 -> ordered page concat -> HTML strip -> typed extraction -> per-doc
-offset-order reassembly), same materialized input corpus, run at two
-parallelism levels in fresh taskset-pinned JVMs (sandbox stand-in for
-N vs 4N executors). Min of {iters} timed passes after {warmups} warmup
-passes per level (the sandbox VM shows multi-second host-noise
-transients; min-of-N isolates the job's true cost — raw timings below).
+offset-order reassembly), same materialized input corpus
+({n_docs} docs), two taskset-pinned long-lived JVMs (sandbox stand-in
+for N vs 4N executors), {warmups} warmup passes per level.
 
-## Host calibration (why N=4, 4N=16 and not 8/32)
+## Host calibration (why N={lo_cores}, 4N={hi_cores} and not 8/32)
 
 Pure-CPU spin throughput (M increments/s) by process count on this VM:
-{json.dumps(calib)} — i.e. the hypervisor supplies only ~16-20
-effective cores for the 32 vCPUs. Spin scaling efficiency: {json.dumps(c_eff)}.
-8->32 is capped at ~0.5 by the HOST (vCPU overcommit / lock-holder
-preemption), so the job is evidenced at {lo_cores}->{hi_cores} cores, inside the
-machine's linear region. On a real multi-executor cluster the 4N level
-adds whole machines (CPU + memory bandwidth + shuffle disks scale
-together), which is exactly what the N={lo_cores} -> 4N={hi_cores} pinned pair
-emulates.
+{json.dumps(calib)} — the hypervisor supplies only ~16-26 effective
+cores for the 32 vCPUs, and the supply drifts +-60% on minute
+timescales. Spin scaling efficiency: {json.dumps(c_eff)}. 8->32 is
+capped by the HOST (vCPU overcommit / lock-holder preemption), so the
+job is evidenced at {lo_cores}->{hi_cores} cores, inside the machine's linear
+region. On a real multi-executor cluster the 4N level adds whole
+machines (CPU + memory bandwidth + shuffle disks scale together),
+which is what the pinned pair emulates.
 
-## Result
+## Paired-alternation protocol
 
-| level | cores | docs | best sec | docs/sec |
-|---|---|---|---|---|
-| N  | {lo_cores}  | {lo['n_docs']} | {lo['best_sec']:.2f} | {lo['docs_per_sec']:.0f} |
-| 4N | {hi_cores} | {hi['n_docs']} | {hi['best_sec']:.2f} | {hi['docs_per_sec']:.0f} |
+Because the host supply drifts, the two levels alternate single passes
+(N, 4N, N, 4N, ...) so each adjacent pair samples near-identical host
+conditions; each pair yields one efficiency estimate (t_N / t_4N) / 4.
 
-**Scaling efficiency (throughput_4N / throughput_N) / 4 = {efficiency:.3f}**
-(north_rule threshold: >= 0.8)
+| pair | t_N={lo_cores}c (s) | t_4N={hi_cores}c (s) | efficiency |
+|---|---|---|---|
+""" + "\n".join(
+        f"| {i} | {lo_times[i]:.2f} | {hi_times[i]:.2f} | {pair_eff[i]:.3f} |"
+        for i in range(len(pair_eff))
+    ) + f"""
 
-Raw timings (sec): N={lo['times']}, 4N={hi['times']}.
-Corpus: {corpus_path} (sf{sf} documents x{replicate} deterministic replicas,
-{lo['n_docs']} docs).
+**Median per-pair scaling efficiency = {med_eff:.3f}** (best pair
+{pair_eff[best_i]:.3f}; north_rule threshold: >= 0.8).
+
+Throughput at best pass: N: {n_docs / lo_best:.0f} docs/sec ({lo_best:.2f} s),
+4N: {n_docs / hi_best:.0f} docs/sec ({hi_best:.2f} s).
+Corpus: {corpus_path} (sf{sf} documents x{replicate} deterministic replicas).
 Generated by tools/bench_scaling.py on local[{lo_cores}]/local[{hi_cores}],
 single host, {time.strftime('%Y-%m-%d')}.
 """
@@ -170,8 +236,9 @@ single host, {time.strftime('%Y-%m-%d')}.
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(md)
-    print(json.dumps({"efficiency": round(efficiency, 3), "lo": lo, "hi": hi,
-                      "calibration": calib}))
+    print(json.dumps({"median_efficiency": med_eff, "pair_eff": pair_eff,
+                      "lo_times": lo_times, "hi_times": hi_times,
+                      "n_docs": n_docs, "calibration": calib}))
 
 
 if __name__ == "__main__":
