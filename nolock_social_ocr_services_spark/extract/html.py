@@ -46,7 +46,9 @@ _ENTITIES = (
 
 
 def strip_boilerplate_series(html: pd.Series) -> pd.Series:
-    """Vectorized boilerplate strip over a pandas string Series."""
+    """Vectorized boilerplate strip over a pandas string Series (the
+    pandas-oracle twin of :func:`strip_boilerplate`; tests compare the
+    two)."""
     s = html.astype("string")
     s = s.str.replace(_COMMENT_RE, "", regex=True)
     s = s.str.replace(_BLOCK_RE, "", regex=True)
@@ -56,14 +58,23 @@ def strip_boilerplate_series(html: pd.Series) -> pd.Series:
     return s.str.strip()
 
 
-@pandas_udf(StringType())
-def _strip_udf(html: pd.Series) -> pd.Series:
-    return strip_boilerplate_series(html)
-
-
 def strip_boilerplate(col: Column) -> Column:
-    """Column form: NULL-safe boilerplate strip."""
-    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(_strip_udf(col))
+    """NULL-safe boilerplate strip — pure built-ins (JVM regexp, inside
+    whole-stage codegen; no Python worker in this stage).
+
+    Same rule chain as :func:`strip_boilerplate_series`: comments out,
+    non-content DOM blocks out (backreferenced close tag), remaining
+    tags out, common entities unescaped (&amp; last so &amp;lt; does
+    not double-decode), trim.
+    """
+    c = F.regexp_replace(col, r"(?s)<!--.*?-->", "")
+    c = F.regexp_replace(
+        c, r"(?is)<(" + "|".join(_BLOCK_TAGS) + r")\b[^>]*>.*?</\1\s*>", ""
+    )
+    c = F.regexp_replace(c, r"(?s)<[^>]+>", "")
+    for ent, ch in _ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(c)
 
 
 def link_density(col: Column) -> Column:

@@ -108,7 +108,14 @@ def appendix_markdown(h: pd.Series, page: int) -> pd.Series:
 
 OCR_RESULT_SCHEMA = T.StructType(
     [
-        T.StructField("pages", PAGE_SCHEMA, True),
+        # flat page markdowns: the UDF ships plain strings; the nested
+        # array<struct> page model is assembled JVM-side in run_ocr
+        # (building per-row lists of dicts in Python and converting them
+        # to Arrow nested arrays costs more than the OCR itself).
+        T.StructField("main_md", T.StringType(), True),
+        T.StructField("app1_md", T.StringType(), True),
+        T.StructField("app2_md", T.StringType(), True),
+        T.StructField("npages", T.IntegerType(), True),
         T.StructField("model", T.StringType(), True),
         T.StructField("tokens", T.IntegerType(), True),
     ]
@@ -118,12 +125,14 @@ OCR_RESULT_SCHEMA = T.StructType(
 def _ocr_batch(h: pd.Series, mime: pd.Series) -> pd.DataFrame:
     """One Arrow batch of synthetic OCR. ``h`` = md5(media_ref) or NULL
     for non-media rows (the Arrow transfer then carries only nulls for
-    those rows — see run_ocr)."""
+    those rows — see run_ocr). Returns FLAT columns only; see
+    OCR_RESULT_SCHEMA."""
     hs = h.astype("string").fillna("")
     mime = mime.astype("string")
     is_receipt = mime.str.startswith("image/").fillna(False) & (hs != "")
     is_check = (mime == "application/pdf").fillna(False) & (hs != "")
     known = (is_receipt | is_check).to_numpy()
+    is_media = (hs != "").to_numpy()
     n = len(hs)
 
     main = pd.Series([""] * n, dtype="string")
@@ -131,7 +140,7 @@ def _ocr_batch(h: pd.Series, mime: pd.Series) -> pd.DataFrame:
         main[is_receipt] = receipt_markdown(hs[is_receipt])
     if is_check.any():
         main[is_check] = check_markdown(hs[is_check])
-    npages = np.zeros(n, dtype=int)
+    npages = np.zeros(n, dtype="int32")
     app1 = pd.Series([""] * n, dtype="string")
     app2 = pd.Series([""] * n, dtype="string")
     digits = (hs.str.replace(r"[^0-9]", "", regex=True) + "0" * 20).str.slice(0, 20)
@@ -144,32 +153,16 @@ def _ocr_batch(h: pd.Series, mime: pd.Series) -> pd.DataFrame:
         tokvals[known] = (100 + digits[kn_idx].str.slice(17, 19).astype(int)).to_numpy()
     tokens = pd.Series(pd.array(tokvals, dtype="Int32"))
     tokens[~known] = pd.NA
-
-    # pages emitted highest-index-first: order must be REBUILT downstream,
-    # never assumed (the W1 invariant). Media row + unknown payload ->
-    # ZERO pages (MistralOcrResult.Empty sentinel, MistralOcrResult.cs:11)
-    # -> '' text downstream -> empty-OCR guard; non-media rows stay NULL.
-    m = main.to_numpy(dtype=object)
-    a1 = app1.to_numpy(dtype=object)
-    a2 = app2.to_numpy(dtype=object)
-    is_media = (hs != "").to_numpy()
-    pages = [
-        (
-            None
-            if not is_media[i]
-            else []
-            if not known[i]
-            else [
-                {"index": 2, "markdown": a2[i]},
-                {"index": 1, "markdown": a1[i]},
-                {"index": 0, "markdown": m[i]},
-            ][3 - npages[i] :]
-        )
-        for i in range(n)
-    ]
+    # media + unknown payload -> npages 0 (MistralOcrResult.Empty
+    # sentinel, MistralOcrResult.cs:11); non-media rows -> NULL npages.
+    np_out = pd.Series(pd.array(npages, dtype="Int32"))
+    np_out[~is_media] = pd.NA
     return pd.DataFrame(
         {
-            "pages": pages,
+            "main_md": main.where(pd.Series(known), None),
+            "app1_md": app1.where(pd.Series(known), None),
+            "app2_md": app2.where(pd.Series(known), None),
+            "npages": np_out,
             "model": pd.Series(np.where(known, OCR_MODEL, None), dtype=object),
             "tokens": tokens,
         }
@@ -191,15 +184,30 @@ def run_ocr(
     ``(md5(media_ref), mime)`` — unlike mapInPandas, only those two thin
     columns cross the JVM->Python boundary (never the span text), and
     non-media rows contribute NULLs, which Arrow encodes for free. The
-    md5 is computed JVM-side with the built-in. One ArrowEvalPython node
-    serves all three output columns (common-subexpression collapsed).
+    md5 is computed JVM-side with the built-in. The UDF returns FLAT
+    page markdowns; the reference-shaped ``array<struct<index,markdown>>``
+    (OcrPageObject, OcrModels.cs:131-144) is assembled here with
+    codegen'd ``array``/``slice`` — pages highest-index-first, so the
+    downstream order-by-index concat (T3) is genuinely exercised.
     """
     res = _ocr_udf(F.md5(F.col(media_ref_col)), F.col(mime_col))
     tmp = df.withColumn(_H, res)
+    r = F.col(_H)
+    # reversed full page array [idx2, idx1, idx0]; slice keeps the LAST
+    # npages entries (npages=2 -> [{1,app1},{0,main}]), npages=0 -> [].
+    full = F.array(
+        F.struct(F.lit(2).alias("index"), r["app2_md"].alias("markdown")),
+        F.struct(F.lit(1).alias("index"), r["app1_md"].alias("markdown")),
+        F.struct(F.lit(0).alias("index"), r["main_md"].alias("markdown")),
+    )
+    npages = r["npages"]
+    pages = F.when(npages.isNull(), F.lit(None).cast(PAGE_SCHEMA)).otherwise(
+        F.slice(full, F.lit(4) - npages, npages)
+    )
     return (
-        tmp.withColumn("ocr_pages", F.col(_H)["pages"])
-        .withColumn("ocr_model", F.col(_H)["model"])
-        .withColumn("ocr_tokens", F.col(_H)["tokens"])
+        tmp.withColumn("ocr_pages", pages)
+        .withColumn("ocr_model", r["model"])
+        .withColumn("ocr_tokens", r["tokens"])
         .drop(_H)
     )
 
