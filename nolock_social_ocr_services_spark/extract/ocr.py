@@ -66,8 +66,16 @@ def _money_py(c: str) -> "pd.Series":
     return s.str.slice(0, -2) + "." + s.str.slice(-2)
 
 
-def receipt_markdown(h: pd.Series) -> pd.Series:
-    digits = (h.str.replace(r"[^0-9]", "", regex=True) + "0" * 20).str.slice(0, 20)
+def digits_of(h: pd.Series) -> pd.Series:
+    """First 20 of (strip non-digits from md5 hex, right-pad '0') — the
+    shared derivation; compute ONCE per batch (the regex strip is the
+    single most expensive pandas op in this module)."""
+    return (h.str.replace(r"[^0-9]", "", regex=True) + "0" * 20).str.slice(0, 20)
+
+
+def receipt_markdown(h: pd.Series, digits: pd.Series | None = None) -> pd.Series:
+    if digits is None:
+        digits = digits_of(h)
     mm = (1 + digits.str.slice(0, 2).astype(int) % 12).astype(str).str.zfill(2)
     dd = (1 + digits.str.slice(2, 4).astype(int) % 28).astype(str).str.zfill(2)
     total = _money_py(digits.str.slice(4, 10))
@@ -84,8 +92,9 @@ def receipt_markdown(h: pd.Series) -> pd.Series:
     )
 
 
-def check_markdown(h: pd.Series) -> pd.Series:
-    digits = (h.str.replace(r"[^0-9]", "", regex=True) + "0" * 20).str.slice(0, 20)
+def check_markdown(h: pd.Series, digits: pd.Series | None = None) -> pd.Series:
+    if digits is None:
+        digits = digits_of(h)
     amount = _money_py(digits.str.slice(6, 12))
     signed = digits.str.slice(12, 13).astype(int).mod(2).map({1: "yes", 0: "no"})
     return (
@@ -97,8 +106,9 @@ def check_markdown(h: pd.Series) -> pd.Series:
     )
 
 
-def n_pages_of(h: pd.Series) -> pd.Series:
-    digits = (h.str.replace(r"[^0-9]", "", regex=True) + "0" * 20).str.slice(0, 20)
+def n_pages_of(h: pd.Series, digits: pd.Series | None = None) -> pd.Series:
+    if digits is None:
+        digits = digits_of(h)
     return 1 + digits.str.slice(16, 17).astype(int) % 3
 
 
@@ -135,19 +145,19 @@ def _ocr_batch(h: pd.Series, mime: pd.Series) -> pd.DataFrame:
     is_media = (hs != "").to_numpy()
     n = len(hs)
 
+    digits = digits_of(hs)
     main = pd.Series([""] * n, dtype="string")
     if is_receipt.any():
-        main[is_receipt] = receipt_markdown(hs[is_receipt])
+        main[is_receipt] = receipt_markdown(hs[is_receipt], digits[is_receipt])
     if is_check.any():
-        main[is_check] = check_markdown(hs[is_check])
+        main[is_check] = check_markdown(hs[is_check], digits[is_check])
     npages = np.zeros(n, dtype="int32")
     app1 = pd.Series([""] * n, dtype="string")
     app2 = pd.Series([""] * n, dtype="string")
-    digits = (hs.str.replace(r"[^0-9]", "", regex=True) + "0" * 20).str.slice(0, 20)
     tokvals = np.zeros(n, dtype="int32")
     if known.any():
         kn_idx = pd.Series(known)
-        npages[known] = n_pages_of(hs[kn_idx]).to_numpy()
+        npages[known] = n_pages_of(hs[kn_idx], digits[kn_idx]).to_numpy()
         app1[kn_idx] = appendix_markdown(hs[kn_idx], 1)
         app2[kn_idx] = appendix_markdown(hs[kn_idx], 2)
         tokvals[known] = (100 + digits[kn_idx].str.slice(17, 19).astype(int)).to_numpy()
