@@ -157,6 +157,23 @@ def _q_extraction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3: BatchOcrExtractionResponse computed aggregates
+    (DocumentType.cs:192-208) — success/failure counts, avg confidence
+    of successes, success rate — per media kind."""
+    flat = _extracted(spark, sf_dir)
+    media = flat.filter(F.col("media_ref").isNotNull())
+    ok = F.col("receipt").isNotNull() | F.col("check").isNotNull()
+    return media.groupBy("kind").agg(
+        F.sum(ok.cast("long")).alias("success_count"),
+        F.sum(F.col("extract_error").isNotNull().cast("long")).alias("failure_count"),
+        F.round(F.avg("confidence"), 6).alias("avg_confidence"),
+        F.round(
+            F.sum(ok.cast("long")) / F.count("*"), 6
+        ).alias("success_rate"),
+    )
+
+
 def _q_filter_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1-P7 filter/validation battery over the corpus spans."""
     spans = corpus.flat_spans(spark, sf_dir)
@@ -190,6 +207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_strip": _q_html_strip,
         "span_reassembly": _q_span_reassembly,
         "extraction_stats": _q_extraction_stats,
+        "batch_stats": _q_batch_stats,
         "filter_route": _q_filter_route,
         "union_spans": _q_union_spans,
     }
@@ -266,6 +284,16 @@ def oracle_sql() -> dict[str, str]:
             FROM {_FLAT} f
             WHERE media_ref IS NOT NULL
             GROUP BY mime
+        """,
+        "batch_stats": f"""
+            SELECT kind,
+                   sum(CASE WHEN mime <> 'application/octet-stream' THEN 1 ELSE 0 END) AS success_count,
+                   sum(CASE WHEN mime = 'application/octet-stream' THEN 1 ELSE 0 END) AS failure_count,
+                   round(avg(CASE WHEN mime <> 'application/octet-stream' THEN 0.8 END), 6) AS avg_confidence,
+                   round(sum(CASE WHEN mime <> 'application/octet-stream' THEN 1.0 ELSE 0.0 END) / count(*), 6) AS success_rate
+            FROM {_FLAT} f
+            WHERE media_ref IS NOT NULL
+            GROUP BY kind
         """,
         "filter_route": f"""
             SELECT doc_id, "offset", kind FROM {_FLAT} f

@@ -16,6 +16,10 @@ from .functions import dedup as dd
 from .functions import similarity as sim
 from .functions import text as tx
 
+from . import corpus as _corpus_mod
+
+_ORACLE_FLAT = f"({_corpus_mod.oracle_flat_spans_sql()})"
+
 MINHASH_K = 8  # shingle width
 MINHASH_N = 16  # hash family size
 MINHASH_BANDS = 4
@@ -430,6 +434,62 @@ SELECT doc_id, url, {_sql_ext_mime_case()} AS mime FROM u
 """
 
 
+
+
+# S4 composition: trie classification with URL-extension fallback over the
+# corpus media spans (OcrRequestHandler.DetectMimeType + DetectMimeTypeFromUrl
+# combined). The oracle recomputes the trie side from the corpus construction
+# rule (f.mime) and the fallback from the same CASE map.
+
+_SPAN_URL_EXPR = (
+    "concat('https://img.example/doc/', doc_id, '/', CAST(\"offset\" AS VARCHAR), "
+    "CASE CAST((CAST(substring(doc_id, 5) AS INT) + \"offset\") % 13 AS INT) "
+    + " ".join(f"WHEN {i} THEN '{e}'" for i, e in enumerate(_URL_EXTS))
+    + " END)"
+)
+
+
+def q_classify_url_fallback(spark, sf_dir):
+    from . import corpus as _corpus
+    from .operators.classify import classify_with_url_fallback, decode_data_url_prefix
+
+    spans = (
+        _corpus.flat_spans(spark, sf_dir)
+        .filter(F.col("media_ref").isNotNull())
+        .select("doc_id", "offset", "media_ref")
+    )
+    spark_url = _SPAN_URL_EXPR.replace('\"offset\"', "offset").replace(
+        "AS VARCHAR", "AS STRING"
+    )
+    with_inputs = spans.withColumn(
+        "payload_prefix", decode_data_url_prefix(F.col("media_ref"))
+    ).withColumn("url", F.expr(spark_url))
+    return classify_with_url_fallback(with_inputs, url_col="url", out_col="mime").select(
+        "doc_id", "offset", "url", "mime"
+    )
+
+
+def _sql_classify_url_fallback() -> str:
+    from .operators.classify import EXT_MIME, EXT_MIME_DEFAULT
+
+    whens = " ".join(f"WHEN '{e}' THEN '{m}'" for e, m in EXT_MIME.items())
+    ext_case = (
+        "CASE lower(regexp_extract(regexp_replace(u.url, '[?#].*$', ''), "
+        f"'\\.([A-Za-z0-9]+)$', 1)) {whens} ELSE '{EXT_MIME_DEFAULT}' END"
+    )
+    return f"""
+WITH u AS (
+  SELECT doc_id, "offset", {_SPAN_URL_EXPR} AS url, mime AS trie_mime
+  FROM {{flat}} f
+  WHERE media_ref IS NOT NULL
+)
+SELECT doc_id, "offset", url,
+       CASE WHEN trie_mime <> 'application/octet-stream' THEN trie_mime
+            ELSE {ext_case} END AS mime
+FROM u
+"""
+
+
 def extra_queries() -> dict[str, tuple]:
     """name -> (callable, oracle_sql | None)"""
     return {
@@ -449,4 +509,8 @@ def extra_queries() -> dict[str, tuple]:
         "top_parts": (q_top_parts, SQL_TOP_PARTS),
         "explode_tokens": (q_explode_tokens, SQL_EXPLODE_TOKENS),
         "mime_from_url": (q_mime_from_url, SQL_MIME_FROM_URL),
+        "classify_url_fallback": (
+            q_classify_url_fallback,
+            _sql_classify_url_fallback().format(flat=_ORACLE_FLAT),
+        ),
     }
