@@ -41,8 +41,16 @@ def decode_data_url_prefix(media_ref: Column) -> Column:
     base64 chars to cover PREFIX_LEN bytes, unbase64.
     """
     b64_part = F.substring_index(media_ref, ";base64,", -1)
-    # unbase64 needs length % 4 == 0; _B64_PREFIX_CHARS already is.
-    return F.unbase64(F.substring(b64_part, 1, _B64_PREFIX_CHARS))
+    # try_to_binary, not unbase64: under ANSI mode (Spark 4 default)
+    # unbase64 THROWS on malformed base64, so one corrupt media_ref
+    # would abort the whole job — at 10^12 docs that is a guaranteed
+    # multi-hour-job killer. try_to_binary yields NULL instead, which
+    # classifies as unknown payload -> octet-stream -> per-row
+    # extract_error (errors stay data, ST6). The slice length is % 4 ==
+    # 0 so valid prefixes are never cut mid-unit.
+    return F.try_to_binary(
+        F.substring(b64_part, 1, _B64_PREFIX_CHARS), F.lit("base64")
+    )
 
 
 def _make_classifier_udf(spark: SparkSession, compiled: CompiledTrie, fallback: str | None):

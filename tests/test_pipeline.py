@@ -130,3 +130,42 @@ def test_receipt_parse_fallback_returns_null_struct(spark):
     )
     row = df.select(parse_receipt(F.col("t")).alias("r")).first()
     assert row.r is None
+
+
+def test_malformed_media_ref_never_fails_the_job(spark):
+    """EdgeCaseTests.cs:33-150 analogue (corrupted/empty payload
+    handling) at pipeline level: malformed base64, missing data-URL
+    prefix, and empty payloads must become per-row error data
+    (octet-stream + empty_ocr_text), never a job failure — under ANSI
+    mode unbase64 would THROW; decode_data_url_prefix uses
+    try_to_binary precisely for this (ST6)."""
+    rows = [
+        ("d1", [{"kind": "image", "text": None,
+                 "media_ref": "data:image/png;base64,!!!notbase64!!!", "offset": 0}]),
+        ("d2", [{"kind": "image", "text": None,
+                 "media_ref": "no-data-url-prefix", "offset": 0}]),
+        ("d3", [{"kind": "image", "text": None,
+                 "media_ref": "data:image/png;base64,", "offset": 0}]),
+        ("d4", [{"kind": "pdf", "text": None,
+                 "media_ref": "data:application/pdf;base64,JVBERi0xLjQ=",
+                 "offset": 0}]),
+    ]
+    schema = (
+        "doc_id string, spans array<struct<"
+        "kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    docs = spark.createDataFrame(rows, schema)
+    out = {
+        r.doc_id: r
+        for r in pipeline.extract_spans(docs)
+        .select("doc_id", "mime", "extract_error", "text")
+        .collect()
+    }
+    for bad in ("d1", "d2", "d3"):
+        assert out[bad].mime == "application/octet-stream"
+        assert out[bad].extract_error == "empty_ocr_text"
+        assert out[bad].text == ""
+    # a valid payload in the same batch still extracts
+    assert out["d4"].mime == "application/pdf"
+    assert out["d4"].extract_error is None
+    assert out["d4"].text.startswith("# Check")
