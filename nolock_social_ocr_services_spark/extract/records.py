@@ -72,17 +72,21 @@ def parse_receipt(text: Column) -> Column:
     (merchant, date, total — the 'simple schema' contract) all parse."""
     merchant = _field(text, "Merchant")
     date = _field(text, "Date")
-    total = _field(text, "Total").cast(MONEY)
+    # try_cast everywhere a parsed string becomes a number: under ANSI
+    # (Spark 4 default) a plain cast THROWS on malformed text and one bad
+    # row aborts the job; try_cast -> NULL -> the required-field gate
+    # marks the record unparsed instead (errors stay data, ST6).
+    total = _field(text, "Total").try_cast(MONEY)
     struct = F.struct(
         merchant.alias("merchant_name"),
         date.alias("receipt_date"),
         total.alias("total_amount"),
-        _field(text, "Tax").cast(MONEY).alias("tax_amount"),
+        _field(text, "Tax").try_cast(MONEY).alias("tax_amount"),
         F.nullif(
             F.regexp_extract(text, r"(?m)^Payment:\s*(cash|card|check)\s*$", 1),
             F.lit(""),
         ).alias("payment_method"),
-        _field(text, "Items").cast("int").alias("items_count"),
+        _field(text, "Items").try_cast("int").alias("items_count"),
     )
     ok = merchant.isNotNull() & date.isNotNull() & total.isNotNull()
     return F.when(ok, struct).otherwise(F.lit(None).cast(SIMPLE_RECEIPT_SCHEMA))
@@ -91,7 +95,7 @@ def parse_receipt(text: Column) -> Column:
 def parse_check(text: Column) -> Column:
     number = _field(text, "Check Number")
     payee = _field(text, "Payee")
-    amount = _field(text, "Amount").cast(MONEY)
+    amount = _field(text, "Amount").try_cast(MONEY)
     struct = F.struct(
         number.alias("check_number"),
         _field(text, "Date").alias("check_date"),

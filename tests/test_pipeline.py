@@ -169,3 +169,28 @@ def test_malformed_media_ref_never_fails_the_job(spark):
     assert out["d4"].mime == "application/pdf"
     assert out["d4"].extract_error is None
     assert out["d4"].text.startswith("# Check")
+
+
+def test_malformed_field_values_become_unparsed_records(spark):
+    """ANSI-mode cast hardening: 'Total: not-a-number' must yield an
+    unparsed record (NULL struct, 0.5 confidence), never a
+    CAST_INVALID_INPUT job abort — mirrors the reference treating LLM
+    parse failures as per-item errors (JsonExtractionService.cs:148-188).
+    """
+    from nolock_social_ocr_services_spark.extract.records import route_and_extract
+
+    rows = [
+        ("g1", "image", "image/png",
+         "Merchant: X\nTotal: not-a-number\nDate: soon", "data:x"),
+        ("g2", "pdf", "application/pdf",
+         "Check Number: 12\nPayee: P\nAmount: 1e3abc", "data:x"),
+        ("g4", "image", "image/png",
+         "Merchant: M\nDate: 2024-01-01\nTotal: 12.34", "data:x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, kind string, mime string, ocr_text string, media_ref string"
+    )
+    out = {r.doc_id: r for r in route_and_extract(df).collect()}
+    assert out["g1"].receipt is None and out["g1"].confidence == 0.5
+    assert out["g2"].check is None and out["g2"].confidence == 0.5
+    assert out["g4"].receipt is not None and out["g4"].confidence == 0.8
