@@ -490,6 +490,41 @@ FROM u
 """
 
 
+
+
+# C4 strict mode: the 5-format strict table (PipelineNodeImageToUrl.cs:11-20)
+# quarantines unknown signatures as NULL (the reference throws
+# NotSupportedException; errors stay data here). Oracle recomputes from the
+# corpus construction rule: intended mime if in the strict set, else NULL.
+
+def q_classify_strict(spark, sf_dir):
+    from . import corpus as _corpus
+    from .operators.classify import classify_mime
+    from .trie import strict_trie
+
+    spans = (
+        _corpus.flat_spans(spark, sf_dir)
+        .filter(F.col("media_ref").isNotNull())
+        .select("doc_id", "offset", "media_ref")
+    )
+    return classify_mime(
+        spans, data_url_col="media_ref", out_col="mime_strict",
+        strict=True, trie=strict_trie(),
+    ).select("doc_id", "offset", "mime_strict")
+
+
+def _sql_classify_strict() -> str:
+    from .trie import strict_trie
+
+    mimes = ", ".join(f"'{m}'" for m in sorted(strict_trie().get_all_mime_types()))
+    return f"""
+SELECT doc_id, "offset",
+       CASE WHEN mime IN ({mimes}) THEN mime ELSE NULL END AS mime_strict
+FROM {{flat}} f
+WHERE media_ref IS NOT NULL
+"""
+
+
 def extra_queries() -> dict[str, tuple]:
     """name -> (callable, oracle_sql | None)"""
     return {
@@ -509,6 +544,10 @@ def extra_queries() -> dict[str, tuple]:
         "top_parts": (q_top_parts, SQL_TOP_PARTS),
         "explode_tokens": (q_explode_tokens, SQL_EXPLODE_TOKENS),
         "mime_from_url": (q_mime_from_url, SQL_MIME_FROM_URL),
+        "classify_strict": (
+            q_classify_strict,
+            _sql_classify_strict().format(flat=_ORACLE_FLAT),
+        ),
         "classify_url_fallback": (
             q_classify_url_fallback,
             _sql_classify_url_fallback().format(flat=_ORACLE_FLAT),
