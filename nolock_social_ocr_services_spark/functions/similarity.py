@@ -150,3 +150,32 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine >= t).
+
+    Dedup variant over the embedding column: normalize once, self-join,
+    codegen'd dot product via ``aggregate``/``zip_with`` — no UDF. At
+    scale, feed the join through :func:`srp_signature` buckets first
+    (same pattern as lsh_topk) to avoid the N^2 pair space; the exact
+    form here is the correctness baseline the bucketed variant is
+    checked against.
+    """
+    unit = with_unit_vector(df, vec_col=vec_col).select(
+        F.col(id_col).alias("id"), "unit"
+    )
+    a = unit.select(F.col("id").alias("id_a"), F.col("unit").alias("ua"))
+    b = unit.select(F.col("id").alias("id_b"), F.col("unit").alias("ub"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = _dot(F.col("ua"), F.col("ub"))
+    return (
+        pairs.withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
+    )

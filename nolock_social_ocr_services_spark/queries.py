@@ -525,6 +525,30 @@ WHERE media_ref IS NOT NULL
 """
 
 
+
+
+def q_near_dup_pairs(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # driver embeddings are random-ish (max pairwise cosine ~0.51);
+    # 0.35 = ~99.9th percentile, so the threshold genuinely filters AND
+    # the result is non-empty — both sides of the oracle are exercised.
+    # compare the PAIR SET only: float summation order (Spark double
+    # aggregate vs DuckDB) flips low decimals, so any fixed rounding has
+    # boundary flips; the cosine metric's values are oracle-checked by
+    # cosine_top3 (rank-based, order-stable).
+    return sim.near_dup_pairs(emb, threshold=0.35).select("id_a", "id_b")
+
+
+SQL_NEAR_DUP_PAIRS = """
+-- CAST to DOUBLE[]: list_cosine_similarity on FLOAT[] computes in
+-- float32, which diverges from Spark's double math near the threshold.
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.35
+"""
+
+
 def extra_queries() -> dict[str, tuple]:
     """name -> (callable, oracle_sql | None)"""
     return {
@@ -535,6 +559,7 @@ def extra_queries() -> dict[str, tuple]:
         "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
         "lsh_candidates": (q_lsh_candidates, SQL_LSH_CANDIDATES),
         "cosine_top3": (q_cosine_top3, SQL_COSINE_TOP3),
+        "near_dup_pairs": (q_near_dup_pairs, SQL_NEAR_DUP_PAIRS),
         "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
         "customer_revenue": (q_customer_revenue, SQL_CUSTOMER_REVENUE),
         "first_events": (q_first_events, SQL_FIRST_EVENTS),

@@ -68,3 +68,25 @@ def test_unit_vector_norm(spark, emb):
     ).collect()
     for r in norms:
         assert r.n2 == pytest.approx(1.0, rel=1e-6)  # float32 inputs
+
+
+def test_near_dup_pairs_threshold_and_ordering(spark, sf_dir):
+    """Embedding-cosine near-dup: pairs are unordered (id_a < id_b),
+    every returned cosine >= threshold, and raising the threshold only
+    removes pairs (monotone). Value parity vs DuckDB is covered by the
+    near_dup_pairs oracle query."""
+    from nolock_social_ocr_services_spark.functions import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t = 0.3
+    pairs = sim.near_dup_pairs(emb, threshold=t).collect()
+    assert pairs, "threshold should produce pairs on the driver embeddings"
+    for r in pairs:
+        assert r.id_a < r.id_b
+        assert float(r.cosine_r) >= t - 1e-6
+    tighter = {
+        (r.id_a, r.id_b)
+        for r in sim.near_dup_pairs(emb, threshold=t + 0.05).collect()
+    }
+    assert tighter <= {(r.id_a, r.id_b) for r in pairs}
+    assert len(tighter) < len(pairs)
