@@ -33,6 +33,9 @@ def main() -> None:
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--num-parts", type=int, default=64)
     ap.add_argument("--salt-buckets", type=int, default=None)
+    ap.add_argument("--batch-size", type=int, default=8,
+                    help="resume units extracted per Spark job (1 = one "
+                    "scan PER unit; 8-64 amortizes scans at scale)")
     args = ap.parse_args()
 
     spark = SparkSession.getActiveSession() or get_spark(app_name="extract_job")
@@ -44,6 +47,7 @@ def main() -> None:
         run_id=args.run_id,
         num_parts=args.num_parts,
         salt_buckets=args.salt_buckets,
+        batch_size=args.batch_size,
     )
     lin = lineage.read_lineage(spark, args.out)
     total = lin.groupBy().sum("doc_count", "span_count").first()

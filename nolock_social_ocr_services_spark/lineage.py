@@ -86,6 +86,38 @@ def _lineage_row(flat_out: DataFrame, run_id: str, part_id: int) -> DataFrame:
     )
 
 
+def _lineage_rows_batch(
+    flat_out: DataFrame, run_id: str
+) -> DataFrame:
+    """Batch form of the lineage row: one (run_id, part_id, doc_count,
+    span_count, trie_hits, committed_at) row per part_id in one
+    aggregation over the re-read committed output."""
+    hits = (
+        flat_out.filter(F.col("mime").isNotNull())
+        .groupBy("part_id", "mime")
+        .agg(F.count("*").alias("n"))
+        .groupBy("part_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("mime"), F.col("n")))
+            ).alias("trie_hits")
+        )
+    )
+    counts = flat_out.groupBy("part_id").agg(
+        F.countDistinct("doc_id").alias("doc_count"),
+        F.count("*").alias("span_count"),
+    )
+    return (
+        counts.join(hits, on="part_id", how="left")
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("committed_at", F.current_timestamp())
+        .select(
+            "run_id", "part_id", "doc_count", "span_count", "trie_hits",
+            "committed_at",
+        )
+    )
+
+
 def run_extract_job(
     spark: SparkSession,
     docs: DataFrame,
@@ -94,38 +126,79 @@ def run_extract_job(
     num_parts: int = 16,
     salt_buckets: int | None = None,
     fail_after: int | None = None,
+    batch_size: int = 1,
 ) -> list[int]:
     """Run (or resume) the checkpointed extraction job.
 
     Returns the list of part_ids processed by THIS invocation (already-
     committed units are skipped via the manifest anti-check).
-    ``fail_after=k`` injects a crash after k commits (kill/resume tests).
+    ``fail_after=k`` injects a crash after >= k units commit (kill/resume
+    tests; checked at batch boundaries).
+
+    ``batch_size``: units extracted per Spark job. At 1 (default) each
+    unit is its own job — finest resume granularity, but every unit
+    RE-SCANS the full input (the part_id filter is a hash of doc_id, so
+    no partition pruning), i.e. P scans for P units. At scale set
+    batch_size ~ 8-64: one scan + one dynamic-partition-overwrite write
+    per batch (ceil(P/B) scans total), manifests still committed per
+    unit AFTER the batch's data lands, so a kill mid-batch just
+    re-extracts that batch's uncommitted units on resume (idempotent
+    overwrite). Resume granularity coarsens to the batch only for
+    in-flight work, never for committed units.
     """
     docsp = with_part_id(docs, num_parts)
     done = committed_parts(spark, out_dir)
+    pending = [p for p in range(num_parts) if p not in done]
     processed: list[int] = []
-    for part in range(num_parts):
-        if part in done:
-            continue
+    for i in range(0, len(pending), max(batch_size, 1)):
         if fail_after is not None and len(processed) >= fail_after:
             raise RuntimeError(f"injected failure after {fail_after} commits")
-        part_docs = docsp.filter(F.col("part_id") == part).drop("part_id")
-        data_path = f"{out_dir}/data/part_id={part}"
-        extract_spans(part_docs, salt_buckets=salt_buckets).write.mode(
-            "overwrite"
-        ).parquet(data_path)
-        # data committed -> now lineage + manifest (ordering = crash safety)
-        flat_out = spark.read.parquet(data_path)
-        _lineage_row(flat_out, run_id, part).write.mode("append").parquet(
+        batch = pending[i : i + max(batch_size, 1)]
+        if len(batch) == 1:
+            part = batch[0]
+            part_docs = docsp.filter(F.col("part_id") == part).drop("part_id")
+            data_path = f"{out_dir}/data/part_id={part}"
+            extract_spans(part_docs, salt_buckets=salt_buckets).write.mode(
+                "overwrite"
+            ).parquet(data_path)
+            # data committed -> now lineage + manifest (ordering = crash safety)
+            flat_out = spark.read.parquet(data_path)
+            _lineage_row(flat_out, run_id, part).write.mode("append").parquet(
+                f"{out_dir}/_lineage"
+            )
+            _write_manifest(spark, out_dir, run_id, [part])
+            processed.append(part)
+            continue
+        batch_docs = docsp.filter(F.col("part_id").isin(batch)).drop("part_id")
+        flat = extract_spans(batch_docs, salt_buckets=salt_buckets)
+        # part_id is a pure function of doc_id -> re-derive after
+        # extraction and write all units of the batch in ONE job.
+        flat_p = with_part_id(flat, num_parts)
+        (
+            flat_p.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("part_id")
+            .parquet(f"{out_dir}/data")
+        )
+        re_read = spark.read.parquet(f"{out_dir}/data").filter(
+            F.col("part_id").isin(batch)
+        )
+        _lineage_rows_batch(re_read, run_id).write.mode("append").parquet(
             f"{out_dir}/_lineage"
         )
-        manifest_row = spark.createDataFrame(
-            [(run_id, part, "committed", data_path)],
-            "run_id string, part_id int, status string, output_snapshot string",
-        ).withColumn("committed_at", F.current_timestamp())
-        manifest_row.write.mode("append").parquet(f"{out_dir}/_manifest")
-        processed.append(part)
+        _write_manifest(spark, out_dir, run_id, batch)
+        processed.extend(batch)
     return processed
+
+
+def _write_manifest(
+    spark: SparkSession, out_dir: str, run_id: str, parts: list[int]
+) -> None:
+    rows = spark.createDataFrame(
+        [(run_id, p, "committed", f"{out_dir}/data/part_id={p}") for p in parts],
+        "run_id string, part_id int, status string, output_snapshot string",
+    ).withColumn("committed_at", F.current_timestamp())
+    rows.write.mode("append").parquet(f"{out_dir}/_manifest")
 
 
 def read_output(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -100,3 +100,54 @@ def test_pending_docs_anti_join(spark, docs, tmp_path_factory):
     pending = lineage.pending_docs(docsp, manifest)
     assert pending.filter(F.col("part_id").isin(0, 1, 2)).count() == 0
     assert pending.count() == docsp.filter(~F.col("part_id").isin(0, 1, 2)).count()
+
+
+def test_batched_units_identical_to_per_unit(spark, docs, tmp_path_factory):
+    """batch_size > 1 (one scan + dynamic-partition-overwrite per batch)
+    must produce byte-identical output, lineage coverage, and manifests
+    as the per-unit path — only the scan count differs."""
+    per_unit = str(tmp_path_factory.mktemp("per_unit"))
+    batched = str(tmp_path_factory.mktemp("batched"))
+    lineage.run_extract_job(
+        spark, docs, per_unit, run_id="u1", num_parts=N_PARTS, batch_size=1
+    )
+    lineage.run_extract_job(
+        spark, docs, batched, run_id="b1", num_parts=N_PARTS, batch_size=4
+    )
+    assert _rows(lineage.read_output(spark, per_unit)) == _rows(
+        lineage.read_output(spark, batched)
+    )
+    assert lineage.committed_parts(spark, batched) == set(range(N_PARTS))
+    lin = {
+        r.part_id: (r.doc_count, r.span_count)
+        for r in lineage.read_lineage(spark, batched).collect()
+    }
+    lin_u = {
+        r.part_id: (r.doc_count, r.span_count)
+        for r in lineage.read_lineage(spark, per_unit).collect()
+    }
+    assert lin == lin_u
+
+
+def test_batched_kill_resume(spark, docs, tmp_path_factory):
+    """Kill between batches: committed batches are skipped on resume and
+    the final output matches an uninterrupted batched run."""
+    out = str(tmp_path_factory.mktemp("bkill"))
+    with pytest.raises(RuntimeError):
+        lineage.run_extract_job(
+            spark, docs, out, run_id="b2", num_parts=N_PARTS,
+            batch_size=2, fail_after=2,
+        )
+    first = lineage.committed_parts(spark, out)
+    assert len(first) == 2  # exactly one batch committed
+    resumed = lineage.run_extract_job(
+        spark, docs, out, run_id="b2r", num_parts=N_PARTS, batch_size=2
+    )
+    assert set(resumed) == set(range(N_PARTS)) - first
+    clean = str(tmp_path_factory.mktemp("bclean"))
+    lineage.run_extract_job(
+        spark, docs, clean, run_id="bc", num_parts=N_PARTS, batch_size=2
+    )
+    assert _rows(lineage.read_output(spark, out)) == _rows(
+        lineage.read_output(spark, clean)
+    )
