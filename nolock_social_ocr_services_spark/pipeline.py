@@ -52,7 +52,10 @@ def explode_spans(docs: DataFrame) -> DataFrame:
 
 
 def extract_spans(
-    docs: DataFrame, salt_buckets: int | None = None, partitions: int | None = None
+    docs: DataFrame,
+    salt_buckets: int | None = None,
+    partitions: int | None = None,
+    fused: bool = False,
 ) -> DataFrame:
     """Flat extracted spans: classify + extract every span.
 
@@ -79,8 +82,47 @@ def extract_spans(
     salted = salted_repartition(
         exploded, num_partitions=partitions, salt_buckets=salt_buckets
     )
-    classified = classify_mime(salted, data_url_col="media_ref", out_col="mime")
-    ocred = concat_pages(run_ocr(classified))
+    if fused:
+        # one ArrowEvalPython stage instead of two: the trie classify
+        # and the OCR run in the same Python batch (see
+        # make_fused_classify_ocr_udf); identical outputs, one fewer
+        # JVM<->Python Arrow round trip per row.
+        from .extract.ocr import _H as _OCR_H
+        from .extract.ocr import make_fused_classify_ocr_udf
+        from .operators.classify import decode_data_url_prefix
+        from .trie import OCTET_STREAM, lenient_trie
+
+        spark = docs.sparkSession
+        udf = make_fused_classify_ocr_udf(
+            spark, lenient_trie().compile(), OCTET_STREAM
+        )
+        res = udf(
+            decode_data_url_prefix(F.col("media_ref")),
+            F.md5(F.col("media_ref")),
+        )
+        r = F.col(_OCR_H)
+        full = F.array(
+            F.struct(F.lit(2).alias("index"), r["app2_md"].alias("markdown")),
+            F.struct(F.lit(1).alias("index"), r["app1_md"].alias("markdown")),
+            F.struct(F.lit(0).alias("index"), r["main_md"].alias("markdown")),
+        )
+        npages = r["npages"]
+        from .extract.ocr import PAGE_SCHEMA
+
+        pages = F.when(
+            npages.isNull(), F.lit(None).cast(PAGE_SCHEMA)
+        ).otherwise(F.slice(full, F.lit(4) - npages, npages))
+        ocred = concat_pages(
+            salted.withColumn(_OCR_H, res)
+            .withColumn("mime", r["mime"])
+            .withColumn("ocr_pages", pages)
+            .withColumn("ocr_model", r["model"])
+            .withColumn("ocr_tokens", r["tokens"])
+            .drop(_OCR_H)
+        )
+    else:
+        classified = classify_mime(salted, data_url_col="media_ref", out_col="mime")
+        ocred = concat_pages(run_ocr(classified))
     html_only = F.when(F.col("kind") == "html", F.col("text"))  # masked input
     extracted = ocred.withColumn(
         "extracted_text",
