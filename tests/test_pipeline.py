@@ -214,3 +214,42 @@ def test_fused_classify_ocr_identical(spark, sf_dir):
     plan = (pipeline.extract_spans(docs, fused=True)
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_adversarial_text_content_roundtrips(spark):
+    """SecurityTests.cs analogue: XSS/SQLi payloads, unicode, embedded
+    newlines/quotes/control chars in span TEXT are data, not code — the
+    pipeline must carry them through extraction + reassembly unchanged
+    (text spans pass through verbatim; html spans strip tags only)."""
+    nasty = [
+        "<script>alert('xss')</script>Robert'); DROP TABLE docs;--",
+        'quotes " \' ` and \\ backslash',
+        "unicode: 日本語 🚀 émojis  nbsp",
+        "line1\nline2\ttabbed\r\nwindows",
+        "null\x00byte and ctrl\x07chars",
+    ]
+    rows = [
+        (f"adv{i}", [{"kind": "text", "text": t, "media_ref": None, "offset": 0}])
+        for i, t in enumerate(nasty)
+    ]
+    schema = (
+        "doc_id string, spans array<struct<"
+        "kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    docs = spark.createDataFrame(rows, schema)
+    out = {
+        r.doc_id: r.text
+        for r in pipeline.extract_spans(docs).select("doc_id", "text").collect()
+    }
+    for i, t in enumerate(nasty):
+        assert out[f"adv{i}"] == t, (i, out[f"adv{i}"])
+    # same payloads as HTML spans: tags stripped, the job never fails
+    hrows = [
+        (f"h{i}", [{"kind": "html", "text": t, "media_ref": None, "offset": 0}])
+        for i, t in enumerate(nasty)
+    ]
+    hdocs = spark.createDataFrame(hrows, schema)
+    hout = pipeline.extract_spans(hdocs).select("doc_id", "text").collect()
+    assert len(hout) == len(nasty)
+    got = {r.doc_id: r.text for r in hout}
+    assert "<script>" not in (got["h0"] or "")  # tags stripped, payload inert
