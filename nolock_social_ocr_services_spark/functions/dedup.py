@@ -186,3 +186,118 @@ def simhash_table(
 def hamming64(a: Column, b: Column) -> Column:
     """Bit distance between two SimHash values."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+SIMHASH_MD5_BITS = 60  # 15 hex chars -> fits a signed long exactly
+
+
+def simhash_md5_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 4
+) -> DataFrame:
+    """60-bit SimHash with md5-derived shingle bits (oracle-checkable
+    twin of :func:`simhash_table` — DuckDB recomputes md5 exactly,
+    whereas xxhash64 has no DuckDB equivalent).
+
+    Same scale shape as simhash_table: explode shingles, hash JVM-side
+    (``conv(md5 hex prefix) -> long``), ONE groupBy(id) whose 60
+    conditional sums partially aggregate map-side, so the shuffle
+    carries one counter row per document, not per shingle.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(shingles(F.col(text_col), k=k)).alias("sh"),
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
+    )
+    votes = [
+        F.sum(
+            F.when(F.col("sh").isNull(), F.lit(0)).otherwise(
+                F.when(
+                    F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) != 0, F.lit(1)
+                ).otherwise(F.lit(-1))
+            )
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_MD5_BITS)
+    ]
+    sim = F.lit(0).cast("long")
+    for j in range(SIMHASH_MD5_BITS):
+        sim = sim + F.when(
+            F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    n_sh = F.sum(F.when(F.col("sh").isNull(), 0).otherwise(1))
+    counted = exploded.groupBy("id").agg(*votes, n_sh.alias("n_sh"))
+    return counted.select(
+        "id",
+        F.when(F.col("n_sh") == 0, F.lit(None).cast("long"))
+        .otherwise(sim)
+        .alias("simhash"),
+    )
+
+
+def simhash_near_dup(
+    sim_df: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = SIMHASH_MD5_BITS,
+    id_col: str = "id",
+    sim_col: str = "simhash",
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b, hamming <= max_hamming) via banded
+    SimHash join — the sub-quadratic scale path.
+
+    Pigeonhole guarantee: the ``bits`` bit positions are partitioned
+    into ``bands`` contiguous bands; a pair with hamming distance
+    h <= bands - 1 has at least one band with zero differing bits, so
+    joining on band equality finds EVERY such pair (requires
+    max_hamming <= bands - 1, asserted). Chance band collisions only
+    add candidates; the exact hamming filter removes them. The N^2
+    pair space never materializes — only per-band hash-join matches do,
+    and the join key (band_idx, band_bits) grows with corpus size.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banding finds all pairs only up to hamming {bands - 1}; "
+            f"got max_hamming={max_hamming}"
+        )
+    base_w = bits // bands
+    extra = bits % bands  # first `extra` bands are one bit wider
+    widths = [base_w + (1 if b < extra else 0) for b in range(bands)]
+    offs = [sum(widths[:b]) for b in range(bands)]
+    h = F.col(sim_col)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.shiftright(h, offs[b])
+            .bitwiseAND(F.lit((1 << widths[b]) - 1))
+            .alias("band_bits"),
+        )
+        for b in range(bands)
+    ]
+    banded = (
+        sim_df.filter(h.isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            h.alias("sh"),
+            F.explode(F.array(*band_structs)).alias("band"),
+        )
+        .select("id", "sh", "band.band_idx", "band.band_bits")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band_idx") == F.col("r.band_idx"),
+                F.col("l.band_bits") == F.col("r.band_bits"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            hamming64(F.col("l.sh"), F.col("r.sh")).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)

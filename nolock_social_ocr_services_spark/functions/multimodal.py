@@ -40,8 +40,13 @@ FEATURE_DIM = 16
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     """Deterministic stand-in for a real image decoder: dims + a feature
-    vector derived from the payload digest. Stable across runs/hosts."""
-    d = hashlib.md5(payload).digest()
+    vector derived from the payload digest. Stable across runs/hosts.
+
+    The digest hashes the UPPERCASE HEX of the payload (not the raw
+    bytes) so an independent SQL oracle can recompute it — DuckDB's
+    ``md5`` only accepts VARCHAR, and ``md5(hex(blob))`` is its exact
+    equivalent (see the decode_image_meta oracle in queries.py)."""
+    d = hashlib.md5(payload.hex().upper().encode("ascii")).digest()
     width = 64 + d[0] % 192
     height = 64 + d[1] % 192
     channels = 1 + (d[2] % 2) * 2  # 1 or 3

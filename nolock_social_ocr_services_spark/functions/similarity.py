@@ -152,6 +152,67 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize each vector to its
+    nearest centroid, then exact-search only within the centroid's
+    inverted list (nprobe=1).
+
+    Centroids are the first ``n_centroids`` vectors by id — a
+    deterministic "training sample" (at scale: k-means on a sample; the
+    partition/search structure is identical). The centroid table is tiny
+    and BROADCAST, so assignment is a map-side join: no shuffle until
+    the per-cluster self-join, whose key (cluster id) caps the pair
+    space at sum of squared cluster sizes instead of N^2.
+
+    Approximate by construction (neighbors quantized to another cluster
+    are missed); recall vs :func:`cosine_topk` is pinned in tests.
+    Zero-norm vectors have no cosine direction and are excluded.
+    """
+    unit = with_unit_vector(df, vec_col).filter(F.col("unit").isNotNull())
+    cent = unit.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col("unit").alias("cunit")
+    )
+    scored = unit.select(F.col(id_col).alias("id"), "unit").crossJoin(
+        F.broadcast(cent)
+    )
+    from pyspark.sql import Window
+
+    w_assign = Window.partitionBy("id").orderBy(
+        _dot(F.col("unit"), F.col("cunit")).desc(), F.col("cid")
+    )
+    assigned = (
+        scored.withColumn("crank", F.row_number().over(w_assign))
+        .filter(F.col("crank") == 1)
+        .select("id", "unit", F.col("cid").alias("cluster"))
+    )
+    a = assigned.select(
+        F.col("id").alias("query_id"), F.col("unit").alias("unit_q"), "cluster"
+    )
+    b = assigned.select(
+        F.col("id").alias("neighbor_id"), F.col("unit").alias("unit_n"), "cluster"
+    )
+    pairs = a.join(b, on="cluster").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored2 = pairs.select(
+        "query_id", "neighbor_id", _dot(F.col("unit_q"), F.col("unit_n")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored2.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

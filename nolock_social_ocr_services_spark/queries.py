@@ -549,6 +549,282 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+# -- doc quality scoring (training-data filter battery) ------------------------
+
+
+def q_doc_quality(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    quality = tx.quality_score(F.col("text"))
+    return d.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        tx.stopword_hits(F.col("text"), "en").alias("en_hits"),
+        F.round(quality, 2).alias("quality_r"),
+        (quality >= 0.6).alias("is_quality"),
+    )
+
+
+SQL_DOC_QUALITY = r"""
+WITH t AS (
+  SELECT doc_id, text,
+    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+    CASE WHEN text IS NULL THEN 0
+         ELSE len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) END AS en_hits,
+    CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
+         ELSE (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1.0
+              / length(text) END AS pr
+  FROM documents
+),
+q AS (
+  SELECT doc_id, text, n_tokens, en_hits,
+         (CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
+       + (CASE WHEN en_hits >= 2 THEN 0.4 ELSE 0.0 END)
+       + (CASE WHEN pr <= 0.2 THEN 0.2 ELSE 0.0 END) AS quality
+  FROM t
+)
+SELECT doc_id, n_tokens, en_hits,
+       CASE WHEN text IS NULL THEN NULL ELSE round(quality, 2) END AS quality_r,
+       CASE WHEN text IS NULL THEN NULL ELSE quality >= 0.6 END AS is_quality
+FROM q
+"""
+
+
+# -- LSH candidates re-ranked with exact n-gram Jaccard ------------------------
+
+# distinct-shingle CTE shared by the jaccard oracle (Spark's shingles()
+# deduplicates; list_distinct mirrors that)
+_SQL_SH_DISTINCT = f"""
+  SELECT doc_id,
+    CASE WHEN text IS NULL OR length(text) < {MINHASH_K}
+         THEN CAST([] AS VARCHAR[])
+         ELSE list_distinct(list_transform(
+                generate_series(1, length(text) - {MINHASH_K - 1}),
+                i -> substr(text, CAST(i AS INT), {MINHASH_K}))) END AS shd
+  FROM documents
+"""
+
+
+def q_jaccard_rerank(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    cand = dd.minhash_lsh_candidates(
+        d, num_hashes=MINHASH_N, bands=MINHASH_BANDS, k=MINHASH_K
+    )
+    jp = dd.jaccard_pairs(d, cand, k=MINHASH_K)
+    return jp.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r")
+    )
+
+
+SQL_JACCARD_RERANK = f"""
+WITH cand AS ({SQL_LSH_CANDIDATES}),
+shd AS ({_SQL_SH_DISTINCT})
+SELECT c.id_a, c.id_b,
+       round(CASE WHEN len(list_distinct(list_concat(a.shd, b.shd))) = 0 THEN 0.0
+             ELSE len(list_intersect(a.shd, b.shd)) * 1.0
+                  / len(list_distinct(list_concat(a.shd, b.shd))) END, 6) AS jaccard_r
+FROM cand c
+JOIN shd a ON a.doc_id = c.id_a
+JOIN shd b ON b.doc_id = c.id_b
+"""
+
+
+# -- SimHash (md5-bit variant, oracle-checkable) -------------------------------
+
+_SIMHASH_K = 4
+
+
+def _sql_simhash_cte() -> str:
+    """DuckDB CTE chain computing the md5-based 60-bit SimHash per doc —
+    independent brute-force recomputation (unnest + 60 conditional sums)
+    of dedup.simhash_md5_table."""
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(dd.SIMHASH_MD5_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END)"
+        for j in range(dd.SIMHASH_MD5_BITS)
+    )
+    return f"""
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, length(text) - {_SIMHASH_K - 1}),
+           i -> substr(text, CAST(i AS INT), {_SIMHASH_K})))) AS s
+  FROM documents WHERE text IS NOT NULL AND length(text) >= {_SIMHASH_K}
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::UBIGINT AS h FROM sh
+),
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
+simtab AS (SELECT doc_id, ({bits}) AS simhash FROM votes)
+"""
+
+
+def q_simhash60(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return dd.simhash_md5_table(d, k=_SIMHASH_K).select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+SQL_SIMHASH60 = f"""
+WITH {_sql_simhash_cte()}
+SELECT d.doc_id, s.simhash
+FROM documents d LEFT JOIN simtab s ON d.doc_id = s.doc_id
+"""
+
+
+def q_simhash_near_dup(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    sim_df = dd.simhash_md5_table(d, k=_SIMHASH_K)
+    return dd.simhash_near_dup(sim_df, max_hamming=3, bands=4).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+SQL_SIMHASH_NEAR_DUP = f"""
+-- brute-force oracle: ALL pairs, exact hamming; the Spark side's banded
+-- join (pigeonhole: hamming <= bands-1 guarantees a clean band) must
+-- find exactly this set
+WITH {_sql_simhash_cte()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) AS hamming
+FROM simtab a JOIN simtab b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) <= 3
+"""
+
+
+# -- IVF approximate nearest neighbors (scale path for similarity search) ------
+
+_IVF_NC = 8
+
+
+def q_ivf_top3(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # rank-only output, like cosine_top3: float summation order flips
+    # low decimals of sim between engines; ranks are order-stable.
+    return sim.ivf_topk(emb, k=3, n_centroids=_IVF_NC).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+SQL_IVF_TOP3 = f"""
+WITH nz AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE list_dot_product(embedding, embedding) > 0
+),
+cent AS (SELECT vec_id AS cid, emb AS cemb FROM nz WHERE vec_id < {_IVF_NC}),
+assign AS (
+  SELECT n.vec_id, c.cid,
+         row_number() OVER (PARTITION BY n.vec_id
+                            ORDER BY list_cosine_similarity(n.emb, c.cemb) DESC,
+                                     c.cid) AS rn
+  FROM nz n CROSS JOIN cent c
+),
+a AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         list_cosine_similarity(qe.emb, ne.emb) AS sim
+  FROM a q JOIN a n ON q.cid = n.cid AND q.vec_id <> n.vec_id
+  JOIN nz qe ON qe.vec_id = q.vec_id
+  JOIN nz ne ON ne.vec_id = n.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
+"""
+
+
+# -- multimodal decode metadata (mapInPandas over binary payloads) -------------
+
+
+def q_decode_image_meta(spark, sf_dir):
+    """Full multimodal plumbing over the corpus media spans: data-URL ->
+    binary payload column -> mapInPandas fake decode -> typed metadata.
+    The oracle recomputes the digest-derived dims via md5(hex(payload))."""
+    from .functions.multimodal import decode_images
+
+    spans = (
+        _corpus_mod.flat_spans(spark, sf_dir)
+        .filter(F.col("media_ref").isNotNull())
+        .select(
+            "doc_id",
+            "offset",
+            F.unbase64(F.substring_index("media_ref", ",", -1)).alias("payload"),
+        )
+    )
+    return decode_images(spans, deterministic_fake=True).select(
+        "doc_id", "offset", "width", "height", "channels", "decode_ok"
+    )
+
+
+def _sql_decode_image_meta() -> str:
+    digest = (
+        "md5(hex(from_base64(substr(media_ref, position(',' IN media_ref) + 1))))"
+    )
+    def byte(i: int) -> str:  # digest byte i as int
+        return f"('0x' || substr({digest}, {2 * i + 1}, 2))::INT"
+    return f"""
+SELECT doc_id, "offset",
+       64 + {byte(0)} % 192 AS width,
+       64 + {byte(1)} % 192 AS height,
+       1 + ({byte(2)} % 2) * 2 AS channels,
+       TRUE AS decode_ok
+FROM {{flat}} f
+WHERE media_ref IS NOT NULL
+"""
+
+
+# -- stateful streaming counter, driven to completion --------------------------
+
+
+def q_stream_running_counts(spark, sf_dir):
+    """ST7 progress counters via applyInPandasWithState over a real
+    multi-trigger file stream (availableNow + maxFilesPerTrigger), final
+    per-doc count recovered from the update-mode emissions. The oracle
+    is the batch equivalent: count(*) per doc — agreement certifies the
+    stateful operator accumulates across triggers correctly."""
+    import tempfile
+    import uuid
+
+    from .streaming.jobs import running_doc_counter
+
+    flat = _corpus_mod.flat_spans(spark, sf_dir).select("doc_id", "offset")
+    d = tempfile.mkdtemp(prefix="stream_counts_")
+    flat.repartition(8).write.mode("overwrite").parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(d)
+    )
+    counts = running_doc_counter(stream)
+    name = f"rc_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("doc_id")
+        .agg(F.max("spans_seen").alias("n_spans"))
+    )
+
+
+SQL_STREAM_RUNNING_COUNTS = """
+SELECT doc_id, count(*) AS n_spans FROM {flat} f GROUP BY doc_id
+"""
+
+
 def extra_queries() -> dict[str, tuple]:
     """name -> (callable, oracle_sql | None)"""
     return {
@@ -576,5 +852,18 @@ def extra_queries() -> dict[str, tuple]:
         "classify_url_fallback": (
             q_classify_url_fallback,
             _sql_classify_url_fallback().format(flat=_ORACLE_FLAT),
+        ),
+        "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
+        "jaccard_rerank": (q_jaccard_rerank, SQL_JACCARD_RERANK),
+        "simhash60": (q_simhash60, SQL_SIMHASH60),
+        "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
+        "ivf_top3": (q_ivf_top3, SQL_IVF_TOP3),
+        "decode_image_meta": (
+            q_decode_image_meta,
+            _sql_decode_image_meta().format(flat=_ORACLE_FLAT),
+        ),
+        "stream_running_counts": (
+            q_stream_running_counts,
+            SQL_STREAM_RUNNING_COUNTS.format(flat=_ORACLE_FLAT),
         ),
     }

@@ -95,3 +95,50 @@ def test_empty_and_short_docs(spark):
     assert [len(r.s) for r in sh] == [0, 0, 0]
     sims = dd.simhash_table(df, k=8)
     assert all(r.simhash is None for r in sims.collect())
+
+
+def test_simhash_md5_matches_python_oracle(spark, df):
+    """simhash_md5_table vs an independent pure-python recomputation."""
+    import hashlib
+
+    out = {r.id: r.simhash for r in dd.simhash_md5_table(df, k=4).collect()}
+    rows = {r.doc_id: r.text for r in df.collect()}
+    for doc_id, text in rows.items():
+        if text is None or len(text) < 4:
+            assert out[doc_id] is None
+            continue
+        sh = {text[i : i + 4] for i in range(len(text) - 3)}
+        votes = [0] * dd.SIMHASH_MD5_BITS
+        for s in sh:
+            h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+            for j in range(dd.SIMHASH_MD5_BITS):
+                votes[j] += 1 if (h >> j) & 1 else -1
+        expect = sum(1 << j for j in range(dd.SIMHASH_MD5_BITS) if votes[j] > 0)
+        assert out[doc_id] == expect, doc_id
+
+
+def test_simhash_near_dup_banding_complete(spark, df):
+    """Pigeonhole guarantee: banded join finds EXACTLY the brute-force
+    pairs at hamming <= bands-1."""
+    sim_df = dd.simhash_md5_table(df, k=4).cache()
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dd.simhash_near_dup(sim_df, max_hamming=3, bands=4).collect()
+    }
+    sims = {r.id: r.simhash for r in sim_df.collect() if r.simhash is not None}
+    brute = set()
+    for a in sims:
+        for b in sims:
+            if a < b:
+                h = bin(sims[a] ^ sims[b]).count("1")
+                if h <= 3:
+                    brute.add((a, b, h))
+    assert got == brute
+    # exact dups (0,1,4 share text) are hamming 0 and must be present
+    assert (0, 1, 0) in got and (0, 4, 0) in got
+
+
+def test_simhash_near_dup_rejects_threshold_beyond_guarantee(spark, df):
+    sim_df = dd.simhash_md5_table(df, k=4)
+    with pytest.raises(ValueError, match="banding finds all pairs"):
+        dd.simhash_near_dup(sim_df, max_hamming=5, bands=4)

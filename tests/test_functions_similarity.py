@@ -90,3 +90,42 @@ def test_near_dup_pairs_threshold_and_ordering(spark, sf_dir):
     }
     assert tighter <= {(r.id_a, r.id_b) for r in pairs}
     assert len(tighter) < len(pairs)
+
+
+def test_ivf_topk_exact_within_cluster(spark, emb):
+    """IVF with nprobe=1: for every query, returned neighbors must be the
+    exact top-k among same-cluster vectors (verified with NumPy)."""
+    import numpy as np
+
+    got = sim.ivf_topk(emb, k=3, n_centroids=8)
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cent_idx = {int(ids[i]): i for i in range(len(ids)) if ids[i] < 8}
+    cmat = np.array([mat[cent_idx[c]] for c in sorted(cent_idx)])
+    assign = np.argmax(mat @ cmat.T, axis=1)
+    by_query = {}
+    for r in got.collect():
+        by_query.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    for qi, qid in enumerate(ids):
+        members = [j for j in range(len(ids)) if assign[j] == assign[qi] and j != qi]
+        if not members:
+            assert qid not in by_query
+            continue
+        sims_q = mat[qi] @ mat[members].T
+        order = sorted(
+            range(len(members)), key=lambda j: (-sims_q[j], ids[members[j]])
+        )[:3]
+        expected = [int(ids[members[j]]) for j in order]
+        got_n = [n for _, n in sorted(by_query[qid])]
+        assert got_n == expected, qid
+
+
+def test_ivf_recall_vs_exact(spark, emb):
+    """Recall < 1 by construction but must be substantial (same-cluster
+    neighbors dominate for clustered data; random data still overlaps)."""
+    exact = {(r.query_id, r.neighbor_id) for r in sim.cosine_topk(emb, k=3).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in sim.ivf_topk(emb, k=3, n_centroids=8).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert 0.05 < recall <= 1.0, recall
