@@ -79,6 +79,33 @@ def _make_classifier_udf(spark: SparkSession, compiled: CompiledTrie, fallback: 
     return classify_prefix
 
 
+def trie_match_expr(
+    prefix: Column, trie=None, fallback: str | None = OCTET_STREAM
+) -> Column:
+    """The trie compiled to a pure JVM expression (whole-stage codegen).
+
+    Longest-prefix match as a ``when`` chain over ``hex(prefix)``:
+    signatures are tested longest-first (built innermost-out, so the
+    longest ends up outermost), which is exactly the deepest-node-wins
+    rule of ``MimeTypeTrie.search`` (MimeTypeTrie.cs:36-58). Semantics
+    are identical to the compiled-NumPy UDF (property-tested); NULL /
+    empty / unmatched prefixes yield ``fallback``.
+
+    This is the measured fast path (see classify_mime(engine=...)):
+    the signature table is static and tiny, so a codegen'd branch chain
+    beats shipping prefixes over Arrow to a Python worker — and at
+    cluster scale it removes one whole Python-worker stage.
+    """
+    sigs = (trie or lenient_trie()).signatures()
+    hexcol = F.hex(prefix)
+    expr = F.lit(fallback).cast("string")
+    for sig, mime in sorted(sigs, key=lambda s: len(s[0])):
+        expr = F.when(hexcol.startswith(sig.hex().upper()), F.lit(mime)).otherwise(
+            expr
+        )
+    return expr
+
+
 def classify_mime(
     df: DataFrame,
     payload_col: str = "payload_prefix",
@@ -87,6 +114,7 @@ def classify_mime(
     data_url_col: str | None = None,
     strict: bool = False,
     trie=None,
+    engine: str = "udf",
 ) -> DataFrame:
     """Add ``out_col`` with the trie-detected MIME of each row's payload.
 
@@ -98,19 +126,32 @@ def classify_mime(
             quarantine; the reference throws NotSupportedException,
             PipelineNodeImageToUrl.cs:38-48); lenient mode (default) falls
             back to application/octet-stream (OcrRequestHandler.cs:115-118).
+        engine: ``"udf"`` (default) = broadcast compiled-NumPy trie in a
+            pandas UDF (the north-star architecture); ``"expr"`` = the
+            same trie compiled to a codegen'd ``when`` chain
+            (:func:`trie_match_expr`) — identical outputs, no Python
+            stage. Both are kept: the UDF shape is where a *learned*
+            classifier would slot in; the expr shape is the fast path
+            for the fixed signature table.
     """
     spark = df.sparkSession
-    compiled = (trie or lenient_trie()).compile()
     fallback = None if strict else OCTET_STREAM
-    udf = _make_classifier_udf(spark, compiled, fallback)
     if data_url_col is not None:
         prefix = decode_data_url_prefix(F.col(data_url_col))
     else:
         prefix = F.substring(F.col(payload_col), 1, PREFIX_LEN)
+    if engine == "expr":
+        matched = trie_match_expr(prefix, trie=trie, fallback=fallback)
+    elif engine == "udf":
+        compiled = (trie or lenient_trie()).compile()
+        matched = _make_classifier_udf(spark, compiled, fallback)(prefix)
+    else:
+        raise ValueError(f"unknown classify engine {engine!r}")
     # NULL payload stays NULL mime in both modes (nothing to classify).
     src = F.col(data_url_col) if data_url_col is not None else F.col(payload_col)
     return df.withColumn(
-        out_col, F.when(src.isNull(), F.lit(None).cast("string")).otherwise(udf(prefix))
+        out_col,
+        F.when(src.isNull(), F.lit(None).cast("string")).otherwise(matched),
     )
 
 

@@ -102,6 +102,18 @@ class MimeTypeTrie:
     def __len__(self) -> int:
         return self._count
 
+    def signatures(self) -> list[tuple[bytes, str]]:
+        """All stored (signature, mime) pairs (DFS, deterministic order)."""
+        out: list[tuple[bytes, str]] = []
+        stack: list[tuple[bytes, list]] = [(b"", self._root)]
+        while stack:
+            prefix, node = stack.pop()
+            if node[1] is not None:
+                out.append((prefix, node[1]))
+            for b in sorted(node[0], reverse=True):
+                stack.append((prefix + bytes([b]), node[0][b]))
+        return out
+
     # -- compilation ------------------------------------------------------
 
     def compile(self) -> "CompiledTrie":

@@ -143,3 +143,49 @@ def test_classify_with_url_fallback(spark, media_spans):
     unknown = out.filter(F.col("intended_mime") == "application/octet-stream")
     assert unknown.count() > 0
     assert unknown.filter(F.col("combined") != "image/webp").count() == 0
+
+
+def test_expr_engine_equivalent_to_udf(media_spans):
+    """trie_match_expr (codegen'd fast path) must agree with the
+    compiled-NumPy UDF on EVERY corpus span, in both modes."""
+    for kwargs in (
+        {},
+        {"strict": True, "trie": strict_trie()},
+    ):
+        a = classify_mime(
+            media_spans, data_url_col="media_ref", out_col="m",
+            engine="udf", **kwargs
+        ).select("doc_id", "offset", "m")
+        b = classify_mime(
+            media_spans, data_url_col="media_ref", out_col="m",
+            engine="expr", **kwargs
+        ).select("doc_id", "offset", F.col("m").alias("m2"))
+        j = a.join(b, on=["doc_id", "offset"])
+        assert j.filter(~F.col("m").eqNullSafe(F.col("m2"))).count() == 0
+
+
+def test_expr_engine_golden_vectors(spark):
+    """Longest-prefix semantics of the when-chain on edge payloads:
+    short forms vs long forms, branching GIF, partial/divergent, NULL,
+    malformed base64."""
+    rows = [
+        ("data:x;base64,/9j/4A==", "image/jpeg"),          # FFD8FF E0: long form
+        ("data:x;base64,/9g=", "image/jpeg"),              # FFD8 only: 2-byte short form
+        ("data:x;base64,iVBORw0KGgo=", "image/png"),       # full 8-byte png
+        ("data:x;base64,iVBORw==", "image/png"),           # 4-byte short form
+        ("data:x;base64,R0lGODdh", "image/gif"),           # GIF87a
+        ("data:x;base64,R0lGODlh", "image/gif"),           # GIF89a
+        ("data:x;base64,R0lGOQ==", "application/octet-stream"),  # GIF8 9-divergent
+        ("data:x;base64,JVBERg==", "application/pdf"),
+        ("data:x;base64,!!notbase64", "application/octet-stream"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, expect string")
+    out = classify_mime(df, data_url_col="media_ref", out_col="m", engine="expr")
+    for r in out.collect():
+        assert r.m == r.expect, (r.media_ref, r.m, r.expect)
+
+
+def test_unknown_engine_raises(media_spans):
+    with pytest.raises(ValueError, match="unknown classify engine"):
+        classify_mime(media_spans, data_url_col="media_ref", engine="bogus")

@@ -30,8 +30,17 @@ def test_extract_pipeline_one_scan_one_shuffle(spark, corpus_path):
     flat = pipeline.extract_spans(docs, salt_buckets=16)
     assert scan_count(flat) == 1
     assert exchange_count(flat) == 1  # the salted repartition only
-    assert arrow_eval_count(flat) == 2  # classify + (ocr, strip)
+    # default engine: classify is a codegen'd expression, so the OCR UDF
+    # is the ONLY Python stage in the whole pipeline
+    assert arrow_eval_count(flat) == 1
     assert batch_eval_count(flat) == 0  # no row-at-a-time Python anywhere
+
+
+def test_extract_pipeline_udf_engine_two_arrow_stages(spark, corpus_path):
+    docs = spark.read.parquet(corpus_path)
+    flat = pipeline.extract_spans(docs, salt_buckets=16, classify_engine="udf")
+    assert arrow_eval_count(flat) == 2  # classify UDF + ocr UDF
+    assert batch_eval_count(flat) == 0
 
 
 def test_extracted_documents_two_shuffles_total(spark, corpus_path):

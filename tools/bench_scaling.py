@@ -10,16 +10,18 @@ scaling is capped by the HOST (vCPU overcommit), while 2->8 and 4->16
 stay in the machine's linear region. The 4/16 pair therefore measures
 the JOB's scaling, not the hypervisor cap.
 
-Measurement protocol — PAIRED ALTERNATION: the host's effective CPU
+Measurement protocol — SANDWICH ALTERNATION: the host's effective CPU
 supply drifts +-60% on minute timescales (noisy neighbors), so timing
 level N for six passes and then level 4N for six passes confounds the
 level with the host phase. Instead both taskset-pinned JVMs stay alive
-and a file-token protocol alternates single passes N, 4N, N, 4N, ...;
-each adjacent pair samples near-identical host conditions and yields
-one efficiency estimate (t_N / t_4N) / 4. The reported figure is the
-median of per-pair efficiencies (best pair also shown). Each level does
-``warmups`` untimed passes first (JIT + python-worker spin-up take 2-3
-passes to converge).
+and a file-token protocol serializes passes N_0, 4N_0, N_1, 4N_1, ...,
+N_pairs; each 4N pass is BRACKETED by the two surrounding N passes and
+scored against their mean: eff_i = ((t_N_i + t_N_{i+1})/2 / t_4N_i)/4.
+The bracketing cancels drift that is locally linear in time (a plain
+adjacent pair is biased whenever the supply moves between its two
+passes). The reported figure is the median of per-pair efficiencies
+(best pair also shown). Each level does ``warmups`` untimed passes
+first (JIT + python-worker spin-up take 2-3 passes to converge).
 
 Writes BENCH/BASELINE.md. Usage: python tools/bench_scaling.py
 """
@@ -145,27 +147,30 @@ def main() -> None:
 
     calib = run_calibration()
     warmups = int(os.environ.get("SCALING_WARMUPS", "2"))
-    pairs = int(os.environ.get("SCALING_PAIRS", "5"))
+    pairs = int(os.environ.get("SCALING_PAIRS", "6"))
     sync_dir = f"/dev/shm/scaling_sync_{os.getpid()}"
     os.makedirs(sync_dir, exist_ok=True)
 
     n_docs = None
-    lo_proc = start_child(lo_cores, corpus_path, warmups, pairs, sync_dir)
+    lo_proc = start_child(lo_cores, corpus_path, warmups, pairs + 1, sync_dir)
     hi_proc = start_child(hi_cores, corpus_path, warmups, pairs, sync_dir)
     try:
         # both children finish warmup before any timed pass
         _await(os.path.join(sync_dir, f"ready_{lo_cores}"))
         _await(os.path.join(sync_dir, f"ready_{hi_cores}"))
         lo_times, hi_times, pair_eff = [], [], []
+
+        def run_pass(cores: int, i: int) -> float:
+            open(os.path.join(sync_dir, f"turn_{cores}_{i}"), "w").close()
+            return round(_read_sec(os.path.join(sync_dir, f"done_{cores}_{i}")), 2)
+
+        # strictly serialized sandwich: N_0, 4N_0, N_1, 4N_1, ..., N_pairs
+        lo_times.append(run_pass(lo_cores, 0))
         for i in range(pairs):
-            # strictly serialized: lo pass i, then hi pass i
-            open(os.path.join(sync_dir, f"turn_{lo_cores}_{i}"), "w").close()
-            t_lo = _read_sec(os.path.join(sync_dir, f"done_{lo_cores}_{i}"))
-            open(os.path.join(sync_dir, f"turn_{hi_cores}_{i}"), "w").close()
-            t_hi = _read_sec(os.path.join(sync_dir, f"done_{hi_cores}_{i}"))
-            lo_times.append(round(t_lo, 2))
-            hi_times.append(round(t_hi, 2))
-            pair_eff.append(round((t_lo / t_hi) / 4.0, 3))
+            hi_times.append(run_pass(hi_cores, i))
+            lo_times.append(run_pass(lo_cores, i + 1))
+            bracket = (lo_times[i] + lo_times[i + 1]) / 2.0
+            pair_eff.append(round((bracket / hi_times[i]) / 4.0, 3))
         lo_proc.wait(timeout=600)
         hi_proc.wait(timeout=600)
     finally:
@@ -210,16 +215,18 @@ region. On a real multi-executor cluster the 4N level adds whole
 machines (CPU + memory bandwidth + shuffle disks scale together),
 which is what the pinned pair emulates.
 
-## Paired-alternation protocol
+## Sandwich-alternation protocol
 
 Because the host supply drifts, the two levels alternate single passes
-(N, 4N, N, 4N, ...) so each adjacent pair samples near-identical host
-conditions; each pair yields one efficiency estimate (t_N / t_4N) / 4.
+(N_0, 4N_0, N_1, 4N_1, ..., N_{pairs}); each 4N pass is scored against
+the MEAN of its two bracketing N passes — locally-linear drift cancels:
+eff_i = ((t_N_i + t_N_i+1)/2 / t_4N_i) / 4.
 
-| pair | t_N={lo_cores}c (s) | t_4N={hi_cores}c (s) | efficiency |
-|---|---|---|---|
+| pair | t_N before (s) | t_4N={hi_cores}c (s) | t_N after (s) | efficiency |
+|---|---|---|---|---|
 """ + "\n".join(
-        f"| {i} | {lo_times[i]:.2f} | {hi_times[i]:.2f} | {pair_eff[i]:.3f} |"
+        f"| {i} | {lo_times[i]:.2f} | {hi_times[i]:.2f} | "
+        f"{lo_times[i + 1]:.2f} | {pair_eff[i]:.3f} |"
         for i in range(len(pair_eff))
     ) + f"""
 
