@@ -301,3 +301,76 @@ def simhash_near_dup(
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-duplicate pairs into connected components:
+    rows = (node, label) with label = min node id reachable from node.
+    Turning pairwise near-dup hits into dedup CLUSTERS is the step that
+    lets a pipeline keep one canonical doc per group (reference keeps
+    single docs only; this is the training-data-scale extension).
+
+    Algorithm: iterated min-label propagation + pointer jumping
+    (label <- label(label)), the classic O(log n)-round formulation
+    (cf. Kiveris et al., "Connected Components in MapReduce and
+    Beyond" — large-star/small-star has the same round bound; the
+    propagate+jump pair is simpler and every step is a plain
+    hash-partitioned DataFrame join, so AQE handles skewed hub nodes).
+
+    Scale notes:
+      * every iteration is two shuffles on the node-id key (neighbor-min
+        agg + pointer-jump self-join) — bounded-width keys, no N^2;
+      * ``localCheckpoint(eager=True)`` truncates lineage each round so
+        the plan does not grow exponentially with iterations (on a real
+        cluster with an HDFS checkpoint dir, ``checkpoint()`` gives the
+        same truncation plus fault tolerance);
+      * convergence is detected with a single scalar agg per round
+        (order-independent ``bit_xor`` of xxhash64(node, label) — xor,
+        not sum, so ANSI mode cannot overflow) — no driver-side collect
+        of the membership table;
+      * near-dup graphs are unions of quasi-cliques (LSH buckets), so
+        the observed round count is ~2-3; pointer jumping caps even
+        adversarial path graphs at O(log diameter).
+    """
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    lab = (
+        edges.select("u")
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("label"))
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                lab.select(
+                    F.col("node").alias("v"), F.col("label").alias("vlab")
+                ),
+                on="v",
+            )
+            .groupBy("u")
+            .agg(F.min("vlab").alias("nlab"))
+            .select(F.col("u").alias("node"), "nlab")
+        )
+        lab = lab.join(nbr, on="node", how="left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nlab", "label")).alias("label"),
+        )
+        parent = lab.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        lab = (
+            lab.join(parent, lab["label"] == parent["p_node"], "left")
+            .select("node", F.coalesce("p_label", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        sig = lab.agg(F.expr("bit_xor(xxhash64(node, label))")).first()[0]
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return lab

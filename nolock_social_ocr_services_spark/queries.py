@@ -695,6 +695,40 @@ WHERE bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) <= 3
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs -> connected components -> (doc_id, cluster_id);
+    singleton docs are their own cluster. Oracle = DuckDB recursive-CTE
+    transitive closure with min-reachable-id labels over the same
+    (brute-force) pair set."""
+    d = _docs(spark, sf_dir)
+    sim_df = dd.simhash_md5_table(d, k=_SIMHASH_K)
+    pairs = dd.simhash_near_dup(sim_df, max_hamming=3, bands=4)
+    cc = dd.connected_components(pairs)
+    return (
+        d.select("doc_id")
+        .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("label", "doc_id").alias("cluster_id"))
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_sql_simhash_cte()},
+prs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM simtab a JOIN simtab b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) <= 3
+),
+edges AS (SELECT id_a AS u, id_b AS v FROM prs
+          UNION SELECT id_b, id_a FROM prs),
+reach(src, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.node = e.u
+)
+SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src
+"""
+
+
 # -- IVF approximate nearest neighbors (scale path for similarity search) ------
 
 _IVF_NC = 8
@@ -857,6 +891,7 @@ def extra_queries() -> dict[str, tuple]:
         "jaccard_rerank": (q_jaccard_rerank, SQL_JACCARD_RERANK),
         "simhash60": (q_simhash60, SQL_SIMHASH60),
         "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
+        "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
         "ivf_top3": (q_ivf_top3, SQL_IVF_TOP3),
         "decode_image_meta": (
             q_decode_image_meta,

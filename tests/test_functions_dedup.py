@@ -142,3 +142,35 @@ def test_simhash_near_dup_rejects_threshold_beyond_guarantee(spark, df):
     sim_df = dd.simhash_md5_table(df, k=4)
     with pytest.raises(ValueError, match="banding finds all pairs"):
         dd.simhash_near_dup(sim_df, max_hamming=5, bands=4)
+
+
+def test_connected_components_chain_clique_singleton(spark):
+    # chain 1-2-3-4 (forces multi-hop propagation), clique 10-11-12,
+    # pair 20-21; node 30 never appears in pairs (caller handles
+    # singletons via left join — CC labels only nodes with edges).
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    out = {r.node: r.label for r in dd.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_path_converges(spark):
+    # a 64-node path has diameter 63; pointer jumping must close it in
+    # far fewer than 63 rounds (max_iter=10 would fail plain propagation)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    out = dd.connected_components(pairs, max_iter=10)
+    labels = {r.label for r in out.collect()}
+    assert labels == {0}
+    assert out.count() == 64
+
+
+def test_connected_components_string_ids(spark):
+    pairs = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-b", "doc-c")], "id_a string, id_b string"
+    )
+    out = {r.node: r.label for r in dd.connected_components(pairs).collect()}
+    assert out == {"doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a"}
