@@ -695,6 +695,88 @@ WHERE bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) <= 3
 """
 
 
+def q_asof_click_view(spark, sf_dir):
+    """As-of join: each click event picks up the most recent prior (or
+    simultaneous) view by the same user. Single-shuffle union+window
+    form (operators/temporal.py); oracle = DuckDB's native ASOF LEFT
+    JOIN. Right side deduped per (user_id, ts) by max event_id in BOTH
+    engines — ASOF tie-break among equal right timestamps is otherwise
+    unspecified."""
+    from .operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value", F.col("event_id").alias("view_id")
+    )
+    out = temporal.as_of_join(
+        clicks,
+        views,
+        on="user_id",
+        ts="ts",
+        right_cols=("value", "view_id"),
+        tie_col="view_id",
+    )
+    return out.select(
+        "event_id", "user_id", "matched_ts", "matched_view_id",
+        F.round("matched_value", 2).alias("matched_value"),
+    )
+
+
+SQL_ASOF_CLICK_VIEW = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, ts, value, event_id AS view_id
+  FROM events WHERE event_type = 'view'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                             ORDER BY event_id DESC) = 1
+)
+SELECT l.event_id, l.user_id, r.ts AS matched_ts,
+       r.view_id AS matched_view_id,
+       round(r.value, 2) AS matched_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_user_sessions(spark, sf_dir):
+    """Gap-based sessionization (8h inactivity gap) + per-session
+    aggregate — one window shuffle then one agg shuffle, both on
+    user_id."""
+    from .operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal.session_stats(ev, gap_seconds=28800).select(
+        "user_id", "session_id", "n_events", "session_start", "session_end"
+    )
+
+
+SQL_USER_SESSIONS = """
+-- interval comparison: microsecond-exact in both engines (no epoch
+-- truncation boundary)
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 28800 SECOND
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup pairs -> connected components -> (doc_id, cluster_id);
     singleton docs are their own cluster. Oracle = DuckDB recursive-CTE
@@ -892,6 +974,8 @@ def extra_queries() -> dict[str, tuple]:
         "simhash60": (q_simhash60, SQL_SIMHASH60),
         "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
         "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+        "asof_click_view": (q_asof_click_view, SQL_ASOF_CLICK_VIEW),
+        "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
         "ivf_top3": (q_ivf_top3, SQL_IVF_TOP3),
         "decode_image_meta": (
             q_decode_image_meta,
