@@ -385,6 +385,58 @@ SELECT word, count(*) AS n FROM (
 """
 
 
+def q_top_tokens(spark, sf_dir):
+    """Exact heavy hitters: top 20 tokens corpus-wide. orderBy+limit
+    compiles to TakeOrderedAndProject (per-partition top-k then a
+    single-driver merge of k-row heaps) — no global sort, no
+    single-partition window, so the pattern survives a 100x corpus.
+    Ties broken by token string for cross-engine determinism."""
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(20)
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return top.withColumn("rnk", F.row_number().over(w))
+
+
+SQL_TOP_TOKENS = r"""
+WITH counts AS (
+  SELECT token, count(*) AS n FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+    FROM documents
+  ) WHERE token <> '' GROUP BY token
+)
+SELECT token, n, row_number() OVER (ORDER BY n DESC, token ASC) AS rnk
+FROM counts ORDER BY n DESC, token ASC LIMIT 20
+"""
+
+
+def q_value_quantiles(spark, sf_dir):
+    """Exact linear-interpolation percentiles of event value per type
+    (Spark ``percentile`` == DuckDB ``quantile_cont``). Exact
+    percentile needs the full sorted group — fine for bounded group
+    count; the 100-TB path is ``percentile_approx`` (t-digest,
+    mergeable partial aggs), which an oracle can't bit-match."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+    )
+
+
+SQL_VALUE_QUANTILES = """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90
+FROM events GROUP BY event_type
+"""
+
+
 
 
 # -- S4: URL extension -> MIME fallback map ------------------------------------
@@ -960,6 +1012,8 @@ def extra_queries() -> dict[str, tuple]:
         "events_json": (q_events_json, SQL_EVENTS_JSON),
         "top_parts": (q_top_parts, SQL_TOP_PARTS),
         "explode_tokens": (q_explode_tokens, SQL_EXPLODE_TOKENS),
+        "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
+        "value_quantiles": (q_value_quantiles, SQL_VALUE_QUANTILES),
         "mime_from_url": (q_mime_from_url, SQL_MIME_FROM_URL),
         "classify_strict": (
             q_classify_strict,
