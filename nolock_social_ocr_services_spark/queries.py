@@ -993,6 +993,44 @@ SELECT doc_id, count(*) AS n_spans FROM {flat} f GROUP BY doc_id
 """
 
 
+def q_stream_dedup_hashes(spark, sf_dir):
+    """Streaming exact dedup (dropDuplicates) across a multi-trigger
+    file stream: the emitted key set must equal the batch DISTINCT —
+    which row survives per key is arrival-order-dependent, so only the
+    key column is emitted. Cross-trigger state is exercised the same
+    way as stream_running_counts (availableNow + maxFilesPerTrigger)."""
+    import tempfile
+    import uuid
+
+    from .streaming.jobs import stream_dedup
+
+    hashed = _docs(spark, sf_dir).select(F.md5("text").alias("text_hash"))
+    d = tempfile.mkdtemp(prefix="stream_dedup_")
+    hashed.repartition(8).write.mode("overwrite").parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(d)
+    )
+    name = f"sd_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_dedup(stream, keys=("text_hash",))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("text_hash")
+
+
+SQL_STREAM_DEDUP_HASHES = """
+SELECT DISTINCT md5(text) AS text_hash FROM documents
+"""
+
+
 def extra_queries() -> dict[str, tuple]:
     """name -> (callable, oracle_sql | None)"""
     return {
@@ -1039,4 +1077,5 @@ def extra_queries() -> dict[str, tuple]:
             q_stream_running_counts,
             SQL_STREAM_RUNNING_COUNTS.format(flat=_ORACLE_FLAT),
         ),
+        "stream_dedup_hashes": (q_stream_dedup_hashes, SQL_STREAM_DEDUP_HASHES),
     }

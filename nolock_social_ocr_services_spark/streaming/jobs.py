@@ -100,3 +100,25 @@ def running_doc_counter(spans_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_dedup(
+    stream: DataFrame,
+    keys: tuple[str, ...] | list[str],
+    ts_col: str | None = None,
+    within: str | None = None,
+) -> DataFrame:
+    """Streaming exact deduplication: emit the first-seen row per key.
+
+    With ``(ts_col, within)`` set, uses ``dropDuplicatesWithinWatermark``
+    — dedup state is dropped once the watermark passes, so state size is
+    bounded by the key arrival rate times the watermark horizon. That is
+    the 100-TB path: plain ``dropDuplicates`` on a stream keeps EVERY
+    key in the state store forever, which only works when the distinct
+    key space is small or the run is bounded (availableNow backfills).
+    """
+    if ts_col is not None and within is not None:
+        return stream.withWatermark(ts_col, within).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return stream.dropDuplicates(list(keys))

@@ -84,3 +84,55 @@ def test_running_doc_counter_stateful(spark, corpus_path):
         )
     assert diff.count() == 0
     assert final.count() == batch.count()
+
+
+def test_stream_dedup_unbounded_matches_distinct(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sdedup"))
+    rows = [(i % 7, f"payload-{i % 7}") for i in range(100)]
+    spark.createDataFrame(rows, "k long, text string").repartition(6).write.mode(
+        "overwrite"
+    ).parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(d)
+    )
+    q = (
+        jobs.stream_dedup(stream, keys=("k",))
+        .writeStream.format("memory")
+        .queryName("sdedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("sdedup_t")
+    assert out.count() == 7  # one survivor per key across ALL triggers
+    assert {r.k for r in out.collect()} == set(range(7))
+
+
+def test_stream_dedup_within_watermark_bounds_state(spark, tmp_path_factory):
+    import datetime as dt
+
+    d = str(tmp_path_factory.mktemp("sdedup_wm"))
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i % 5, base + dt.timedelta(seconds=i)) for i in range(50)
+    ]
+    spark.createDataFrame(rows, "k long, ts timestamp").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).parquet(d)
+    q = (
+        jobs.stream_dedup(stream, keys=("k",), ts_col="ts", within="10 minutes")
+        .writeStream.format("memory")
+        .queryName("sdedup_wm_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("sdedup_wm_t")
+    # all dups fall inside one watermark horizon -> exactly one row per key
+    assert out.count() == 5
+    assert {r.k for r in out.collect()} == set(range(5))
