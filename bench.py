@@ -80,8 +80,17 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
 
+    # headline value excludes one-time setup: corpus_build materializes
+    # the INPUT table (testdata generation, not query work) and the
+    # warmup pass is JIT/worker-pool spin-up — both would make the
+    # metric depend on whether /dev/shm is already warm.
     total = round(
-        sum(v for k, v in timings.items() if k != "pipeline_e2e_warmup"), 3
+        sum(
+            v
+            for k, v in timings.items()
+            if k not in ("pipeline_e2e_warmup", "corpus_build")
+        ),
+        3,
     )
     out = {
         "metric": "headline_queries_total_wall",

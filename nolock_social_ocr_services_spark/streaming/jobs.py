@@ -122,3 +122,37 @@ def stream_dedup(
             list(keys)
         )
     return stream.dropDuplicates(list(keys))
+
+
+def priority_rate_limited_sink(
+    stream: DataFrame,
+    process,
+    priority_col: str = "priority",
+    order_col: str | None = None,
+):
+    """ST2/ST3 (rate limiting + priority grouping) the Spark way.
+
+    The reference's Rx pipeline windows requests into 1-second buckets
+    of <= RateLimitCount and serves higher-priority groups first
+    (ReactiveMistralOcrPipeline.cs:151-163,195-202; GroupBy :155). In
+    Structured Streaming the admission control belongs to the SOURCE —
+    ``maxFilesPerTrigger`` / ``maxOffsetsPerTrigger`` plus
+    ``trigger(processingTime=...)`` cap rows-per-second, and anything
+    not admitted stays queued in the source (nothing is dropped, unlike
+    a sink-side ``limit``). What remains for the sink is ordering:
+    this ``foreachBatch`` wrapper hands ``process`` each micro-batch
+    sorted highest-priority-first (ties broken by ``order_col`` for
+    determinism), so downstream effects (writes, API calls) happen in
+    priority order within every admitted window.
+
+    Returns a ``DataStreamWriter`` — caller picks trigger/options and
+    calls ``.start()``.
+    """
+    cols = [F.col(priority_col).desc()]
+    if order_col is not None:
+        cols.append(F.col(order_col).asc())
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        process(batch_df.orderBy(*cols), batch_id)
+
+    return stream.writeStream.foreachBatch(handle)
