@@ -415,6 +415,30 @@ FROM counts ORDER BY n DESC, token ASC LIMIT 20
 """
 
 
+def q_event_rollup(spark, sf_dir):
+    """Multi-level aggregate via ROLLUP (event_type subtotals + grand
+    total in ONE pass — partial aggregation per level, one shuffle,
+    instead of N separate scans union'd). grouping() disambiguates the
+    NULL subtotal rows."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.rollup("event_type")
+        .agg(
+            F.grouping("event_type").cast("long").alias("is_total"),
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select("event_type", "is_total", "n", "sum_value")
+    )
+
+
+SQL_EVENT_ROLLUP = """
+SELECT event_type, CAST(grouping(event_type) AS BIGINT) AS is_total,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY ROLLUP(event_type)
+"""
+
+
 def q_value_quantiles(spark, sf_dir):
     """Exact linear-interpolation percentiles of event value per type
     (Spark ``percentile`` == DuckDB ``quantile_cont``). Exact
@@ -1052,6 +1076,7 @@ def extra_queries() -> dict[str, tuple]:
         "explode_tokens": (q_explode_tokens, SQL_EXPLODE_TOKENS),
         "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
         "value_quantiles": (q_value_quantiles, SQL_VALUE_QUANTILES),
+        "event_rollup": (q_event_rollup, SQL_EVENT_ROLLUP),
         "mime_from_url": (q_mime_from_url, SQL_MIME_FROM_URL),
         "classify_strict": (
             q_classify_strict,
