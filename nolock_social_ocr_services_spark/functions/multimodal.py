@@ -123,3 +123,64 @@ def frame_sample_offsets(
     return F.sequence(
         F.lit(0), F.greatest(duration_ms - 1, F.lit(0)), F.lit(every_ms)
     )
+
+
+def resize_dims(
+    width: F.Column, height: F.Column, max_side: int = 256
+) -> F.Column:
+    """Aspect-preserving fit-in-box target dims, pure built-ins (stays
+    in whole-stage codegen): struct(target_w, target_h). Images already
+    inside the box keep their dims (no upscaling)."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(float(max_side)) / F.greatest(width, height).cast("double"),
+    )
+    return F.struct(
+        F.greatest(F.floor(width * scale), F.lit(1)).cast("int").alias("target_w"),
+        F.greatest(F.floor(height * scale), F.lit(1)).cast("int").alias("target_h"),
+    )
+
+
+def resize_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    width_col: str = "width",
+    height_col: str = "height",
+    max_side: int = 256,
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """mapInPandas resize stage. Target dims are computed JVM-side by
+    ``resize_dims`` (so the plan prunes to only the needed columns); the
+    pixel resample itself is the stubbed codec step — the fake emits a
+    payload-digest token as the "resized" payload so tests can pin
+    row alignment and schema without an image library.
+    """
+    with_dims = df.withColumn(
+        "_target", resize_dims(F.col(width_col), F.col(height_col), max_side)
+    )
+    out_schema = T.StructType(
+        list(with_dims.schema.fields)
+        + [T.StructField("resized", T.BinaryType(), True)]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "pixel resample requires Pillow/libvips; pass "
+                    "deterministic_fake=True for the seeded stand-in"
+                )
+            resized = []
+            for p, t in zip(pdf[payload_col], pdf["_target"]):
+                if p is None or t is None or t.get("target_w") is None:
+                    resized.append(None)
+                else:
+                    token = hashlib.md5(
+                        bytes(p) + b"|%dx%d" % (t["target_w"], t["target_h"])
+                    ).digest()
+                    resized.append(token)
+            out = pdf.reset_index(drop=True)
+            out["resized"] = resized
+            yield out
+
+    return with_dims.mapInPandas(process, schema=out_schema)

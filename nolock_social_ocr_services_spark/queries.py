@@ -972,6 +972,47 @@ WHERE media_ref IS NOT NULL
 """
 
 
+def q_resize_plan(spark, sf_dir):
+    """Decode (fake) then compute aspect-preserving resize targets —
+    the JVM-side half of the resize stage (resize_dims), composed on
+    the oracle-checked decode dims."""
+    from .functions.multimodal import decode_images, resize_dims
+
+    spans = (
+        _corpus_mod.flat_spans(spark, sf_dir)
+        .filter(F.col("media_ref").isNotNull())
+        .select(
+            "doc_id",
+            "offset",
+            F.unbase64(F.substring_index("media_ref", ",", -1)).alias("payload"),
+        )
+    )
+    decoded = decode_images(spans, deterministic_fake=True)
+    return decoded.select(
+        "doc_id",
+        "offset",
+        "width",
+        "height",
+        resize_dims(F.col("width"), F.col("height"), max_side=128).alias("t"),
+    ).select(
+        "doc_id", "offset", "width", "height",
+        F.col("t.target_w").alias("target_w"),
+        F.col("t.target_h").alias("target_h"),
+    )
+
+
+def _sql_resize_plan() -> str:
+    return f"""
+WITH dims AS ({_sql_decode_image_meta()})
+SELECT doc_id, "offset", width, height,
+       GREATEST(CAST(floor(width * LEAST(1.0, 128.0 / GREATEST(width, height)))
+                AS INT), 1) AS target_w,
+       GREATEST(CAST(floor(height * LEAST(1.0, 128.0 / GREATEST(width, height)))
+                AS INT), 1) AS target_h
+FROM dims
+"""
+
+
 # -- stateful streaming counter, driven to completion --------------------------
 
 
@@ -1098,6 +1139,7 @@ def extra_queries() -> dict[str, tuple]:
             q_decode_image_meta,
             _sql_decode_image_meta().format(flat=_ORACLE_FLAT),
         ),
+        "resize_plan": (q_resize_plan, _sql_resize_plan().format(flat=_ORACLE_FLAT)),
         "stream_running_counts": (
             q_stream_running_counts,
             SQL_STREAM_RUNNING_COUNTS.format(flat=_ORACLE_FLAT),

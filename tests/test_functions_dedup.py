@@ -174,3 +174,34 @@ def test_connected_components_string_ids(spark):
     )
     out = {r.node: r.label for r in dd.connected_components(pairs).collect()}
     assert out == {"doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a"}
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    # property check against a pure-python union-find on deterministic
+    # pseudo-random graphs of varying shape
+    import random
+
+    for seed, n_nodes, n_edges in [(1, 20, 10), (2, 40, 60), (3, 30, 29)]:
+        rng = random.Random(seed)
+        edges = [
+            tuple(sorted(rng.sample(range(n_nodes), 2))) for _ in range(n_edges)
+        ]
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = sorted({v for e in edges for v in e})
+        expected = {v: find(v) for v in touched}
+        # min-reachable-id labels == union-find roots when unions always
+        # keep the smaller root (as above)
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r.node: r.label for r in dd.connected_components(pairs).collect()}
+        assert got == expected, f"seed={seed}"

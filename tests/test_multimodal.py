@@ -55,3 +55,47 @@ def test_frame_sample_offsets(spark):
     assert got[0] == [0, 1000, 2000, 3000]
     assert got[1] == [0]
     assert got[2] == [0]
+
+
+def test_resize_dims_builtin(spark):
+    from nolock_social_ocr_services_spark.functions.multimodal import resize_dims
+
+    df = spark.createDataFrame(
+        [(1, 512, 256), (2, 100, 50), (3, 256, 1024), (4, 1, 1)],
+        "id long, width int, height int",
+    ).select("id", resize_dims(F.col("width"), F.col("height"), 256).alias("t"))
+    out = {r.id: (r.t.target_w, r.t.target_h) for r in df.collect()}
+    assert out[1] == (256, 128)   # downscale by longest side
+    assert out[2] == (100, 50)    # already fits: untouched
+    assert out[3] == (64, 256)    # portrait
+    assert out[4] == (1, 1)       # floor never hits 0
+
+
+def test_resize_images_stub_alignment(spark):
+    from nolock_social_ocr_services_spark.functions import multimodal as mm
+
+    rows = [(i, bytes([i]) * 10, 300 + i, 200) for i in range(6)] + [
+        (99, None, None, None)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, payload binary, width int, height int"
+    )
+    out = mm.resize_images(df, deterministic_fake=True)
+    got = {r.id: r for r in out.collect()}
+    assert len(got) == 7  # row-for-row: no drops, no dupes
+    assert got[99].resized is None
+    # deterministic: same payload+target -> same token across runs
+    again = {r.id: r.resized for r in mm.resize_images(
+        df, deterministic_fake=True).collect()}
+    assert all(bytes(got[i].resized) == bytes(again[i]) for i in range(6))
+
+
+def test_resize_images_without_fake_raises(spark):
+    from nolock_social_ocr_services_spark.functions import multimodal as mm
+    import pyspark
+
+    df = spark.createDataFrame(
+        [(1, b"xx", 10, 10)], "id long, payload binary, width int, height int"
+    )
+    with pytest.raises(Exception, match="Pillow|NotImplementedError"):
+        mm.resize_images(df, deterministic_fake=False).collect()
