@@ -91,3 +91,46 @@ def shingle_fingerprint(col: Column, k: int = 8) -> Column:
     return F.when(col.isNull() | (n == 0), F.lit(None).cast("string")).otherwise(
         F.array_min(F.transform(starts, lambda i: F.md5(col.substr(i, F.lit(k)))))
     )
+
+
+def dup_word_ratio(col: Column) -> Column:
+    """Within-document repetition signal (Gopher-style quality rule):
+    1 - distinct_words / total_words over whitespace tokens, lowercased.
+    0.0 = no repetition; high values flag boilerplate/spam. NULL/empty
+    text -> NULL. Pure built-ins, no explode — the token arrays live
+    inside one row."""
+    words = F.filter(
+        F.split(F.trim(F.lower(col)), r"\s+"), lambda w: w != F.lit("")
+    )
+    n = F.size(words)
+    return F.when(col.isNull() | (n == 0), F.lit(None).cast("double")).otherwise(
+        1.0 - F.size(F.array_distinct(words)) / n
+    )
+
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace email addresses and phone-number-shaped runs with typed
+    placeholder tokens. Both patterns are dialect-portable (valid and
+    equivalent in Java regex and RE2/DuckDB), so an oracle can re-run
+    the same redaction."""
+    no_email = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(no_email, PHONE_RE, "<PHONE>")
+
+
+def pii_counts(col: Column) -> Column:
+    """struct(n_emails, n_phones) found in the text (count before any
+    redaction; phones counted on the email-redacted text so an email's
+    digits never double-count)."""
+    no_email = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    return F.struct(
+        F.size(F.regexp_extract_all(col, F.lit(EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(
+            F.regexp_extract_all(no_email, F.lit(PHONE_RE), F.lit(0))
+        ).alias("n_phones"),
+    )

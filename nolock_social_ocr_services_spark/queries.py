@@ -104,6 +104,57 @@ FROM documents
 """
 
 
+def q_repetition(spark, sf_dir):
+    """Within-doc repetition (dup-word ratio) - Gopher-style quality
+    rule; rounded for cross-engine float stability."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", F.round(tx.dup_word_ratio(F.col("text")), 6).alias("dup_ratio")
+    )
+
+
+SQL_REPETITION = r"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     w -> w <> '') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN ws IS NULL OR len(ws) = 0 THEN NULL
+            ELSE round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6)
+       END AS dup_ratio
+FROM words
+"""
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub: email/phone counts + md5 of the redacted text (same
+    regexes re-run by the oracle - both patterns portable across Java
+    regex and DuckDB's RE2)."""
+    d = _docs(spark, sf_dir)
+    c = tx.pii_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        c["n_emails"].alias("n_emails"),
+        c["n_phones"].alias("n_phones"),
+        F.md5(tx.redact_pii(F.col("text"))).alias("redacted_md5"),
+    )
+
+
+SQL_PII_REDACT = rf"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{tx.EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(
+             regexp_replace(text, '{tx.EMAIL_RE}', '<EMAIL>', 'g'),
+             '{tx.PHONE_RE}')) AS n_phones,
+       md5(regexp_replace(
+             regexp_replace(text, '{tx.EMAIL_RE}', '<EMAIL>', 'g'),
+             '{tx.PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM documents
+"""
+
+
 # -- dedup ---------------------------------------------------------------------
 
 
@@ -1102,6 +1153,8 @@ def extra_queries() -> dict[str, tuple]:
         "text_stats": (q_text_stats, SQL_TEXT_STATS),
         "lang_id": (q_lang_id, SQL_LANG_ID),
         "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+        "repetition": (q_repetition, SQL_REPETITION),
+        "pii_redact": (q_pii_redact, SQL_PII_REDACT),
         "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
         "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
         "lsh_candidates": (q_lsh_candidates, SQL_LSH_CANDIDATES),

@@ -96,3 +96,43 @@ def test_fingerprint_shift_invariance(spark):
     # min-shingle of superstring <= min-shingle of substring; equal unless
     # the prefix introduces a smaller shingle
     assert got[1] <= got[0]
+
+
+def test_dup_word_ratio(spark):
+    from nolock_social_ocr_services_spark.functions.text import dup_word_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "all words unique here"),
+            (2, "spam spam spam spam"),
+            (3, "Spam SPAM ok"),   # case-insensitive: 2 distinct / 3
+            (4, ""),
+            (5, None),
+        ],
+        "id long, text string",
+    ).select("id", F.round(dup_word_ratio(F.col("text")), 4).alias("r"))
+    out = {r.id: r.r for r in df.collect()}
+    assert out[1] == 0.0
+    assert out[2] == 0.75
+    assert abs(out[3] - (1 - 2 / 3)) < 1e-3
+    assert out[4] is None and out[5] is None
+
+
+def test_redact_pii_and_counts(spark):
+    from nolock_social_ocr_services_spark.functions.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b@c.org or call +1 (555) 123-4567 now"),
+         (2, "no pii at all")],
+        "id long, text string",
+    ).select("id", redact_pii(F.col("text")).alias("red"),
+             pii_counts(F.col("text")).alias("c"))
+    rows = {r.id: r for r in df.collect()}
+    assert "<EMAIL>" in rows[1].red and "<PHONE>" in rows[1].red
+    assert "a.b@c.org" not in rows[1].red and "555" not in rows[1].red
+    assert rows[1].c.n_emails == 1 and rows[1].c.n_phones == 1
+    assert rows[2].c.n_emails == 0 and rows[2].c.n_phones == 0
+    assert rows[2].red == "no pii at all"
