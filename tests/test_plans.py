@@ -76,3 +76,47 @@ def test_classifier_udf_input_is_prefix_projection(spark, corpus_path):
     flat = pipeline.extract_spans(docs, salt_buckets=16)
     plan = explain_str(flat)
     assert "unbase64" in plan and "substring" in plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Runtime skew handling: with AQE skew-join enabled (our session
+    default) a pathologically hot join key is split into multiple
+    tasks — 'skew=true' appears in the adaptive plan — instead of one
+    straggler task processing the whole key. Static salting
+    (operators/salt.py) covers the pipeline's own shuffle; AQE covers
+    ad-hoc joins at runtime."""
+    conf = spark.conf
+    old = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        left = spark.range(40000).select(
+            # 90% of rows share key 0 -> one hot shuffle partition
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        # right side: unique keys, so the join's output stays left-sized
+        right = spark.range(40000).select(
+            F.col("id").alias("k"),
+            F.sha2(F.col("id").cast("string"), 512).alias("pad2"),
+        )
+        j = left.join(right, "k")
+        # execute through the SAME Dataset: AQE's final plan (with the
+        # skew split) only exists on the executed QueryExecution
+        assert len(j.collect()) == 40000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            conf.set(k, v)
