@@ -40,7 +40,7 @@ _FLAT = f"({corpus.oracle_flat_spans_sql()})"
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full classify->OCR->extract->reassemble pipeline on
     sf0.001, summarized per document."""
-    docs = corpus.synthesize_documents(spark, SF0001)
+    docs = corpus.materialized_documents(spark, SF0001)
     flat = pipeline.extract_spans(docs, salt_buckets=32)
     return flat.groupBy("doc_id").agg(
         F.count("*").alias("n_spans"),
@@ -73,7 +73,7 @@ def _q_mime_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = corpus.synthesize_documents(spark, sf_dir)
+    docs = corpus.materialized_documents(spark, sf_dir)
     return pipeline.extract_spans(docs, salt_buckets=32)
 
 
@@ -124,7 +124,7 @@ def _q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_span_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1/W2: offset-order reconstruction after explode + salted shuffle."""
-    docs = corpus.synthesize_documents(spark, sf_dir)
+    docs = corpus.materialized_documents(spark, sf_dir)
     exploded = pipeline.explode_spans(docs)
     salted = salted_repartition(exploded, salt_buckets=32)
     rebuilt = reassemble_spans(salted)

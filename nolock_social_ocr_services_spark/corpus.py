@@ -257,3 +257,42 @@ def write_corpus(
     synthesize_documents(spark, sf_dir, replicate=replicate).repartition(
         partitions
     ).write.mode("overwrite").parquet(out_path)
+
+
+def materialized_documents(
+    spark: SparkSession, sf_dir: str, replicate: int = 1
+) -> DataFrame:
+    """Deterministic staging cache for the synthesized nested corpus.
+
+    The pipeline's real input is a TABLE SCAN (input_hint: an Iceberg
+    table of documents) — so queries should read one materialized table
+    rather than re-running the nest shuffle per query. Synthesizes once
+    per (sf_dir, documents.parquet mtime, replicate) into tmpfs, then
+    serves the parquet scan; concurrent writers race safely via
+    write-to-tmp + atomic rename (first one wins, losers read the
+    winner's table).
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    src = f"{sf_dir}/documents.parquet"
+    try:
+        mtime = int(os.stat(src).st_mtime)
+    except OSError:
+        mtime = 0
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}|{mtime}|{replicate}".encode()
+    ).hexdigest()[:12]
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    path = f"{base}/spark_graft_corpus_{key}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        tmp = f"{path}.tmp_{os.getpid()}"
+        parts = max(8, spark.sparkContext.defaultParallelism)
+        write_corpus(spark, sf_dir, tmp, partitions=parts, replicate=replicate)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)
