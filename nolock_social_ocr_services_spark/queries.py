@@ -514,6 +514,80 @@ FROM events GROUP BY event_type
 
 
 
+def q_users_intersect(spark, sf_dir):
+    """Set intersection: users heavy in BOTH click and view."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def heavy(event_type):
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= 15)
+            .select("user_id")
+        )
+
+    return heavy("click").intersect(heavy("view"))
+
+
+SQL_USERS_INTERSECT = """
+SELECT user_id FROM events WHERE event_type = 'click'
+GROUP BY user_id HAVING count(*) >= 15
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'view'
+GROUP BY user_id HAVING count(*) >= 15
+"""
+
+
+def q_event_cube(spark, sf_dir):
+    """CUBE over (event_type, user bucket): all four grouping levels in
+    one pass - partial aggregation expands grouping sets map-side, one
+    shuffle total (vs 4 scans union'd)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "user_bucket", (F.col("user_id") % 4).cast("long")
+    )
+    return ev.cube("event_type", "user_bucket").agg(
+        F.grouping("event_type").cast("long").alias("g_type"),
+        F.grouping("user_bucket").cast("long").alias("g_bucket"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_EVENT_CUBE = """
+SELECT event_type, user_id % 4 AS user_bucket,
+       CAST(grouping(event_type) AS BIGINT) AS g_type,
+       CAST(grouping(user_bucket) AS BIGINT) AS g_bucket,
+       count(*) AS n
+FROM events GROUP BY CUBE(event_type, user_bucket)
+"""
+
+
+def q_event_pivot(spark, sf_dir):
+    """PIVOT event_type rows into per-type count columns (explicit
+    value list => single-pass pivot aggregate, no second scan to
+    discover distinct keys - the 100-TB form)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    types = ["click", "view", "purchase", "error", "signup"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, [t for t in types])
+        .withColumnsRenamed({t: f"n_{t}" for t in types})
+    )
+
+
+SQL_EVENT_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'view') AS n_view,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'error') AS n_error,
+       count(*) FILTER (event_type = 'signup') AS n_signup
+FROM events GROUP BY user_id
+"""
+
+
 # -- S4: URL extension -> MIME fallback map ------------------------------------
 #
 # The driver tables carry no URL column, so the query synthesizes
@@ -1165,6 +1239,9 @@ def extra_queries() -> dict[str, tuple]:
         "first_events": (q_first_events, SQL_FIRST_EVENTS),
         "event_gaps": (q_event_gaps, SQL_EVENT_GAPS),
         "users_except": (q_users_except, SQL_USERS_EXCEPT),
+        "users_intersect": (q_users_intersect, SQL_USERS_INTERSECT),
+        "event_cube": (q_event_cube, SQL_EVENT_CUBE),
+        "event_pivot": (q_event_pivot, SQL_EVENT_PIVOT),
         "events_json": (q_events_json, SQL_EVENTS_JSON),
         "top_parts": (q_top_parts, SQL_TOP_PARTS),
         "explode_tokens": (q_explode_tokens, SQL_EXPLODE_TOKENS),
