@@ -978,6 +978,42 @@ FROM sessions GROUP BY user_id, session_id
 """
 
 
+def q_session_window(spark, sf_dir):
+    """Spark's native session_window aggregate (batch mode; the same
+    expression works under readStream with a watermark). Must agree
+    with the manual lag+cumsum sessionization (user_sessions) - the
+    oracle IS that manual form, so the two independent formulations
+    cross-check each other."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "8 hours").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"))
+        .select("user_id", "n_events", "session_start", "session_end")
+    )
+
+
+SQL_SESSION_WINDOW = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 28800 SECOND
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup pairs -> connected components -> (doc_id, cluster_id);
     singleton docs are their own cluster. Oracle = DuckDB recursive-CTE
@@ -1264,6 +1300,7 @@ def extra_queries() -> dict[str, tuple]:
         "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
         "asof_click_view": (q_asof_click_view, SQL_ASOF_CLICK_VIEW),
         "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
+        "session_window": (q_session_window, SQL_SESSION_WINDOW),
         "ivf_top3": (q_ivf_top3, SQL_IVF_TOP3),
         "decode_image_meta": (
             q_decode_image_meta,

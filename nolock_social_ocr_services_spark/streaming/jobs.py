@@ -156,3 +156,37 @@ def priority_rate_limited_sink(
         process(batch_df.orderBy(*cols), batch_id)
 
     return stream.writeStream.foreachBatch(handle)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "1 minute",
+    within: str = "INTERVAL 1 MINUTE",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each left event joins
+    right events of the same key from the trailing ``within`` window.
+
+    The event-time range condition + both-side watermarks are what
+    BOUND the join state (Spark evicts right rows older than
+    left_watermark - within): without them a stream-stream join
+    buffers both streams forever. Columns are prefixed l_/r_ so
+    key/ts collisions can't occur.
+    """
+    lw = left.withWatermark(ts_col, watermark).select(
+        [F.col(c).alias(f"l_{c}") for c in left.columns]
+    )
+    rw = right.withWatermark(ts_col, watermark).select(
+        [F.col(c).alias(f"r_{c}") for c in right.columns]
+    )
+    cond = (
+        (F.col(f"l_{key}") == F.col(f"r_{key}"))
+        & (F.col(f"r_{ts_col}") <= F.col(f"l_{ts_col}"))
+        & (
+            F.col(f"r_{ts_col}")
+            >= F.expr(f"l_{ts_col} - {within}")
+        )
+    )
+    return lw.join(rw, cond, "inner")

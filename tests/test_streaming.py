@@ -167,3 +167,41 @@ def test_priority_rate_limited_sink(spark, tmp_path_factory):
     assert len(seen) == 30 and len({r for _, r in seen}) == 30  # nothing dropped
     for b in batches:  # within every admitted window: priority order
         assert b == sorted(b, key=lambda pr: (-pr[0], pr[1]))
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path_factory):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    lrows = [(i, i % 4, base + dt.timedelta(seconds=20 * i)) for i in range(40)]
+    rrows = [(100 + i, i % 4, base + dt.timedelta(seconds=20 * i + 5))
+             for i in range(40)]
+    ld = str(tmp_path_factory.mktemp("ssj_l"))
+    rd = str(tmp_path_factory.mktemp("ssj_r"))
+    lbatch = spark.createDataFrame(lrows, "event_id long, user_id long, ts timestamp")
+    rbatch = spark.createDataFrame(rrows, "event_id long, user_id long, ts timestamp")
+    lbatch.repartition(4).write.mode("overwrite").parquet(ld)
+    rbatch.repartition(4).write.mode("overwrite").parquet(rd)
+    schema = spark.read.parquet(ld).schema
+    ls = spark.readStream.schema(schema).parquet(ld)
+    rs = spark.readStream.schema(schema).parquet(rd)
+    q = (
+        jobs.stream_stream_join(ls, rs, watermark="30 seconds",
+                                within="INTERVAL 2 MINUTES")
+        .writeStream.format("memory")
+        .queryName("ssj_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.l_event_id, r.r_event_id) for r in spark.table("ssj_t").collect()
+    }
+    expected = {
+        (le, re)
+        for le, lu, lt in lrows
+        for re, ru, rt in rrows
+        if lu == ru and rt <= lt and rt >= lt - dt.timedelta(minutes=2)
+    }
+    assert got == expected and len(expected) > 0
