@@ -120,3 +120,20 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in old.items():
             conf.set(k, v)
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path_factory):
+    """Hive-style partitioned output (the standard 100-TB table layout:
+    partition by low-cardinality routing columns) + proof that a filter
+    on the partition column becomes a PartitionFilter — pruned at
+    planning, non-matching directories never opened."""
+    out = str(tmp_path_factory.mktemp("part_out"))
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters"
+    )[1][:120]
+    # count matches the unpartitioned source
+    assert back.count() == ev.filter(F.col("event_type") == "click").count()
