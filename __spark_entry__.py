@@ -275,22 +275,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
         """,
         "extraction_stats": f"""
+            -- CAST sums to BIGINT: DuckDB sum(int) yields HUGEINT, which
+            -- canonicalizes as float64 driver-side; Spark emits BIGINT.
             SELECT mime,
                    count(*) AS n_spans,
-                   sum(CASE WHEN mime <> 'application/octet-stream' THEN 1 ELSE 0 END) AS n_parsed,
-                   sum(CASE WHEN mime = 'application/octet-stream' THEN 1 ELSE 0 END) AS n_errors,
-                   sum(CASE WHEN mime <> 'application/octet-stream'
-                            THEN {e['ocr_tokens']} ELSE NULL END) AS sum_tokens
+                   CAST(sum(CASE WHEN mime <> 'application/octet-stream' THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+                   CAST(sum(CASE WHEN mime = 'application/octet-stream' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+                   CAST(sum(CASE WHEN mime <> 'application/octet-stream'
+                            THEN {e['ocr_tokens']} ELSE NULL END) AS BIGINT) AS sum_tokens
             FROM {_FLAT} f
             WHERE media_ref IS NOT NULL
             GROUP BY mime
         """,
         "batch_stats": f"""
             SELECT kind,
-                   sum(CASE WHEN mime <> 'application/octet-stream' THEN 1 ELSE 0 END) AS success_count,
-                   sum(CASE WHEN mime = 'application/octet-stream' THEN 1 ELSE 0 END) AS failure_count,
-                   round(avg(CASE WHEN mime <> 'application/octet-stream' THEN 0.8 END), 6) AS avg_confidence,
-                   round(sum(CASE WHEN mime <> 'application/octet-stream' THEN 1.0 ELSE 0.0 END) / count(*), 6) AS success_rate
+                   CAST(sum(CASE WHEN mime <> 'application/octet-stream' THEN 1 ELSE 0 END) AS BIGINT) AS success_count,
+                   CAST(sum(CASE WHEN mime = 'application/octet-stream' THEN 1 ELSE 0 END) AS BIGINT) AS failure_count,
+                   CAST(round(avg(CASE WHEN mime <> 'application/octet-stream' THEN 0.8 END), 6) AS DOUBLE) AS avg_confidence,
+                   CAST(round(sum(CASE WHEN mime <> 'application/octet-stream' THEN 1.0 ELSE 0.0 END) / count(*), 6) AS DOUBLE) AS success_rate
             FROM {_FLAT} f
             WHERE media_ref IS NOT NULL
             GROUP BY kind

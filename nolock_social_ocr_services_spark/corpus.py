@@ -279,11 +279,15 @@ def materialized_documents(
 
     src = f"{sf_dir}/documents.parquet"
     try:
-        mtime = int(os.stat(src).st_mtime)
+        # ns-resolution mtime + size: a regenerated source within the
+        # same second (or an equal-mtime swap) must not serve a stale
+        # cached corpus.
+        st = os.stat(src)
+        stamp = f"{st.st_mtime_ns}|{st.st_size}"
     except OSError:
-        mtime = 0
+        stamp = "absent"
     key = hashlib.md5(
-        f"{os.path.abspath(src)}|{mtime}|{replicate}".encode()
+        f"{os.path.abspath(src)}|{stamp}|{replicate}".encode()
     ).hexdigest()[:12]
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     path = f"{base}/spark_graft_corpus_{key}"
@@ -294,5 +298,11 @@ def materialized_documents(
         try:
             os.rename(tmp, path)
         except OSError:
+            # Expected cause: a concurrent winner already created
+            # ``path``. But on OTHER failures (EXDEV, permissions) there
+            # is no winner — fall back to the freshly written tmp table
+            # rather than rmtree'ing it and reading a nonexistent path.
+            if not os.path.exists(f"{path}/_SUCCESS"):
+                return spark.read.parquet(tmp)
             shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(path)

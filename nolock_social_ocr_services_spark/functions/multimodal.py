@@ -158,9 +158,10 @@ def resize_images(
     with_dims = df.withColumn(
         "_target", resize_dims(F.col(width_col), F.col(height_col), max_side)
     )
+    # `_target` is a stage-internal helper: it must not leak into the
+    # output schema (downstream selects / written schemas).
     out_schema = T.StructType(
-        list(with_dims.schema.fields)
-        + [T.StructField("resized", T.BinaryType(), True)]
+        list(df.schema.fields) + [T.StructField("resized", T.BinaryType(), True)]
     )
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -179,7 +180,7 @@ def resize_images(
                         bytes(p) + b"|%dx%d" % (t["target_w"], t["target_h"])
                     ).digest()
                     resized.append(token)
-            out = pdf.reset_index(drop=True)
+            out = pdf.reset_index(drop=True).drop(columns=["_target"])
             out["resized"] = resized
             yield out
 

@@ -121,9 +121,20 @@ def lsh_topk(
     Recall < 1 by construction (neighbors in other buckets are missed);
     verified against ``cosine_topk`` in tests. Bucket key cardinality
     2^bits spreads the join; tune bits so corpus/2^bits rows fit a task.
+
+    ``dim`` must be known at plan-build time: pass it explicitly or
+    attach ``{"dim": n}`` metadata to the vector column — inferring it
+    from data would silently trigger a Spark job inside the operator.
     """
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        meta = df.schema[vec_col].metadata or {}
+        dim = meta.get("dim")
+    if dim is None:
+        raise ValueError(
+            f"vector dimension unknown: pass dim= or attach {{'dim': n}} "
+            f"metadata to column {vec_col!r} (plan-build must not run a job)"
+        )
+    dim = int(dim)
     planes = random_hyperplanes(dim, bits, seed)
     sig = with_unit_vector(df, vec_col).select(
         F.col(id_col).alias("id"),

@@ -284,11 +284,15 @@ def q_lineitem_agg(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(dec)).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(dec)).alias("sum_base_price"),
+            # decimal aggregates rendered as strings: driver-side
+            # canonicalization turns DuckDB DECIMAL into float64 but
+            # Spark DECIMAL into Decimal objects — pin the text form
+            # (scale-exact) on both engines instead.
+            F.sum(F.col("l_quantity").cast(dec)).cast("decimal(38,6)").cast("string").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(dec)).cast("decimal(38,6)").cast("string").alias("sum_base_price"),
             F.sum(
                 (F.col("l_extendedprice").cast(dec) * (F.lit(1).cast(dec) - F.col("l_discount").cast(dec))).cast(dec)
-            ).alias("revenue"),
+            ).cast("decimal(38,6)").cast("string").alias("revenue"),
             F.count("*").alias("count_order"),
         )
     )
@@ -296,10 +300,10 @@ def q_lineitem_agg(spark, sf_dir):
 
 SQL_LINEITEM_AGG = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(28,6))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS sum_base_price,
-       sum(CAST(CAST(l_extendedprice AS DECIMAL(28,6))
-           * (CAST(1 AS DECIMAL(28,6)) - CAST(l_discount AS DECIMAL(28,6))) AS DECIMAL(28,6))) AS revenue,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_qty,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_base_price,
+       CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(28,6))
+           * (CAST(1 AS DECIMAL(28,6)) - CAST(l_discount AS DECIMAL(28,6))) AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS VARCHAR) AS revenue,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -315,14 +319,15 @@ def q_customer_revenue(spark, sf_dir):
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(28,4)")).alias("total_spent"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+            .cast("decimal(38,4)").cast("string").alias("total_spent"),
         )
     )
 
 
 SQL_CUSTOMER_REVENUE = """
 SELECT c_custkey, c_name, count(*) AS n_orders,
-       sum(CAST(o_totalprice AS DECIMAL(28,4))) AS total_spent
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS VARCHAR) AS total_spent
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name
 """
@@ -409,12 +414,16 @@ def q_top_parts(spark, sf_dir):
     return (
         p.orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
         .limit(10)
-        .select("p_partkey", "p_name", F.col("p_retailprice").cast("decimal(18,2)").alias("price"))
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("p_retailprice").cast("decimal(18,2)").cast("string").alias("price"),
+        )
     )
 
 
 SQL_TOP_PARTS = """
-SELECT p_partkey, p_name, CAST(p_retailprice AS DECIMAL(18,2)) AS price
+SELECT p_partkey, p_name, CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS VARCHAR) AS price
 FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 10
 """
 
@@ -967,9 +976,11 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
 sessions AS (
+  -- CAST to BIGINT: DuckDB's windowed sum(int) is HUGEINT (float64
+  -- after driver canonicalization); Spark's session_id is BIGINT.
   SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,

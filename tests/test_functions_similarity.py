@@ -35,7 +35,7 @@ def test_cosine_topk_matches_numpy(spark, emb):
 
 def test_lsh_recall_against_exact(spark, emb):
     exact = sim.cosine_topk(emb, k=3)
-    approx = sim.lsh_topk(emb, k=3, bits=2)
+    approx = sim.lsh_topk(emb, k=3, bits=2, dim=64)
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
@@ -52,9 +52,27 @@ def test_lsh_recall_against_exact(spark, emb):
 
 
 def test_srp_buckets_deterministic(spark, emb):
-    b1 = sim.lsh_topk(emb, k=2, bits=6, seed=7).collect()
-    b2 = sim.lsh_topk(emb, k=2, bits=6, seed=7).collect()
+    b1 = sim.lsh_topk(emb, k=2, bits=6, seed=7, dim=64).collect()
+    b2 = sim.lsh_topk(emb, k=2, bits=6, seed=7, dim=64).collect()
     assert sorted(map(tuple, b1)) == sorted(map(tuple, b2))
+
+
+def test_lsh_plan_build_runs_no_job(spark, emb):
+    """Building the lsh_topk plan must not trigger a Spark job (dim
+    comes from the argument / column metadata, never from .first())."""
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup())
+    df = sim.lsh_topk(emb, k=2, bits=4, dim=64)
+    assert df.columns == ["query_id", "neighbor_id", "rank", "sim"]
+    assert set(tracker.getJobIdsForGroup()) == before
+    with pytest.raises(ValueError, match="dimension unknown"):
+        sim.lsh_topk(emb, k=2, bits=4)
+    # dim via column metadata also builds without a job
+    with_meta = emb.withColumn(
+        "embedding", F.col("embedding").alias("embedding", metadata={"dim": 64})
+    )
+    sim.lsh_topk(with_meta, k=2, bits=4)
+    assert set(tracker.getJobIdsForGroup()) == before
 
 
 def test_unit_vector_norm(spark, emb):

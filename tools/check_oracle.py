@@ -1,13 +1,21 @@
 """Local mimic of the driver's correctness gate: run every
 __spark_entry__.queries() entry at sf0.01 (or $SF_DIR) and compare to
 its oracle_sql() DuckDB result — row count, column names, and full
-sorted-value equality (stricter than the driver's hash).
+sorted-value equality.
+
+Values are compared AFTER pandas conversion on both sides (DuckDB
+``.df()``, Spark ``.toPandas()``) because that is the channel where the
+round-1 driver hash mismatches appeared: DuckDB HUGEINT and DECIMAL
+become float64 in pandas while Spark BIGINT stays int64 and DECIMAL
+stays ``decimal.Decimal`` — value-equal rows then stringify differently.
+Stringifying post-pandas catches exactly that class locally.
 
 Usage: python tools/check_oracle.py [query ...]
 """
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 
@@ -24,18 +32,35 @@ TABLES = (
 ).split()
 
 
-def norm(v):
+def canon(v) -> str:
+    """Canonical string for one cell, post-pandas. Type-faithful: int64 5
+    -> '5' but float64 5.0 -> '5.0', Decimal('5.000000') -> '5.000000' —
+    so cross-engine type drift is a mismatch even when values agree."""
     if v is None:
-        return (0, "")
-    if isinstance(v, bool):
-        return (1, str(v))
+        return ""
     if isinstance(v, float):
-        return (2, str(round(v, 9)))
-    if hasattr(v, "as_tuple"):  # Decimal
-        return (2, str(v))
-    if isinstance(v, int):
-        return (2, str(v))
-    return (3, str(v))
+        if math.isnan(v):
+            return ""
+        return repr(round(v, 9))
+    try:  # pandas NaT / pd.NA
+        import pandas as pd
+
+        if v is pd.NaT or v is pd.NA:
+            return ""
+    except Exception:
+        pass
+    if isinstance(v, bool):
+        return str(v)
+    return str(v)
+
+
+def frame_rows(df) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = []
+    for row in df[cols].itertuples(index=False, name=None):
+        out.append(tuple(canon(v) for v in row))
+    out.sort()
+    return out
 
 
 def main() -> int:
@@ -55,23 +80,17 @@ def main() -> int:
         if only and name not in only:
             continue
         sdf = fn(spark, sf_dir)
-        spark_cols = sorted(sdf.columns)
-        spark_rows = sorted(
-            tuple(norm(v) for v in (row[c] for c in spark_cols))
-            for row in sdf.collect()
-        )
+        spark_pd = sdf.toPandas()
+        spark_cols = sorted(spark_pd.columns)
+        spark_rows = frame_rows(spark_pd)
         if name not in oracles:
             print(f"{name:24s} rows={len(spark_rows):7d}  (no oracle: rows-only)")
             if not spark_rows:
                 failures.append((name, "0 rows, no oracle"))
             continue
-        rel = con.sql(oracles[name])
-        duck_cols_raw = rel.columns
-        order = sorted(range(len(duck_cols_raw)), key=lambda i: duck_cols_raw[i])
-        duck_cols = sorted(duck_cols_raw)
-        duck_rows = sorted(
-            tuple(norm(r[i]) for i in order) for r in rel.fetchall()
-        )
+        duck_pd = con.sql(oracles[name]).df()
+        duck_cols = sorted(duck_pd.columns)
+        duck_rows = frame_rows(duck_pd)
         status = "OK"
         if spark_cols != duck_cols:
             status = f"COLUMN MISMATCH spark={spark_cols} duck={duck_cols}"
