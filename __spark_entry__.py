@@ -26,6 +26,7 @@ from nolock_social_ocr_services_spark.extract.ocr import (
     DUCK,
     ocr_field_exprs,
     oracle_ocr_text_sql,
+    sql_money,
 )
 from nolock_social_ocr_services_spark.operators.classify import classify_mime
 from nolock_social_ocr_services_spark.operators.reassemble import reassemble_spans
@@ -174,6 +175,176 @@ def _q_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_receipts_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full nested Receipt contract (ReceiptModels.cs:408-445) with real
+    full->simple fallback: rows whose markdown lacks the full block parse
+    only the simple model (schema_used='simple', full fields NULL)."""
+    flat = _extracted(spark, sf_dir)
+    rf = F.col("receipt_full")
+    return flat.filter(
+        F.col("receipt").isNotNull() | rf.isNotNull()
+    ).select(
+        "doc_id",
+        "offset",
+        F.coalesce(rf["merchant"]["name"], F.col("receipt.merchant_name")).alias(
+            "merchant_name"
+        ),
+        rf["merchant"]["address"].alias("merchant_address"),
+        rf["merchant"]["phone"].alias("merchant_phone"),
+        rf["totals"]["subtotal"].cast("decimal(18,2)").cast("string").alias("subtotal"),
+        F.when(rf.isNotNull(), F.size(rf["items"])).alias("n_items"),
+        F.when(rf.isNotNull(), F.size(rf["warnings"])).alias("n_warnings"),
+        "schema_used",
+    )
+
+
+def _q_receipt_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-array extraction at scale: Receipt.Items exploded to one
+    row per line item (ReceiptModels.cs:260-290)."""
+    flat = _extracted(spark, sf_dir)
+    rf = F.col("receipt_full")
+    exploded = flat.filter(rf.isNotNull()).select(
+        "doc_id", "offset", F.posexplode(rf["items"])
+    )
+    return exploded.select(
+        "doc_id",
+        "offset",
+        (F.col("pos") + 1).cast("int").alias("item_idx"),
+        F.col("col.description").alias("description"),
+        F.col("col.quantity").alias("quantity"),
+        F.col("col.unit_price").cast("decimal(18,2)").cast("string").alias("unit_price"),
+        F.col("col.total_price").cast("decimal(18,2)").cast("string").alias("line_total"),
+    )
+
+
+def _q_extract_checks_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Check contract (CheckModels.cs:85-162): routing/account/memo
+    block with domain-validated account_type; simple fallback rows carry
+    NULL full fields."""
+    flat = _extracted(spark, sf_dir)
+    cf = F.col("check_full")
+    return flat.filter(
+        F.col("check").isNotNull() | cf.isNotNull()
+    ).select(
+        "doc_id",
+        "offset",
+        F.coalesce(cf["check_number"], F.col("check.check_number")).alias(
+            "check_number"
+        ),
+        cf["check_date"].alias("check_date"),
+        cf["routing_number"].alias("routing_number"),
+        cf["account_number"].alias("account_number"),
+        cf["account_type"].alias("account_type"),
+        cf["memo"].alias("memo"),
+        "schema_used",
+    )
+
+
+def _q_ocr_page_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR page image regions + page dimensions (OcrImageObject bbox +
+    dimensions, OcrModels.cs:146-172): nested array<struct<index,bbox>>
+    materialized and exploded. Trie classify -> metadata, zero Python."""
+    from nolock_social_ocr_services_spark.extract.ocr import with_ocr_metadata
+
+    spans = (
+        corpus.flat_spans(spark, sf_dir)
+        .filter(F.col("media_ref").isNotNull())
+        .select("doc_id", "offset", "media_ref")
+    )
+    classified = classify_mime(spans, data_url_col="media_ref", out_col="mime")
+    meta = with_ocr_metadata(classified)
+    exploded = meta.filter(F.col("ocr_images").isNotNull()).select(
+        "doc_id", "offset", "ocr_dims", F.posexplode("ocr_images")
+    )
+    return exploded.select(
+        "doc_id",
+        "offset",
+        F.col("col.index").alias("img_idx"),
+        F.col("col.bbox.x").alias("x"),
+        F.col("col.bbox.y").alias("y"),
+        F.col("col.bbox.width").alias("w"),
+        F.col("col.bbox.height").alias("h"),
+        F.col("ocr_dims.width").alias("page_width"),
+        F.col("ocr_dims.height").alias("page_height"),
+    )
+
+
+def _q_ocr_result_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR result metadata map + processing time (MistralOcrResult
+    {Metadata: Dictionary, ProcessingTime}, MistralOcrResult.cs:3-11):
+    MapType access + size, derived without any Python stage."""
+    from nolock_social_ocr_services_spark.extract.ocr import with_ocr_metadata
+
+    spans = (
+        corpus.flat_spans(spark, sf_dir)
+        .filter(F.col("media_ref").isNotNull())
+        .select("doc_id", "offset", "media_ref")
+    )
+    classified = classify_mime(spans, data_url_col="media_ref", out_col="mime")
+    meta = with_ocr_metadata(classified)
+    return meta.filter(F.col("ocr_meta").isNotNull()).select(
+        "doc_id",
+        "offset",
+        "processing_ms",
+        F.col("ocr_meta")["model"].alias("meta_model"),
+        F.col("ocr_meta")["pages"].alias("meta_pages"),
+        F.size("ocr_meta").alias("n_meta"),
+    )
+
+
+def _q_validate_enums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enum-domain validation battery with quarantine side-counts
+    (ReceiptModels.cs:11-192, CheckModels.cs:11-57): per enum field,
+    how many raw values are in-domain / out-of-domain / absent."""
+    from nolock_social_ocr_services_spark.extract.ocr import (
+        ACCOUNT_TYPE_CYCLE,
+        PAYMENT_CYCLE,
+    )
+
+    flat = _extracted(spark, sf_dir)
+    media = flat.filter(F.col("media_ref").isNotNull())
+
+    def raw(label: str) -> F.Column:
+        return F.nullif(
+            F.regexp_extract("text", rf"(?m)^{label}:\s*(.+?)\s*$", 1), F.lit("")
+        )
+
+    def status(r: F.Column, domain: tuple) -> F.Column:
+        return (
+            F.when(r.isNull(), F.lit("missing"))
+            .when(r.isin(*domain), F.lit("valid"))
+            .otherwise(F.lit("invalid"))
+        )
+
+    per_field = media.select(
+        F.explode(
+            F.array(
+                F.when(
+                    F.col("kind") == "image",
+                    F.struct(
+                        F.lit("payment_method").alias("field"),
+                        status(raw("Payment"), PAYMENT_CYCLE).alias("status"),
+                    ),
+                ),
+                F.when(
+                    F.col("kind") == "pdf",
+                    F.struct(
+                        F.lit("account_type").alias("field"),
+                        status(raw("Account Type"), ACCOUNT_TYPE_CYCLE).alias(
+                            "status"
+                        ),
+                    ),
+                ),
+            )
+        ).alias("fs")
+    ).filter(F.col("fs").isNotNull())
+    return per_field.groupBy(F.col("fs.field").alias("field")).agg(
+        F.sum((F.col("fs.status") == "valid").cast("long")).alias("n_valid"),
+        F.sum((F.col("fs.status") == "invalid").cast("long")).alias("n_invalid"),
+        F.sum((F.col("fs.status") == "missing").cast("long")).alias("n_missing"),
+    )
+
+
 def _q_filter_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1-P7 filter/validation battery over the corpus spans."""
     spans = corpus.flat_spans(spark, sf_dir)
@@ -203,6 +374,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mime_histogram": _q_mime_histogram,
         "extract_receipts": _q_extract_receipts,
         "extract_checks": _q_extract_checks,
+        "extract_receipts_full": _q_extract_receipts_full,
+        "receipt_items": _q_receipt_items,
+        "extract_checks_full": _q_extract_checks_full,
+        "validate_enums": _q_validate_enums,
+        "ocr_page_regions": _q_ocr_page_regions,
+        "ocr_result_meta": _q_ocr_result_meta,
         "ocr_text": _q_ocr_text,
         "html_strip": _q_html_strip,
         "span_reassembly": _q_span_reassembly,
@@ -227,6 +404,10 @@ def oracle_sql() -> dict[str, str]:
     }
     e = ocr_field_exprs(DUCK, h="md5(media_ref)")
     ocr_text = oracle_ocr_text_sql(DUCK, mime="mime", h="md5(media_ref)")
+    # item money fragments for receipt_items: `i` is the unnested series
+    # column there, so the lambda-style exprs compose directly.
+    _money_unit = sql_money(e["item_unit_cents"])
+    _money_line = sql_money(f"{e['item_qty']} * {e['item_unit_cents']}")
     strip_pfx = corpus.HTML_PREFIX.replace("'", "''")
     strip_sfx = corpus.HTML_SUFFIX.replace("'", "''")
     return {
@@ -256,6 +437,95 @@ def oracle_sql() -> dict[str, str]:
                    {e['is_signed']} AS is_signed
             FROM {_FLAT} f
             WHERE kind = 'pdf' AND mime = 'application/pdf'
+        """,
+        "extract_receipts_full": f"""
+            SELECT doc_id, "offset",
+                   {e['merchant_name']} AS merchant_name,
+                   CASE WHEN {e['has_full']} THEN {e['merchant_address']} END AS merchant_address,
+                   CASE WHEN {e['has_full']} THEN {e['merchant_phone']} END AS merchant_phone,
+                   CASE WHEN {e['has_full']} THEN {e['subtotal']} END AS subtotal,
+                   CASE WHEN {e['has_full']} THEN {e['items_count']} END AS n_items,
+                   CASE WHEN {e['has_full']} THEN
+                     (CASE WHEN list_sum(list_transform(
+                              generate_series(1, CAST({e['items_count']} AS BIGINT)),
+                              i -> {e['item_qty']} * {e['item_unit_cents']}))
+                           <> {e['subtotal_cents']} THEN 1 ELSE 0 END)
+                   END AS n_warnings,
+                   CASE WHEN {e['has_full']} THEN 'full' ELSE 'simple' END AS schema_used
+            FROM {_FLAT} f
+            WHERE kind = 'image' AND mime <> 'application/octet-stream'
+        """,
+        "receipt_items": f"""
+            WITH src AS (
+              SELECT doc_id, "offset", media_ref,
+                     unnest(generate_series(1, CAST({e['items_count']} AS BIGINT))) AS i
+              FROM {_FLAT} f
+              WHERE kind = 'image' AND mime <> 'application/octet-stream'
+                AND {e['has_full']}
+            )
+            SELECT doc_id, "offset", CAST(i AS INT) AS item_idx,
+                   concat('I-', {e['item_desc']}) AS description,
+                   CAST({e['item_qty']} AS INT) AS quantity,
+                   {_money_unit} AS unit_price,
+                   {_money_line} AS line_total
+            FROM src
+        """,
+        "extract_checks_full": f"""
+            SELECT doc_id, "offset",
+                   {e['check_number']} AS check_number,
+                   CASE WHEN {e['has_full']} THEN {e['check_date']} END AS check_date,
+                   CASE WHEN {e['has_full']} THEN {e['routing_number']} END AS routing_number,
+                   CASE WHEN {e['has_full']} THEN {e['account_number']} END AS account_number,
+                   CASE WHEN {e['has_full']} THEN {e['account_type']} END AS account_type,
+                   CASE WHEN {e['has_full']} THEN {e['memo']} END AS memo,
+                   CASE WHEN {e['has_full']} THEN 'full' ELSE 'simple' END AS schema_used
+            FROM {_FLAT} f
+            WHERE kind = 'pdf' AND mime = 'application/pdf'
+        """,
+        "validate_enums": f"""
+            SELECT 'payment_method' AS field,
+                   count(*) FILTER (WHERE mime <> 'application/octet-stream'
+                                      AND {e['full_mode']} <> 1) AS n_valid,
+                   count(*) FILTER (WHERE mime <> 'application/octet-stream'
+                                      AND {e['full_mode']} = 1) AS n_invalid,
+                   count(*) FILTER (WHERE mime = 'application/octet-stream') AS n_missing
+            FROM {_FLAT} f
+            WHERE kind = 'image' AND media_ref IS NOT NULL
+            UNION ALL
+            SELECT 'account_type' AS field,
+                   count(*) FILTER (WHERE mime = 'application/pdf'
+                                      AND {e['has_full']} AND {e['full_mode']} <> 1) AS n_valid,
+                   count(*) FILTER (WHERE mime = 'application/pdf'
+                                      AND {e['full_mode']} = 1) AS n_invalid,
+                   count(*) FILTER (WHERE mime = 'application/octet-stream'
+                                      OR NOT {e['has_full']}) AS n_missing
+            FROM {_FLAT} f
+            WHERE kind = 'pdf' AND media_ref IS NOT NULL
+        """,
+        "ocr_page_regions": f"""
+            WITH src AS (
+              SELECT doc_id, "offset", media_ref,
+                     unnest(generate_series(0, CAST({e['n_images']} AS BIGINT) - 1)) AS i
+              FROM {_FLAT} f
+              WHERE media_ref IS NOT NULL AND mime <> 'application/octet-stream'
+            )
+            SELECT doc_id, "offset", CAST(i AS INT) AS img_idx,
+                   CAST({e['img_x']} AS INT) AS x,
+                   CAST({e['img_y']} AS INT) AS y,
+                   CAST({e['img_w']} AS INT) AS w,
+                   CAST({e['img_h']} AS INT) AS h,
+                   CAST({e['page_width']} AS INT) AS page_width,
+                   CAST({e['page_height']} AS INT) AS page_height
+            FROM src
+        """,
+        "ocr_result_meta": f"""
+            SELECT doc_id, "offset",
+                   CAST({e['processing_ms']} AS INT) AS processing_ms,
+                   'synth-ocr-v1' AS meta_model,
+                   CAST({e['n_pages']} AS STRING) AS meta_pages,
+                   3 AS n_meta
+            FROM {_FLAT} f
+            WHERE media_ref IS NOT NULL AND mime <> 'application/octet-stream'
         """,
         "ocr_text": f"""
             SELECT doc_id, "offset", {ocr_text} AS ocr_text

@@ -97,6 +97,22 @@ class Dialect:
         """identifier quoting (OFFSET is reserved in DuckDB)"""
         return name if self.name == "spark" else f'"{name}"'
 
+    def concat_over_series(self, n_expr: str, elem_expr: str) -> str:
+        """Concatenate ``elem_expr`` (may reference lambda var ``i``)
+        for i in 1..n_expr. Empty string when n_expr < 1."""
+        if self.name == "spark":
+            # sequence(1, 0) is DESCENDING [1, 0] in Spark — guard n < 1
+            return (
+                f"(CASE WHEN {n_expr} >= 1 THEN array_join("
+                f"transform(sequence(1, {n_expr}), i -> {elem_expr}), '') "
+                f"ELSE '' END)"
+            )
+        return (
+            f"array_to_string(list_transform("
+            f"generate_series(1, greatest(CAST({n_expr} AS BIGINT), 0)),"
+            f" i -> {elem_expr}), '')"
+        )
+
 
 SPARK = Dialect("spark")
 DUCK = Dialect("duckdb")

@@ -59,11 +59,33 @@ _H = "__ocr_h"  # internal md5 column, computed JVM-side
 # money(c) = int(c) rendered as dollars.cents with no float math
 
 PAYMENT_CYCLE = ("cash", "card", "check")
+ACCOUNT_TYPE_CYCLE = ("checking", "savings")
+
+# Full-schema block selector: d19 = int(digits[19]); d19 % 4 == 0 emits
+# ONLY the simple fields (no Address/Subtotal/Items for receipts, no
+# Routing/Account for checks) so the full->simple fallback
+# (OcrExtractionService.cs:51-56) has real rows to fall back ON;
+# d19 % 4 == 1 emits the full block but with an out-of-domain enum value
+# (Payment: crypto / Account Type: bitcoin) so enum validation has real
+# rows to quarantine (ReceiptModels.cs:11-192, CheckModels.cs:11-57).
+INVALID_PAYMENT = "crypto"
+INVALID_ACCOUNT_TYPE = "bitcoin"
 
 
 def _money_py(c: str) -> "pd.Series":
     s = c.astype("int64").astype(str).str.zfill(3)
     return s.str.slice(0, -2) + "." + s.str.slice(-2)
+
+
+def _money_int_py(cents: "pd.Series") -> "pd.Series":
+    s = cents.astype("int64").astype(str).str.zfill(3)
+    return s.str.slice(0, -2) + "." + s.str.slice(-2)
+
+
+def full_mode_of(digits: pd.Series) -> pd.Series:
+    """0 = simple-only markdown, 1 = full block w/ invalid enum,
+    2/3 = full block valid."""
+    return digits.str.slice(19, 20).astype(int) % 4
 
 
 def digits_of(h: pd.Series) -> pd.Series:
@@ -73,23 +95,55 @@ def digits_of(h: pd.Series) -> pd.Series:
     return (h.str.replace(r"[^0-9]", "", regex=True) + "0" * 20).str.slice(0, 20)
 
 
+def receipt_item_fields(
+    digits: pd.Series, i: int
+) -> tuple[pd.Series, pd.Series]:
+    """(quantity, unit_price_cents) for line item ``i`` (1-based)."""
+    qty = 1 + (digits.str.slice(0, 2).astype(int) + 3 * i) % 9
+    unit = 100 + (digits.str.slice(4, 8).astype(int) + 137 * i) % 9900
+    return qty, unit
+
+
 def receipt_markdown(h: pd.Series, digits: pd.Series | None = None) -> pd.Series:
     if digits is None:
         digits = digits_of(h)
     mm = (1 + digits.str.slice(0, 2).astype(int) % 12).astype(str).str.zfill(2)
     dd = (1 + digits.str.slice(2, 4).astype(int) % 28).astype(str).str.zfill(2)
-    total = _money_py(digits.str.slice(4, 10))
-    tax = _money_py(digits.str.slice(10, 14))
-    pay = digits.str.slice(14, 15).astype(int).mod(3).map(dict(enumerate(PAYMENT_CYCLE)))
-    items = (1 + digits.str.slice(15, 16).astype(int) % 9).astype(str)
-    return (
+    total_c = digits.str.slice(4, 10).astype(int)
+    tax_c = digits.str.slice(10, 14).astype(int)
+    total = _money_int_py(total_c)
+    tax = _money_int_py(tax_c)
+    mode = full_mode_of(digits)
+    pay = digits.str.slice(14, 15).astype(int).mod(3).map(
+        dict(enumerate(PAYMENT_CYCLE))
+    ).where(mode != 1, INVALID_PAYMENT)
+    n_items = 1 + digits.str.slice(15, 16).astype(int) % 9
+    base = (
         "# Receipt\n\nMerchant: M-" + h.str.slice(0, 8)
         + "\nDate: 2024-" + mm + "-" + dd
         + "\nTotal: " + total
         + "\nTax: " + tax
         + "\nPayment: " + pay
-        + "\nItems: " + items
+        + "\nItems: " + n_items.astype(str)
     )
+    # full block (mode != 0): merchant contact, subtotal, line items
+    addr = (100 + digits.str.slice(2, 5).astype(int) % 900).astype(str)
+    subtotal = _money_int_py((total_c - tax_c).clip(lower=0))
+    full = (
+        "\nAddress: " + addr + " Main St"
+        + "\nPhone: 555-" + digits.str.slice(6, 10)
+        + "\nSubtotal: " + subtotal
+    )
+    for i in range(1, 10):
+        qty, unit = receipt_item_fields(digits, i)
+        desc = h.str.slice((2 * i) % 24, (2 * i) % 24 + 4)
+        line = (
+            f"\nItem {i}: I-" + desc + " x" + qty.astype(str)
+            + " @ " + _money_int_py(unit)
+            + " = " + _money_int_py(qty * unit)
+        )
+        full = full + line.where(n_items >= i, "")
+    return base + full.where(mode != 0, "")
 
 
 def check_markdown(h: pd.Series, digits: pd.Series | None = None) -> pd.Series:
@@ -97,13 +151,27 @@ def check_markdown(h: pd.Series, digits: pd.Series | None = None) -> pd.Series:
         digits = digits_of(h)
     amount = _money_py(digits.str.slice(6, 12))
     signed = digits.str.slice(12, 13).astype(int).mod(2).map({1: "yes", 0: "no"})
-    return (
+    base = (
         "# Check\n\nCheck Number: " + digits.str.slice(0, 6)
         + "\nPayee: P-" + h.str.slice(8, 16)
         + "\nAmount: " + amount
         + "\nBank: B-" + h.str.slice(16, 24)
         + "\nSigned: " + signed
     )
+    mode = full_mode_of(digits)
+    mm = (1 + digits.str.slice(13, 15).astype(int) % 12).astype(str).str.zfill(2)
+    dd = (1 + digits.str.slice(14, 16).astype(int) % 28).astype(str).str.zfill(2)
+    acct_type = digits.str.slice(15, 16).astype(int).mod(2).map(
+        dict(enumerate(ACCOUNT_TYPE_CYCLE))
+    ).where(mode != 1, INVALID_ACCOUNT_TYPE)
+    full = (
+        "\nDate: 2024-" + mm + "-" + dd
+        + "\nRouting: " + digits.str.slice(0, 9)
+        + "\nAccount: " + digits.str.slice(10, 18)
+        + "\nAccount Type: " + acct_type
+        + "\nMemo: memo-" + h.str.slice(28, 32)
+    )
+    return base + full.where(mode != 0, "")
 
 
 def n_pages_of(h: pd.Series, digits: pd.Series | None = None) -> pd.Series:
@@ -241,6 +309,112 @@ def concat_pages(df: DataFrame, pages_col: str = "ocr_pages", out_col: str = "oc
     )
 
 
+# -- OCR result metadata: page regions, dimensions, meta map, timing ---------
+
+OCTET_STREAM_MIME = "application/octet-stream"
+
+IMAGE_REGION_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("index", T.IntegerType(), False),
+            T.StructField(
+                "bbox",
+                T.StructType(
+                    [
+                        T.StructField("x", T.IntegerType(), False),
+                        T.StructField("y", T.IntegerType(), False),
+                        T.StructField("width", T.IntegerType(), False),
+                        T.StructField("height", T.IntegerType(), False),
+                    ]
+                ),
+                False,
+            ),
+        ]
+    )
+)
+
+DIMS_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+    ]
+)
+
+
+def with_ocr_metadata(
+    df: DataFrame, media_ref_col: str = "media_ref", mime_col: str = "mime"
+) -> DataFrame:
+    """Append the reference's OCR result metadata, all pure built-ins
+    (zero Python stages — every value is a rule over md5(media_ref)):
+
+      * ``ocr_images``  — array<struct<index, bbox struct<x,y,width,height>>>
+        per-page image regions (OcrImageObject, OcrModels.cs:146-172)
+      * ``ocr_dims``    — struct<width,height> page dimensions
+        (OcrModels.cs page ``dimensions``)
+      * ``ocr_meta``    — map<string,string> result metadata
+        (MistralOcrResult.Metadata, MistralOcrResult.cs:3-11)
+      * ``processing_ms`` — synthetic duration (MistralOcrResult.ProcessingTime)
+
+    Unknown payloads (octet-stream) and non-media rows carry NULLs — the
+    Empty-result sentinel (MistralOcrResult.cs:11).
+    """
+    mime = F.col(mime_col)
+    known = (
+        F.col(media_ref_col).isNotNull()
+        & mime.isNotNull()
+        & (mime != OCTET_STREAM_MIME)
+    )
+    stripped = F.regexp_replace(F.md5(F.col(media_ref_col)), "[^0-9]", "")
+    dgc = F.substring(F.concat(stripped, F.lit("0" * 20)), 1, 20)
+
+    def di(pos: int, ln: int) -> F.Column:
+        return F.substring(dgc, pos, ln).cast("int")
+
+    width = (F.lit(512) + di(1, 3) % 512).cast("int")
+    height = (F.lit(512) + di(4, 3) % 768).cast("int")
+    n_images = di(19, 1) % 3
+
+    def region(i: F.Column) -> F.Column:
+        return F.struct(
+            i.cast("int").alias("index"),
+            F.struct(
+                ((di(5, 3) + 97 * i) % 400).cast("int").alias("x"),
+                ((di(8, 3) + 131 * i) % 600).cast("int").alias("y"),
+                (32 + (di(11, 2) + 7 * i) % 200).cast("int").alias("width"),
+                (32 + (di(13, 2) + 11 * i) % 200).cast("int").alias("height"),
+            ).alias("bbox"),
+        )
+
+    images = (
+        F.when(
+            known & (n_images >= 1),
+            F.transform(F.sequence(F.lit(0), n_images - 1), region),
+        )
+        .when(known, F.array().cast(IMAGE_REGION_SCHEMA))
+        .otherwise(F.lit(None).cast(IMAGE_REGION_SCHEMA))
+    )
+    n_pages = (F.lit(1) + di(17, 1) % 3).cast("int")
+    meta = F.when(
+        known,
+        F.create_map(
+            F.lit("model"), F.lit(OCR_MODEL),
+            F.lit("pages"), n_pages.cast("string"),
+            F.lit("mime"), mime,
+        ),
+    )
+    return (
+        df.withColumn("ocr_images", images)
+        .withColumn(
+            "ocr_dims",
+            F.when(known, F.struct(width.alias("width"), height.alias("height"))),
+        )
+        .withColumn("ocr_meta", meta)
+        .withColumn(
+            "processing_ms", F.when(known, (F.lit(50) + 3 * di(18, 2)).cast("int"))
+        )
+    )
+
+
 # -- oracle SQL fragments (DuckDB + Spark SQL) -------------------------------
 
 
@@ -258,13 +432,31 @@ def _sql_money(cents: str) -> str:
     )
 
 
+def sql_money(cents: str) -> str:
+    """Public alias for the shared money-rendering SQL fragment."""
+    return _sql_money(cents)
+
+
 def ocr_field_exprs(d: Dialect, h: str = "h") -> dict[str, str]:
     """SQL expressions (dialect d) for every synthetic-OCR-derived field,
     given ``h`` = md5(media_ref). Used to build DuckDB oracles that
     recompute what the Spark pipeline must extract.
+
+    ``payment_method`` / ``account_type`` carry the VALIDATED value (NULL
+    for the out-of-domain variant, mirroring the simple-parse regex /
+    enum-domain gate); ``payment_method_raw`` / ``account_type_raw`` are
+    the literal markdown values including the invalid ones.
     """
     dg = _sql_digits(d, h)
     pay = " ".join(f"WHEN {i} THEN '{p}'" for i, p in enumerate(PAYMENT_CYCLE))
+    acct = " ".join(
+        f"WHEN {i} THEN '{a}'" for i, a in enumerate(ACCOUNT_TYPE_CYCLE)
+    )
+    mode = f"(CAST(substr({dg}, 20, 1) AS INT) % 4)"
+    pay_valid = f"CASE CAST(substr({dg}, 15, 1) AS INT) % 3 {pay} END"
+    acct_valid = f"CASE CAST(substr({dg}, 16, 1) AS INT) % 2 {acct} END"
+    total_c = f"CAST(substr({dg}, 5, 6) AS BIGINT)"
+    tax_c = f"CAST(substr({dg}, 11, 4) AS BIGINT)"
     return {
         "merchant_name": f"concat('M-', substr({h}, 1, 8))",
         "receipt_date": (
@@ -273,7 +465,12 @@ def ocr_field_exprs(d: Dialect, h: str = "h") -> dict[str, str]:
         ),
         "total_amount": _sql_money(f"substr({dg}, 5, 6)"),
         "tax_amount": _sql_money(f"substr({dg}, 11, 4)"),
-        "payment_method": f"CASE CAST(substr({dg}, 15, 1) AS INT) % 3 {pay} END",
+        "payment_method": (
+            f"CASE WHEN {mode} = 1 THEN NULL ELSE {pay_valid} END"
+        ),
+        "payment_method_raw": (
+            f"CASE WHEN {mode} = 1 THEN '{INVALID_PAYMENT}' ELSE {pay_valid} END"
+        ),
         "items_count": f"1 + CAST(substr({dg}, 16, 1) AS INT) % 9",
         "check_number": f"substr({dg}, 1, 6)",
         "payee": f"concat('P-', substr({h}, 9, 8))",
@@ -284,7 +481,52 @@ def ocr_field_exprs(d: Dialect, h: str = "h") -> dict[str, str]:
         "appendix_1": f"concat('Page 1 appendix ', substr({h}, 25, 4))",
         "appendix_2": f"concat('Page 2 appendix ', substr({h}, 25, 4))",
         "ocr_tokens": f"100 + CAST(substr({dg}, 18, 2) AS INT)",
+        # -- full-schema block (present iff full_mode != 0) -------------
+        "full_mode": mode,
+        "has_full": f"{mode} <> 0",
+        "merchant_address": (
+            f"concat(CAST(100 + CAST(substr({dg}, 3, 3) AS INT) % 900 AS STRING),"
+            f" ' Main St')"
+        ),
+        "merchant_phone": f"concat('555-', substr({dg}, 7, 4))",
+        "subtotal": _sql_money(f"greatest({total_c} - {tax_c}, 0)"),
+        "subtotal_cents": f"greatest({total_c} - {tax_c}, 0)",
+        "item_qty": f"(1 + (CAST(substr({dg}, 1, 2) AS INT) + 3 * i) % 9)",
+        "item_unit_cents": (
+            f"(100 + (CAST(substr({dg}, 5, 4) AS INT) + 137 * i) % 9900)"
+        ),
+        "item_desc": f"substr({h}, 1 + ((2 * i) % 24), 4)",
+        "check_date": (
+            f"concat('2024-', lpad(CAST(1 + CAST(substr({dg}, 14, 2) AS INT) % 12 AS STRING), 2, '0'),"
+            f" '-', lpad(CAST(1 + CAST(substr({dg}, 15, 2) AS INT) % 28 AS STRING), 2, '0'))"
+        ),
+        "routing_number": f"substr({dg}, 1, 9)",
+        "account_number": f"substr({dg}, 11, 8)",
+        "account_type": f"CASE WHEN {mode} = 1 THEN NULL ELSE {acct_valid} END",
+        "account_type_raw": (
+            f"CASE WHEN {mode} = 1 THEN '{INVALID_ACCOUNT_TYPE}' ELSE {acct_valid} END"
+        ),
+        "memo": f"concat('memo-', substr({h}, 29, 4))",
+        # -- OCR metadata rules (with_ocr_metadata twins) ----------------
+        "page_width": f"512 + CAST(substr({dg}, 1, 3) AS INT) % 512",
+        "page_height": f"512 + CAST(substr({dg}, 4, 3) AS INT) % 768",
+        "n_images": f"CAST(substr({dg}, 19, 1) AS INT) % 3",
+        "img_x": f"((CAST(substr({dg}, 5, 3) AS INT) + 97 * i) % 400)",
+        "img_y": f"((CAST(substr({dg}, 8, 3) AS INT) + 131 * i) % 600)",
+        "img_w": f"(32 + (CAST(substr({dg}, 11, 2) AS INT) + 7 * i) % 200)",
+        "img_h": f"(32 + (CAST(substr({dg}, 13, 2) AS INT) + 11 * i) % 200)",
+        "processing_ms": f"50 + 3 * CAST(substr({dg}, 18, 2) AS INT)",
     }
+
+
+def sql_receipt_item_line(d: Dialect, e: dict[str, str]) -> str:
+    """SQL for one receipt item markdown line (lambda var ``i``)."""
+    qty, unit = e["item_qty"], e["item_unit_cents"]
+    return (
+        f"concat(chr(10), 'Item ', CAST(i AS STRING), ': I-', {e['item_desc']},"
+        f" ' x', CAST({qty} AS STRING), ' @ ', {_sql_money(unit)},"
+        f" ' = ', {_sql_money(f'{qty} * {unit}')})"
+    )
 
 
 def oracle_ocr_text_sql(d: Dialect, mime: str = "mime", h: str = "h") -> str:
@@ -293,17 +535,34 @@ def oracle_ocr_text_sql(d: Dialect, mime: str = "mime", h: str = "h") -> str:
     the mapInPandas OCR stage + ordered page concat end to end."""
     e = ocr_field_exprs(d, h)
     nl = "chr(10)"
+    item_lines = d.concat_over_series(
+        e["items_count"], sql_receipt_item_line(d, e)
+    )
+    receipt_full = (
+        f"concat({nl}, 'Address: ', {e['merchant_address']}, "
+        f"{nl}, 'Phone: ', {e['merchant_phone']}, "
+        f"{nl}, 'Subtotal: ', {e['subtotal']}, {item_lines})"
+    )
     receipt_md = (
         f"concat('# Receipt', {nl}, {nl}, 'Merchant: ', {e['merchant_name']}, {nl}, "
         f"'Date: ', {e['receipt_date']}, {nl}, 'Total: ', {e['total_amount']}, {nl}, "
-        f"'Tax: ', {e['tax_amount']}, {nl}, 'Payment: ', {e['payment_method']}, {nl}, "
-        f"'Items: ', CAST({e['items_count']} AS STRING))"
+        f"'Tax: ', {e['tax_amount']}, {nl}, 'Payment: ', {e['payment_method_raw']}, {nl}, "
+        f"'Items: ', CAST({e['items_count']} AS STRING), "
+        f"CASE WHEN {e['has_full']} THEN {receipt_full} ELSE '' END)"
+    )
+    check_full = (
+        f"concat({nl}, 'Date: ', {e['check_date']}, "
+        f"{nl}, 'Routing: ', {e['routing_number']}, "
+        f"{nl}, 'Account: ', {e['account_number']}, "
+        f"{nl}, 'Account Type: ', {e['account_type_raw']}, "
+        f"{nl}, 'Memo: ', {e['memo']})"
     )
     check_md = (
         f"concat('# Check', {nl}, {nl}, 'Check Number: ', {e['check_number']}, {nl}, "
         f"'Payee: ', {e['payee']}, {nl}, 'Amount: ', {e['check_amount']}, {nl}, "
         f"'Bank: ', {e['bank_name']}, {nl}, "
-        f"'Signed: ', CASE WHEN {e['is_signed']} THEN 'yes' ELSE 'no' END)"
+        f"'Signed: ', CASE WHEN {e['is_signed']} THEN 'yes' ELSE 'no' END, "
+        f"CASE WHEN {e['has_full']} THEN {check_full} ELSE '' END)"
     )
     main = (
         f"CASE WHEN {mime} = 'application/octet-stream' THEN '' "
@@ -322,9 +581,16 @@ __all__ = [
     "concat_pages",
     "receipt_markdown",
     "check_markdown",
+    "receipt_item_fields",
+    "full_mode_of",
     "ocr_field_exprs",
+    "sql_receipt_item_line",
+    "sql_money",
     "OCR_MODEL",
     "PAYMENT_CYCLE",
+    "ACCOUNT_TYPE_CYCLE",
+    "INVALID_PAYMENT",
+    "INVALID_ACCOUNT_TYPE",
     "SPARK",
     "DUCK",
 ]

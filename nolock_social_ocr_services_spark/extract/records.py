@@ -49,6 +49,69 @@ SIMPLE_CHECK_SCHEMA = T.StructType(
     ]
 )
 
+# Full nested models, mirroring the reference's primary extraction
+# contract: Receipt{Merchant: MerchantInfo, Items: List<ReceiptLineItem>,
+# Totals, Warnings} (ReceiptModels.cs:408-445, line items :260-290) and
+# Check with bank/account/routing fields (CheckModels.cs:85-162).
+
+ITEM_SCHEMA = T.StructType(
+    [
+        T.StructField("description", T.StringType(), True),
+        T.StructField("quantity", T.IntegerType(), True),
+        T.StructField("unit_price", MONEY, True),
+        T.StructField("total_price", MONEY, True),
+    ]
+)
+
+FULL_RECEIPT_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "merchant",
+            T.StructType(
+                [
+                    T.StructField("name", T.StringType(), True),
+                    T.StructField("address", T.StringType(), True),
+                    T.StructField("phone", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+        T.StructField("receipt_date", T.StringType(), True),
+        T.StructField(
+            "totals",
+            T.StructType(
+                [
+                    T.StructField("subtotal", MONEY, True),
+                    T.StructField("tax", MONEY, True),
+                    T.StructField("total", MONEY, True),
+                ]
+            ),
+            True,
+        ),
+        T.StructField("payment_method", T.StringType(), True),
+        T.StructField("items", T.ArrayType(ITEM_SCHEMA), True),
+        T.StructField("items_count", T.IntegerType(), True),
+        T.StructField("warnings", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+FULL_CHECK_SCHEMA = T.StructType(
+    [
+        T.StructField("check_number", T.StringType(), True),
+        T.StructField("check_date", T.StringType(), True),
+        T.StructField("payee", T.StringType(), True),
+        T.StructField("amount", MONEY, True),
+        T.StructField("bank_name", T.StringType(), True),
+        T.StructField("routing_number", T.StringType(), True),
+        T.StructField("account_number", T.StringType(), True),
+        T.StructField("account_type", T.StringType(), True),
+        T.StructField("memo", T.StringType(), True),
+        T.StructField("is_signed", T.BooleanType(), True),
+    ]
+)
+
+ACCOUNT_TYPE_DOMAIN = ("checking", "savings")
+
 
 def clean_extracted_text(col: Column) -> Column:
     """T5: strip ``` fences / json hints / chatty prefixes (CleanJsonText)."""
@@ -110,6 +173,117 @@ def parse_check(text: Column) -> Column:
     return F.when(ok, struct).otherwise(F.lit(None).cast(SIMPLE_CHECK_SCHEMA))
 
 
+_ITEM_LINE_RE = r"(?m)^Item \d+: (I-[0-9a-f]{4} x\d+ @ \d+\.\d{2} = \d+\.\d{2})$"
+
+
+def parse_items(text: Column) -> Column:
+    """``Item N: I-xxxx xQ @ U.UU = T.TT`` lines -> array<struct> of line
+    items (Receipt.Items, ReceiptModels.cs:260-290). Pure built-ins:
+    regexp_extract_all for the lines, transform + regexp_extract per
+    field — stays in whole-stage codegen."""
+    lines = F.regexp_extract_all(text, F.lit(_ITEM_LINE_RE), F.lit(1))
+    return F.transform(
+        lines,
+        lambda l: F.struct(
+            F.regexp_extract(l, r"^(I-[0-9a-f]{4})", 1).alias("description"),
+            F.regexp_extract(l, r" x(\d+) @", 1).try_cast("int").alias("quantity"),
+            F.regexp_extract(l, r"@ (\d+\.\d{2}) =", 1)
+            .try_cast(MONEY)
+            .alias("unit_price"),
+            F.regexp_extract(l, r"= (\d+\.\d{2})$", 1)
+            .try_cast(MONEY)
+            .alias("total_price"),
+        ),
+    )
+
+
+def parse_receipt_full(text: Column) -> Column:
+    """Full Receipt struct (ReceiptModels.cs:408-445): merchant contact
+    block, totals (subtotal/tax/total), line items, computed warnings.
+    NULL unless the full-block fields (address, subtotal, >=1 item) parse
+    — the rows where they don't are exactly the full->simple fallback
+    rows (OcrExtractionService.cs:51-56)."""
+    merchant = _field(text, "Merchant")
+    date = _field(text, "Date")
+    total = _field(text, "Total").try_cast(MONEY)
+    tax = _field(text, "Tax").try_cast(MONEY)
+    address = _field(text, "Address")
+    phone = _field(text, "Phone")
+    subtotal = _field(text, "Subtotal").try_cast(MONEY)
+    items = parse_items(text)
+    # totals-consistency warning (the reference surfaces validation
+    # warnings on the model, ReceiptModels.cs:441-445): integer-cents
+    # comparison, exact in both engines.
+    items_cents = F.aggregate(
+        items,
+        F.lit(0).cast("long"),
+        lambda acc, it: acc + (it["total_price"] * 100).cast("long"),
+    )
+    warnings = F.when(
+        items_cents != (subtotal * 100).cast("long"),
+        F.array(F.lit("ITEMS_TOTAL_MISMATCH")),
+    ).otherwise(F.array().cast("array<string>"))
+    struct = F.struct(
+        F.struct(
+            merchant.alias("name"), address.alias("address"), phone.alias("phone")
+        ).alias("merchant"),
+        date.alias("receipt_date"),
+        F.struct(
+            subtotal.alias("subtotal"), tax.alias("tax"), total.alias("total")
+        ).alias("totals"),
+        F.nullif(
+            F.regexp_extract(text, r"(?m)^Payment:\s*(cash|card|check)\s*$", 1),
+            F.lit(""),
+        ).alias("payment_method"),
+        items.alias("items"),
+        _field(text, "Items").try_cast("int").alias("items_count"),
+        warnings.alias("warnings"),
+    )
+    ok = (
+        merchant.isNotNull()
+        & date.isNotNull()
+        & total.isNotNull()
+        & address.isNotNull()
+        & subtotal.isNotNull()
+        & (F.size(items) >= 1)
+    )
+    return F.when(ok, struct).otherwise(F.lit(None).cast(FULL_RECEIPT_SCHEMA))
+
+
+def parse_check_full(text: Column) -> Column:
+    """Full Check struct (CheckModels.cs:85-162): bank routing/account
+    block + memo; ``account_type`` is domain-validated (out-of-domain
+    values -> NULL, quarantined by the enum battery)."""
+    number = _field(text, "Check Number")
+    payee = _field(text, "Payee")
+    amount = _field(text, "Amount").try_cast(MONEY)
+    routing = _field(text, "Routing")
+    account = _field(text, "Account")
+    acct_raw = _field(text, "Account Type")
+    struct = F.struct(
+        number.alias("check_number"),
+        _field(text, "Date").alias("check_date"),
+        payee.alias("payee"),
+        amount.alias("amount"),
+        _field(text, "Bank").alias("bank_name"),
+        routing.alias("routing_number"),
+        account.alias("account_number"),
+        F.when(acct_raw.isin(*ACCOUNT_TYPE_DOMAIN), acct_raw).alias("account_type"),
+        _field(text, "Memo").alias("memo"),
+        F.when(_field(text, "Signed").isNull(), F.lit(None).cast("boolean"))
+        .otherwise(_field(text, "Signed") == "yes")
+        .alias("is_signed"),
+    )
+    ok = (
+        number.isNotNull()
+        & payee.isNotNull()
+        & amount.isNotNull()
+        & routing.isNotNull()
+        & account.isNotNull()
+    )
+    return F.when(ok, struct).otherwise(F.lit(None).cast(FULL_CHECK_SCHEMA))
+
+
 def route_and_extract(
     df: DataFrame,
     text_col: str = "ocr_text",
@@ -125,8 +299,11 @@ def route_and_extract(
         OcrRequestHandler.cs:53-56,169-179) — rows become data, never
         failures (ST6)
 
-    Adds: ``receipt`` / ``check`` structs, ``extract_error``,
-    ``confidence`` (defaults mirroring OcrExtractionService.cs:231-241).
+    Adds: ``receipt`` / ``check`` simple structs, ``receipt_full`` /
+    ``check_full`` nested structs (the reference's primary contract),
+    ``schema_used`` ('full' when the full model parsed, 'simple' when
+    only the simple one did — the full->simple fallback, O9),
+    ``extract_error``, ``confidence`` (OcrExtractionService.cs:231-241).
     """
     text = clean_extracted_text(F.col(text_col))
     mime = F.col(mime_col)
@@ -140,10 +317,28 @@ def route_and_extract(
     check = F.when(
         (mime == "application/pdf") & ~empty_text, parse_check(text)
     ).otherwise(F.lit(None).cast(SIMPLE_CHECK_SCHEMA))
+    receipt_full = F.when(
+        mime.startswith("image/") & ~empty_text, parse_receipt_full(text)
+    ).otherwise(F.lit(None).cast(FULL_RECEIPT_SCHEMA))
+    check_full = F.when(
+        (mime == "application/pdf") & ~empty_text, parse_check_full(text)
+    ).otherwise(F.lit(None).cast(FULL_CHECK_SCHEMA))
 
     out = (
         df.withColumn("receipt", receipt)
         .withColumn("check", check)
+        .withColumn("receipt_full", receipt_full)
+        .withColumn("check_full", check_full)
+        .withColumn(
+            "schema_used",
+            F.when(
+                F.col("receipt_full").isNotNull() | F.col("check_full").isNotNull(),
+                F.lit("full"),
+            ).when(
+                F.col("receipt").isNotNull() | F.col("check").isNotNull(),
+                F.lit("simple"),
+            ),
+        )
         .withColumn(
             "extract_error",
             F.when(empty_text, F.lit("empty_ocr_text")).otherwise(

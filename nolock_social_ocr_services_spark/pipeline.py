@@ -36,6 +36,9 @@ FLAT_COLUMNS = (
     "media_ref",
     "receipt",
     "check",
+    "receipt_full",
+    "check_full",
+    "schema_used",
     "extract_error",
     "confidence",
     "ocr_model",
@@ -154,6 +157,9 @@ def extract_spans(
         "media_ref",
         "receipt",
         "check",
+        "receipt_full",
+        "check_full",
+        "schema_used",
         "extract_error",
         "confidence",
         "ocr_model",

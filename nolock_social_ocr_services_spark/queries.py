@@ -1185,6 +1185,30 @@ FROM dims
 """
 
 
+# -- grouped-map (applyInPandas) summary ---------------------------------------
+
+
+def q_doc_group_summary(spark, sf_dir):
+    """SURVEY §2.11 grouped-map UDF tier: per-doc summary computed with
+    the whole group as one pandas frame (FlatMapGroupsInPandas — plan
+    pinned in test_plans). Aggregation-shaped on purpose so the oracle
+    can recompute it with plain SQL."""
+    from .operators.grouped import doc_span_summary
+
+    flat = _corpus_mod.flat_spans(spark, sf_dir)
+    return doc_span_summary(flat)
+
+
+SQL_DOC_GROUP_SUMMARY = """
+SELECT doc_id,
+       count(*) AS n_spans,
+       count(*) FILTER (WHERE kind IN ('image', 'pdf')) AS n_media,
+       CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS text_chars
+FROM {flat} f
+GROUP BY doc_id
+"""
+
+
 # -- stateful streaming counter, driven to completion --------------------------
 
 
@@ -1318,6 +1342,10 @@ def extra_queries() -> dict[str, tuple]:
             _sql_decode_image_meta().format(flat=_ORACLE_FLAT),
         ),
         "resize_plan": (q_resize_plan, _sql_resize_plan().format(flat=_ORACLE_FLAT)),
+        "doc_group_summary": (
+            q_doc_group_summary,
+            SQL_DOC_GROUP_SUMMARY.format(flat=_ORACLE_FLAT),
+        ),
         "stream_running_counts": (
             q_stream_running_counts,
             SQL_STREAM_RUNNING_COUNTS.format(flat=_ORACLE_FLAT),

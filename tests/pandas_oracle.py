@@ -39,21 +39,56 @@ def _ocr_text(media_ref: str, mime: str) -> str:
         return ""
     h = hashlib.md5(media_ref.encode()).hexdigest()
     digits = (re.sub(r"[^0-9]", "", h) + "0" * 20)[:20]
+    mode = int(digits[19]) % 4  # 0 simple-only, 1 full+invalid enum
     if mime.startswith("image/"):
         mm = 1 + int(digits[0:2]) % 12
         dd = 1 + int(digits[2:4]) % 28
+        pay = (
+            "crypto" if mode == 1
+            else ("cash", "card", "check")[int(digits[14]) % 3]
+        )
+        n_items = 1 + int(digits[15]) % 9
         main = (
             f"# Receipt\n\nMerchant: M-{h[0:8]}\nDate: 2024-{mm:02d}-{dd:02d}"
             f"\nTotal: {_money(digits[4:10])}\nTax: {_money(digits[10:14])}"
-            f"\nPayment: {('cash', 'card', 'check')[int(digits[14]) % 3]}"
-            f"\nItems: {1 + int(digits[15]) % 9}"
+            f"\nPayment: {pay}"
+            f"\nItems: {n_items}"
         )
+        if mode != 0:
+            sub_c = max(int(digits[4:10]) - int(digits[10:14]), 0)
+            main += (
+                f"\nAddress: {100 + int(digits[2:5]) % 900} Main St"
+                f"\nPhone: 555-{digits[6:10]}"
+                f"\nSubtotal: {_money(str(sub_c))}"
+            )
+            for i in range(1, n_items + 1):
+                qty = 1 + (int(digits[0:2]) + 3 * i) % 9
+                unit = 100 + (int(digits[4:8]) + 137 * i) % 9900
+                desc = h[(2 * i) % 24 : (2 * i) % 24 + 4]
+                main += (
+                    f"\nItem {i}: I-{desc} x{qty}"
+                    f" @ {_money(str(unit))} = {_money(str(qty * unit))}"
+                )
     else:  # application/pdf
         main = (
             f"# Check\n\nCheck Number: {digits[0:6]}\nPayee: P-{h[8:16]}"
             f"\nAmount: {_money(digits[6:12])}\nBank: B-{h[16:24]}"
             f"\nSigned: {'yes' if int(digits[12]) % 2 else 'no'}"
         )
+        if mode != 0:
+            cmm = 1 + int(digits[13:15]) % 12
+            cdd = 1 + int(digits[14:16]) % 28
+            acct = (
+                "bitcoin" if mode == 1
+                else ("checking", "savings")[int(digits[15]) % 2]
+            )
+            main += (
+                f"\nDate: 2024-{cmm:02d}-{cdd:02d}"
+                f"\nRouting: {digits[0:9]}"
+                f"\nAccount: {digits[10:18]}"
+                f"\nAccount Type: {acct}"
+                f"\nMemo: memo-{h[28:32]}"
+            )
     n_pages = 1 + int(digits[16]) % 3
     pages = [main] + [f"Page {p} appendix {h[24:28]}" for p in range(1, n_pages)]
     return "\n\n".join(pages)

@@ -78,6 +78,32 @@ def test_classifier_udf_input_is_prefix_projection(spark, corpus_path):
     assert "unbase64" in plan and "substring" in plan
 
 
+def test_grouped_map_plan_and_values(spark, sf_dir):
+    """applyInPandas tier: exactly one FlatMapGroupsInPandas node over
+    one shuffle on the group key, and values match the built-in
+    aggregate computed from the same input."""
+    from nolock_social_ocr_services_spark.operators.grouped import (
+        doc_span_summary,
+    )
+
+    flat = corpus.flat_spans(spark, sf_dir)
+    out = doc_span_summary(flat)
+    plan = explain_str(out)
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    expected = {
+        (r.doc_id, r.n_spans, r.n_media, r.text_chars)
+        for r in flat.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.col("kind").isin("image", "pdf").cast("long")).alias("n_media"),
+            F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("text_chars"),
+        )
+        .collect()
+    }
+    got = {(r.doc_id, r.n_spans, r.n_media, r.text_chars) for r in out.collect()}
+    assert got == expected
+
+
 def test_aqe_splits_skewed_join_partitions(spark):
     """Runtime skew handling: with AQE skew-join enabled (our session
     default) a pathologically hot join key is split into multiple
