@@ -224,6 +224,96 @@ def ivf_topk(
     )
 
 
+def near_dup_pairs_bucketed(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int | None = None,
+    bits: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Bucketed embedding near-dup: the 100-TB path for
+    :func:`near_dup_pairs`. Returns (id_a < id_b, hamming) for pairs with
+    SRP-signature hamming <= bands-1 AND exact cosine >= threshold.
+
+    Design (mirrors dedup.simhash_near_dup): each vector gets a
+    ``bits``-bit sign-random-projection signature; the signature is cut
+    into ``bands`` bands and candidates are generated with an equi-join
+    per band — pigeonhole-EXACT for the hamming bound (hamming <= bands-1
+    forces at least one identical band), so the only approximation vs
+    the brute-force cosine spec is the hamming gate itself (recall vs
+    :func:`near_dup_pairs` is measured in tests). Join fan-out is
+    sum-of-squared-bucket-sizes per band instead of N^2; candidates then
+    get ONE exact dot product each. Zero-norm vectors have no cosine
+    direction and are excluded, as in ivf_topk.
+    """
+    if bits % bands != 0:
+        raise ValueError("bits must be divisible by bands")
+    if dim is None:
+        meta = df.schema[vec_col].metadata or {}
+        dim = meta.get("dim")
+    if dim is None:
+        raise ValueError(
+            f"vector dimension unknown: pass dim= or attach {{'dim': n}} "
+            f"metadata to column {vec_col!r} (plan-build must not run a job)"
+        )
+    planes = random_hyperplanes(int(dim), bits, seed)
+    # signature on the RAW (cast-double) vector: sign(dot(v, plane)) is
+    # normalization-invariant, and skipping the unit division keeps the
+    # float math identical to the DuckDB oracle's recomputation.
+    raw = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = (
+        with_unit_vector(df, vec_col)
+        .filter(F.col("unit").isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.col("unit"),
+            srp_signature(raw, planes).cast("long").alias("sig"),
+        )
+    )
+    r = bits // bands
+    mask = (1 << r) - 1
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.shiftright(F.col("sig"), b * r).bitwiseAND(F.lit(mask)).alias("band_val"),
+        )
+        for b in range(bands)
+    ]
+    banded = base.select(
+        "id", "sig", F.explode(F.array(*band_structs)).alias("band")
+    ).select("id", "sig", "band.band_idx", "band.band_val")
+    left = banded.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
+        "band_idx", "band_val",
+    )
+    right = banded.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
+        "band_idx", "band_val",
+    )
+    cand = (
+        left.join(right, on=["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= bands - 1)
+        .distinct()
+    )
+    ua = base.select(F.col("id").alias("id_a"), F.col("unit").alias("ua"))
+    ub = base.select(F.col("id").alias("id_b"), F.col("unit").alias("ub"))
+    verified = (
+        cand.join(ua, "id_a")
+        .join(ub, "id_b")
+        .filter(_dot(F.col("ua"), F.col("ub")) >= threshold)
+    )
+    return verified.select("id_a", "id_b", "hamming")
+
+
 def near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -759,6 +759,73 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+# -- bucketed embedding near-dup (the 100-TB path) ------------------------------
+
+_SRP_BITS = 16
+_SRP_BANDS = 4
+_SRP_SEED = 42
+_SRP_THRESHOLD = 0.35
+
+
+def q_near_dup_srp(spark, sf_dir):
+    """Scale form of near_dup_pairs: SRP-signature banded join
+    (pigeonhole-exact for hamming <= bands-1) + exact cosine verify on
+    candidates only. The oracle recomputes the same spec brute-force
+    (all pairs, same deterministic hyperplanes) — agreement certifies
+    the banding misses nothing the spec admits. Recall vs the pure
+    cosine spec is measured in test_functions_similarity."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sim.near_dup_pairs_bucketed(
+        emb,
+        threshold=_SRP_THRESHOLD,
+        dim=64,
+        bits=_SRP_BITS,
+        bands=_SRP_BANDS,
+        seed=_SRP_SEED,
+    )
+
+
+def _sql_srp_sig_terms() -> str:
+    """DuckDB: the 16-bit SRP signature as a sum of CASE terms, with the
+    SAME deterministic hyperplanes (seeded numpy) injected as literals —
+    shortest-roundtrip reprs parse back to identical doubles."""
+    planes = sim.random_hyperplanes(64, _SRP_BITS, _SRP_SEED)
+    terms = []
+    for j, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(emb, {lit}) > 0 "
+            f"THEN (1::BIGINT << {j}) ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _sql_near_dup_srp() -> str:
+    return f"""
+WITH nz AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE list_dot_product(embedding, embedding) > 0
+),
+sig AS (SELECT vec_id, ({_sql_srp_sig_terms()}) AS sig FROM nz),
+unitt AS (
+  SELECT vec_id,
+         list_transform(emb, x -> x / sqrt(list_dot_product(emb, emb))) AS u
+  FROM nz
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         bit_count(xor(a.sig::UBIGINT, b.sig::UBIGINT)) AS hamming
+  FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+)
+SELECT p.id_a, p.id_b, CAST(p.hamming AS INT) AS hamming
+FROM pairs p
+JOIN unitt ua ON ua.vec_id = p.id_a
+JOIN unitt ub ON ub.vec_id = p.id_b
+WHERE p.hamming <= {_SRP_BANDS - 1}
+  AND list_dot_product(ua.u, ub.u) >= {_SRP_THRESHOLD}
+"""
+
+
 # -- doc quality scoring (training-data filter battery) ------------------------
 
 
@@ -1305,6 +1372,7 @@ def extra_queries() -> dict[str, tuple]:
         "lsh_candidates": (q_lsh_candidates, SQL_LSH_CANDIDATES),
         "cosine_top3": (q_cosine_top3, SQL_COSINE_TOP3),
         "near_dup_pairs": (q_near_dup_pairs, SQL_NEAR_DUP_PAIRS),
+        "near_dup_srp": (q_near_dup_srp, _sql_near_dup_srp()),
         "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
         "customer_revenue": (q_customer_revenue, SQL_CUSTOMER_REVENUE),
         "first_events": (q_first_events, SQL_FIRST_EVENTS),

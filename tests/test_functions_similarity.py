@@ -110,6 +110,72 @@ def test_near_dup_pairs_threshold_and_ordering(spark, sf_dir):
     assert len(tighter) < len(pairs)
 
 
+def _near_dup_fixture(spark):
+    """50 random base vectors + 25 perturbed near-copies (cosine ~0.998):
+    a corpus with KNOWN near-duplicate structure."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((50, 64))
+    noisy = base[:25] + 0.05 * rng.standard_normal((25, 64))
+    mat = np.vstack([base, noisy]).astype(np.float32)
+    rows = [(i, mat[i].tolist()) for i in range(len(mat))]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_bucketed_near_dup_subset_and_recall(spark):
+    """The bucketed variant must return ONLY true pairs (exact verify =>
+    subset of brute force) and find nearly all true near-duplicates:
+    at cosine ~0.998 the 16-bit SRP hamming is ~0.4 expected, so the
+    hamming<=3 gate keeps ~99.9% of dup pairs."""
+    df = _near_dup_fixture(spark)
+    brute = {
+        (r.id_a, r.id_b)
+        for r in sim.near_dup_pairs(df, threshold=0.9).collect()
+    }
+    assert len(brute) == 25  # each perturbed copy pairs with its base
+    bucketed = {
+        (r.id_a, r.id_b)
+        for r in sim.near_dup_pairs_bucketed(
+            df, threshold=0.9, dim=64, bits=16, bands=4
+        ).collect()
+    }
+    assert bucketed <= brute  # precision 1 by construction
+    recall = len(bucketed) / len(brute)
+    assert recall >= 0.9, f"recall {recall}"
+
+
+def test_bucketed_near_dup_hamming_gate_is_pigeonhole_exact(spark):
+    """Every brute-force pair whose signature hamming is <= bands-1 must
+    be found by the banded join (the pigeonhole guarantee) — the ONLY
+    pairs the bucketed form may miss are those with hamming > bands-1."""
+    df = _near_dup_fixture(spark)
+    planes = sim.random_hyperplanes(64, 16, 42)
+    sigs = {
+        r.id: r.sig
+        for r in sim.with_unit_vector(df)
+        .select(
+            F.col("vec_id").alias("id"),
+            sim.srp_signature(
+                F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                planes,
+            ).cast("long").alias("sig"),
+        )
+        .collect()
+    }
+    brute = sim.near_dup_pairs(df, threshold=0.5).collect()
+    expected = {
+        (r.id_a, r.id_b)
+        for r in brute
+        if bin(sigs[r.id_a] ^ sigs[r.id_b]).count("1") <= 3
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in sim.near_dup_pairs_bucketed(
+            df, threshold=0.5, dim=64, bits=16, bands=4
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_ivf_topk_exact_within_cluster(spark, emb):
     """IVF with nprobe=1: for every query, returned neighbors must be the
     exact top-k among same-cluster vectors (verified with NumPy)."""
