@@ -1292,7 +1292,9 @@ def q_stream_running_counts(spark, sf_dir):
 
     flat = _corpus_mod.flat_spans(spark, sf_dir).select("doc_id", "offset")
     d = tempfile.mkdtemp(prefix="stream_counts_")
-    flat.repartition(8).write.mode("overwrite").parquet(d)
+    # 4 files / 2 per trigger = 2 triggers: still multi-trigger state,
+    # half the micro-batch overhead (the gate budget is finite).
+    flat.repartition(4).write.mode("overwrite").parquet(d)
     schema = spark.read.parquet(d).schema
     stream = (
         spark.readStream.schema(schema)
@@ -1334,7 +1336,7 @@ def q_stream_dedup_hashes(spark, sf_dir):
 
     hashed = _docs(spark, sf_dir).select(F.md5("text").alias("text_hash"))
     d = tempfile.mkdtemp(prefix="stream_dedup_")
-    hashed.repartition(8).write.mode("overwrite").parquet(d)
+    hashed.repartition(4).write.mode("overwrite").parquet(d)
     schema = spark.read.parquet(d).schema
     stream = (
         spark.readStream.schema(schema)
