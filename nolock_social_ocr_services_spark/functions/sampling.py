@@ -1,0 +1,152 @@
+"""Deterministic sampling, splitting, sketching, and sequence packing.
+
+Training-data pipeline operators beyond the reference's own surface
+(first-class per the build brief): every large-scale corpus job needs a
+reproducible train/val/test split, stratified subsampling, cheap
+cardinality estimates, and token-budget sequence packing. All four are
+built on one primitive — a deterministic 60-bit hash of a key column —
+so results are identical across engines (the DuckDB oracles recompute
+the same md5) and across runs/cluster sizes (no RNG, no
+``Math.random``-style seeds that differ per executor).
+
+Scale notes (100 TB):
+  * ``hash_bucket`` / ``hash_split`` / ``stratified_sample`` are pure
+    map-side projections/filters — no shuffle, no state; the split of a
+    10^12-row table costs one scan.
+  * ``kmv_distinct`` is the K-minimum-values sketch (Bar-Yossef et al.,
+    "Counting distinct elements in a data stream", RANDOM 2002): keep
+    the k smallest hash values; estimate = (k-1) / h_k with hashes
+    normalized to [0,1). The distinct() is one hash-shuffle on a
+    fixed-width digest; the global k-smallest compiles to
+    TakeOrderedAndProject (per-partition k-row heaps merged once) — no
+    global sort at any scale.
+  * ``pack_sequences`` packs documents into fixed-token-budget bins for
+    LLM batch assembly. Packing is per hash-bucket (PARTITION BY bucket
+    in the window), never a single global cumulative sum — buckets pack
+    in parallel across executors, so the operator scales by raising
+    ``n_buckets`` with the cluster, and assignment stays deterministic
+    under any parallelism (the north-rule two-cluster-size criterion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 2^60 — the hash domain size; 60 bits = 15 md5 hex chars, fits BIGINT.
+HASH_DOMAIN = float(1 << 60)
+
+
+def hash60(col: Column) -> Column:
+    """Deterministic 60-bit hash of a column (md5 hex prefix -> long).
+    Non-string keys are cast to their canonical string form first, so
+    Spark and the DuckDB oracle twin hash identical bytes. Oracle twin:
+    ``('0x' || substr(md5(CAST(c AS VARCHAR)), 1, 15))::UBIGINT``."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def hash_bucket(col: Column, n_buckets: int) -> Column:
+    """Stable bucket id in [0, n_buckets) from a key column. The hash is
+    of the VALUE, so bucket membership survives repartitioning, cluster
+    resizing, and re-runs — unlike ``rand()`` or ``monotonically
+    _increasing_id``-based splits which are plan-dependent."""
+    return F.pmod(hash60(col), F.lit(n_buckets))
+
+
+def with_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row a deterministic train/val/test label by hashing
+    its id into 100 buckets (map-only; no shuffle, no RNG). A document
+    keeps its split forever — the property dataset curation actually
+    needs (test-set contamination is irreversible)."""
+    b = hash_bucket(F.col(id_col), 100)
+    return df.withColumn(
+        out_col,
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def stratified_sample(
+    df: DataFrame, id_col: str, pct: int
+) -> DataFrame:
+    """Deterministic ~pct% sample: keep rows whose id hashes into the
+    first ``pct`` of 100 buckets. Applied after a groupBy key or within
+    strata it yields per-stratum rates that converge to pct% without
+    any coordination — a filter pushed to the scan."""
+    return df.filter(hash_bucket(F.col(id_col), 100) < pct)
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 64) -> DataFrame:
+    """K-minimum-values distinct-count sketch over ``col``.
+
+    Returns one row: ``k``, ``kth_hash`` (the k-th smallest 60-bit
+    hash), and ``est_distinct`` = floor((k-1) * 2^60 / kth_hash).
+    Exactly reproducible cross-engine: identical md5 -> identical long
+    -> identical IEEE double division -> identical floor. At 100 TB the
+    plan is: hash-distinct (one shuffle of 8-byte digests), then
+    ``sort.limit(k)`` which Spark compiles to TakeOrderedAndProject —
+    per-partition k-row heaps, single k-row merge, never a global sort.
+    """
+    ks = (
+        df.select(hash60(F.col(col)).alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    return ks.agg(
+        F.count("*").alias("k"),
+        F.max("h").alias("kth_hash"),
+        F.floor(
+            F.lit(float(k - 1)) * F.lit(HASH_DOMAIN) / F.max("h").cast("double")
+        )
+        .cast("long")
+        .alias("est_distinct"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str = "doc_id",
+    budget: int = 2048,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Fixed-order sequence packing: concatenate documents (in
+    deterministic id order, within hash buckets) into contiguous token
+    ranges and assign each doc the bin where its range STARTS —
+    ``bin = floor(start_offset / budget)``.
+
+    This is the streaming/fixed-order packing rule used for LLM batch
+    assembly: bins are full up to the budget except where one document
+    straddles a boundary (it belongs to its start bin). Windows are
+    PARTITIONed BY bucket so packing is embarrassingly parallel — the
+    global-cumulative-sum formulation would serialize 10^12 rows through
+    one partition.
+
+    Adds ``bucket``, ``start_offset``, ``bin`` columns.
+    """
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn("bucket", hash_bucket(F.col(id_col), n_buckets))
+        .withColumn(
+            "start_offset",
+            F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "bin", F.floor(F.col("start_offset") / F.lit(budget)).cast("int")
+        )
+    )

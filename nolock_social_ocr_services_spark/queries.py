@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import dedup as dd
+from .functions import sampling
 from .functions import similarity as sim
 from .functions import text as tx
 
@@ -1361,6 +1362,118 @@ SELECT DISTINCT md5(text) AS text_hash FROM documents
 """
 
 
+# -- deterministic sampling / splitting / sketching / packing ------------------
+# (functions/sampling.py; training-data ops beyond the reference surface)
+
+
+def q_hash_split(spark, sf_dir):
+    """Reproducible train/val/test split: deterministic md5-bucket
+    assignment (map-only, no shuffle for the labeling itself), then a
+    count per (split, lang) to verify both the rule and the rates."""
+    d = _docs(spark, sf_dir)
+    return (
+        sampling.with_split(d, id_col="doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+SQL_HASH_SPLIT = """
+SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, count(*) AS n_docs
+FROM (SELECT lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT % 100 AS b
+      FROM documents)
+GROUP BY 1, 2
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic ~7% subsample (hash-threshold filter pushed to the
+    scan; value-stable under repartitioning and cluster resizing)."""
+    d = _docs(spark, sf_dir)
+    return sampling.stratified_sample(d, "doc_id", pct=7).select(
+        "doc_id", "lang"
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT % 100 < 7
+"""
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """K-minimum-values distinct-token sketch (k=64): one row with the
+    k-th smallest 60-bit hash and the cardinality estimate. The oracle
+    recomputes the identical sketch, so the check is exact — and the
+    pytest asserts the estimate is within 25% of true distinct."""
+    d = _docs(spark, sf_dir)
+    words = (
+        d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    return sampling.kmv_distinct(words, "word", k=64)
+
+
+SQL_KMV_DISTINCT = """
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents
+), hs AS (
+  SELECT DISTINCT ('0x' || substr(md5(word), 1, 15))::UBIGINT AS h
+  FROM words WHERE word <> ''
+), ks AS (SELECT h FROM hs ORDER BY h LIMIT 64)
+SELECT CAST(count(*) AS BIGINT) AS k,
+       CAST(max(h) AS BIGINT) AS kth_hash,
+       CAST(floor(63.0 * 1152921504606846976.0
+                  / CAST(max(h) AS DOUBLE)) AS BIGINT) AS est_distinct
+FROM ks
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (budget 2048, 8 parallel buckets):
+    per (bucket, bin) doc count + token sum. Windows partition by hash
+    bucket so packing never serializes through one global cumsum."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", tx.token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = sampling.pack_sequences(
+        d, "n_tokens", id_col="doc_id", budget=2048, n_buckets=8
+    )
+    return packed.groupBy("bucket", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+         END AS n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT % 8 AS bucket
+  FROM documents
+), packed AS (
+  SELECT bucket, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+             PARTITION BY bucket ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_offset
+  FROM toks
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(floor(start_offset / 2048.0) AS INT) AS bin,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM packed
+GROUP BY 1, 2
+"""
+
+
 def extra_queries() -> dict[str, tuple]:
     """name -> (callable, oracle_sql | None)"""
     return {
@@ -1421,4 +1534,8 @@ def extra_queries() -> dict[str, tuple]:
             SQL_STREAM_RUNNING_COUNTS.format(flat=_ORACLE_FLAT),
         ),
         "stream_dedup_hashes": (q_stream_dedup_hashes, SQL_STREAM_DEDUP_HASHES),
+        "hash_split": (q_hash_split, SQL_HASH_SPLIT),
+        "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+        "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+        "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     }

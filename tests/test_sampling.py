@@ -1,0 +1,94 @@
+"""Tests for deterministic sampling / splitting / KMV sketch / packing
+(functions/sampling.py). The properties under test are the ones a
+training-data pipeline actually relies on: split stability under
+repartitioning, sample-rate convergence, sketch accuracy, and the
+packing invariant (every bin except a bucket's last holds >= budget
+tokens counting the straddling doc).
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from nolock_social_ocr_services_spark.functions import sampling
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_split_rates_and_determinism(spark, docs):
+    split = sampling.with_split(docs, id_col="doc_id")
+    rates = {
+        r["split"]: r["n"]
+        for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(rates.values())
+    assert total == docs.count()
+    # hash split converges to 90/5/5 — allow slack at tiny SF
+    assert 0.80 <= rates["train"] / total <= 0.97
+    assert rates.get("val", 0) > 0 and rates.get("test", 0) > 0
+
+    # plan-independence: same labels after an arbitrary repartition
+    a = {r["doc_id"]: r["split"] for r in split.select("doc_id", "split").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in sampling.with_split(docs.repartition(7), id_col="doc_id")
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a == b
+
+
+def test_split_is_map_only(docs):
+    plan = sampling.with_split(docs, id_col="doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection: no shuffle
+
+
+def test_stratified_sample_rate_and_subset(docs):
+    s = sampling.stratified_sample(docs, "doc_id", pct=7)
+    n, total = s.count(), docs.count()
+    assert 0.02 <= n / total <= 0.15
+    # sample(5) is a subset of sample(7): nested by construction
+    s5 = set(
+        r["doc_id"]
+        for r in sampling.stratified_sample(docs, "doc_id", pct=5)
+        .select("doc_id")
+        .collect()
+    )
+    s7 = set(r["doc_id"] for r in s.select("doc_id").collect())
+    assert s5 <= s7
+
+
+def test_kmv_estimate_accuracy(spark, docs):
+    words = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    truth = words.distinct().count()
+    row = sampling.kmv_distinct(words, "word", k=64).collect()[0]
+    assert row["k"] == min(64, truth)
+    if truth > 64:
+        assert abs(row["est_distinct"] - truth) / truth < 0.25
+
+
+def test_pack_sequences_invariants(spark):
+    rows = [(i, 100 + (i * 37) % 400) for i in range(1, 301)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = sampling.pack_sequences(
+        df, "n_tokens", id_col="doc_id", budget=1000, n_buckets=4
+    ).collect()
+    assert len(packed) == 300
+    by_bucket = {}
+    for r in sorted(packed, key=lambda r: (r["bucket"], r["start_offset"])):
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for bucket, rs in by_bucket.items():
+        # offsets are a contiguous prefix-sum within the bucket
+        off = 0
+        for r in rs:
+            assert r["start_offset"] == off
+            assert r["bin"] == off // 1000
+            off += r["n_tokens"]
+        # every bin except the last spans >= budget tokens (start of the
+        # first doc of bin b+1 is past bin b's budget boundary)
+        bins = sorted(set(r["bin"] for r in rs))
+        assert bins == list(range(len(bins)))  # no empty bins
