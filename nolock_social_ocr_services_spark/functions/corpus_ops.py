@@ -1,0 +1,254 @@
+"""Corpus-preparation operators for LLM training-data pipelines:
+fixed-budget text chunking with overlap, n-gram statistics, vocabulary
+construction with OOV coverage, integer-exact TF-IDF term ranking,
+per-group KMV distinct sketches, and deterministic source-mixture
+sampling.
+
+Everything here is pure `pyspark.sql.functions` — no Python UDFs, no
+driver-side loops — so each operator compiles into whole-stage codegen
+and its cost is a scan plus at most one or two hash shuffles.
+
+Scale notes (100 TB):
+  * ``chunked`` explodes each document into ceil(n/stride) chunks via
+    ``F.sequence`` + higher-order ``transform`` on the per-row token
+    array — all map-side; chunk count grows with data, never with a
+    shuffle key's cardinality.
+  * ``ngram_counts`` builds n-grams with ``transform(sequence(...))``
+    over the token array per row (map-side), then one hash-agg on the
+    n-gram string. Partial aggregation absorbs the Zipf head before the
+    exchange, so the shuffle carries per-partition distinct n-grams,
+    not corpus positions.
+  * ``vocab`` is a count + global top-V: ``orderBy.limit(V)`` compiles
+    to TakeOrderedAndProject (per-partition V-row heaps, one merge) —
+    no global sort at any scale. OOV joins the Zipf-head vocab back
+    with a BROADCAST hint; V is small by construction.
+  * ``tfidf_top_terms`` keeps scores in exact integer arithmetic
+    (score = tf * SCALE div df) so ranking is bit-identical across
+    engines and cluster sizes — no float ulp flips what "top term"
+    means between a 10-node and a 1000-node run.
+  * ``kmv_by_group`` = per-group k-minimum-values sketch via
+    row_number <= k — one shuffle on (group, hash) then one window;
+    groups sketch in parallel, sketch size is O(k) per group.
+  * ``mixture_sample`` composes per-source hash thresholds, a
+    map-only filter (the same determinism contract as
+    ``sampling.stratified_sample``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import hash60, hash_bucket
+
+#: integer scale for exact tf-idf ranking (see tfidf_top_terms)
+TFIDF_SCALE = 1_000_000
+
+
+def words(col: Column) -> Column:
+    """Whitespace token array with empty-string guard — the shared
+    tokenizer contract with the DuckDB oracles
+    (``regexp_split_to_array(trim(text), '\\s+')``)."""
+    return F.filter(
+        F.split(F.trim(col), r"\s+"), lambda w: w != F.lit("")
+    )
+
+
+def chunked(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Explode each document into fixed-size token chunks with overlap
+    (size - stride tokens shared between neighbours) — the standard
+    context-window packing pre-pass for LLM pretraining.
+
+    Chunk i covers tokens [i*stride, i*stride + size); the last chunk
+    may be short but is never empty; empty documents yield no chunks.
+    Output adds ``chunk_id`` (0-based) and ``chunk_text``; all map-side
+    (sequence + slice + array_join on the already-split token array).
+    """
+    w = words(F.col(text_col))
+    n = F.size(w)
+    # number of chunks: 1 + floor((n-1)/stride) for n >= 1
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        (n - 1).cast("long") / F.lit(stride) + 1
+    ).cast("int")
+    return (
+        df.withColumn("_words", w)
+        .withColumn("_n_chunks", n_chunks)
+        .filter(F.col("_n_chunks") > 0)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("_n_chunks") - 1),
+                    lambda i: F.array_join(
+                        F.slice(F.col("_words"), i * stride + 1, size), " "
+                    ),
+                )
+            ).alias("chunk_id", "chunk_text"),
+        )
+    )
+
+
+def ngram_counts(
+    df: DataFrame, text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Corpus n-gram frequency table: one row per distinct space-joined
+    n-gram with its occurrence count. N-grams are materialized per row
+    (map-side higher-order functions), then hash-aggregated once.
+    """
+    w = words(F.col(text_col))
+    grams = F.when(F.size(w) < n, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        )
+    )
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(token, n_occurrences) over the whole corpus."""
+    return (
+        df.select(F.explode(words(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+
+
+def vocab(df: DataFrame, text_col: str = "text", top_v: int = 256) -> DataFrame:
+    """Top-V vocabulary by corpus frequency, deterministic tie-break on
+    the token string. ``orderBy.limit`` compiles to
+    TakeOrderedAndProject — no global sort."""
+    return (
+        token_counts(df, text_col)
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(top_v)
+    )
+
+
+def oov_rate(
+    df: DataFrame, text_col: str = "text", top_v: int = 256
+) -> DataFrame:
+    """Vocabulary coverage: one row with corpus token occurrences, the
+    occurrences covered by the top-V vocab, and the OOV rate (exact
+    rational rendered as a 6-dp double). The vocab side is tiny by
+    construction, so the join is a broadcast."""
+    counts = token_counts(df, text_col)
+    v = vocab(df, text_col, top_v).select("token")
+    joined = counts.join(F.broadcast(v).withColumn("_inv", F.lit(1)), "token", "left")
+    return joined.agg(
+        F.sum("n_occurrences").cast("long").alias("total_occurrences"),
+        F.sum(F.when(F.col("_inv").isNotNull(), F.col("n_occurrences")).otherwise(0))
+        .cast("long")
+        .alias("covered_occurrences"),
+        F.round(
+            1.0
+            - F.sum(
+                F.when(F.col("_inv").isNotNull(), F.col("n_occurrences")).otherwise(0)
+            ).cast("double")
+            / F.sum("n_occurrences").cast("double"),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top TF-IDF term per document, ranked in EXACT integer arithmetic.
+
+    score = tf * TFIDF_SCALE div df  (df = document frequency). The
+    constant corpus-size factor is dropped (it rescales every term in a
+    document identically, so the argmax is unchanged for any monotone
+    idf of df... strictly: we rank by tf/df, the idf=1/df variant).
+    Integer div keeps the ranking bit-identical across engines and
+    cluster sizes — float idf (ln-based) can flip near-ties by one ulp
+    and make "the top term" nondeterministic, which poisons hash-based
+    regression checks downstream. Ties break on the token string.
+
+    Plan: one (doc, token) hash-agg for tf, one token hash-agg for df
+    (partial-agg absorbs the Zipf head), one shuffle join on token,
+    one window for the per-doc argmax.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = toks.select(id_col, "token").distinct().groupBy("token").agg(
+        F.count("*").alias("df")
+    )
+    # exact integer division, not float: floor(tf*SCALE / df)
+    scored = tf.join(dfreq, "token").withColumn(
+        "score", F.expr(f"CAST(tf * {TFIDF_SCALE} AS BIGINT) DIV df")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, F.col("token").alias("top_term"), "score")
+    )
+
+
+def kmv_by_group(
+    df: DataFrame, group_col: str, value_col: str, k: int = 32
+) -> DataFrame:
+    """Per-group K-minimum-values distinct sketch: for each group the
+    k-th smallest 60-bit hash of ``value_col`` and the cardinality
+    estimate floor((k-1) * 2^60 / kth_hash). Exact across engines (same
+    md5 -> same longs -> same integer floor). One shuffle, one window.
+    Groups with fewer than k distinct values report exact counts."""
+    from .sampling import HASH_DOMAIN
+
+    hs = (
+        df.select(F.col(group_col).alias("grp"), hash60(F.col(value_col)).alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    ks = hs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return (
+        ks.groupBy("grp")
+        .agg(F.count("*").alias("k"), F.max("h").alias("kth_hash"))
+        .select(
+            F.col("grp").alias(group_col),
+            "k",
+            "kth_hash",
+            F.when(
+                F.col("k") < k, F.col("k").cast("long")
+            )
+            .otherwise(
+                F.floor(
+                    F.lit(float(k - 1))
+                    * F.lit(HASH_DOMAIN)
+                    / F.col("kth_hash").cast("double")
+                ).cast("long")
+            )
+            .alias("est_distinct"),
+        )
+    )
+
+
+def mixture_sample(
+    df: DataFrame, source_col: str, rates: dict[str, int], id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic source-mixture sampling: keep ``rates[source]`` %
+    of each source's rows (hash-threshold per row; sources absent from
+    ``rates`` are dropped). This is how pretraining mixtures weight
+    corpora (e.g. books 3x upweighted vs web) while staying exactly
+    reproducible across runs and cluster sizes. Map-only."""
+    b = hash_bucket(F.col(id_col), 100)
+    cond = F.lit(False)
+    for src, pct in sorted(rates.items()):
+        cond = cond | ((F.col(source_col) == src) & (b < pct))
+    return df.filter(cond)

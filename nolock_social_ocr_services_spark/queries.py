@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions import corpus_ops as co
 from .functions import dedup as dd
 from .functions import sampling
 from .functions import similarity as sim
@@ -1474,6 +1475,229 @@ GROUP BY 1, 2
 """
 
 
+# -- corpus preparation (functions/corpus_ops.py) ------------------------------
+
+
+def q_chunk_text(spark, sf_dir):
+    """Fixed-budget token chunking with overlap (size=64, stride=48):
+    per chunk the md5 of the joined text plus its token count. The
+    context-window packing pre-pass of LLM pretraining, all map-side."""
+    d = _docs(spark, sf_dir)
+    ch = co.chunked(d, size=64, stride=48)
+    return ch.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+        F.size(co.words(F.col("chunk_text"))).cast("long").alias("n_tokens"),
+    )
+
+
+SQL_CHUNK_TEXT = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), base AS (
+  SELECT doc_id, ws, len(ws) AS n,
+         CAST(floor((len(ws) - 1) / 48.0) AS INT) AS max_chunk
+  FROM w WHERE len(ws) > 0
+), idx AS (
+  SELECT doc_id, ws, n,
+         CAST(unnest(generate_series(0, max_chunk)) AS INT) AS chunk_id
+  FROM base
+)
+SELECT doc_id, chunk_id,
+       md5(array_to_string(
+           list_slice(ws, chunk_id * 48 + 1,
+                      least(chunk_id * 48 + 64, n)), ' ')) AS chunk_md5,
+       CAST(least(chunk_id * 48 + 64, n) - chunk_id * 48 AS BIGINT)
+           AS n_tokens
+FROM idx
+"""
+
+
+def q_bigram_counts(spark, sf_dir):
+    """Top-20 corpus bigrams (map-side n-gram build, one hash-agg,
+    TakeOrderedAndProject top-k with a deterministic tie-break)."""
+    d = _docs(spark, sf_dir)
+    return (
+        co.ngram_counts(d, n=2)
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(20)
+    )
+
+
+SQL_BIGRAM_COUNTS = r"""
+WITH w AS (
+  SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), g AS (
+  SELECT array_to_string(list_slice(ws, i, i + 1), ' ') AS ngram
+  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM w WHERE len(ws) >= 2)
+)
+SELECT ngram, count(*) AS n_occurrences
+FROM g GROUP BY 1
+ORDER BY n_occurrences DESC, ngram
+LIMIT 20
+"""
+
+
+def q_vocab_oov(spark, sf_dir):
+    """Vocabulary coverage: top-128 vocab by frequency, then the corpus
+    OOV rate against it (broadcast join of the Zipf head)."""
+    d = _docs(spark, sf_dir)
+    return co.oov_rate(d, top_v=128)
+
+
+SQL_VOCAB_OOV = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), counts AS (
+  SELECT token, count(*) AS n FROM toks GROUP BY 1
+), v AS (
+  SELECT token FROM counts ORDER BY n DESC, token LIMIT 128
+)
+SELECT CAST(sum(n) AS BIGINT) AS total_occurrences,
+       CAST(sum(CASE WHEN v.token IS NOT NULL THEN n ELSE 0 END) AS BIGINT)
+           AS covered_occurrences,
+       round(1.0 - sum(CASE WHEN v.token IS NOT NULL THEN n ELSE 0 END)
+                   / CAST(sum(n) AS DOUBLE), 6) AS oov_rate
+FROM counts LEFT JOIN v USING (token)
+"""
+
+
+def q_tfidf_top_term(spark, sf_dir):
+    """Top TF-IDF term per document in exact integer arithmetic
+    (score = tf * 1e6 div df) — float idf can flip near-ties by one ulp
+    across engines/cluster sizes; integer ranking cannot."""
+    d = _docs(spark, sf_dir)
+    return co.tfidf_top_terms(d)
+
+
+SQL_TFIDF_TOP_TERM = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+), scored AS (
+  SELECT doc_id, token, CAST(tf * 1000000 AS BIGINT) // df AS score
+  FROM tf JOIN dfreq USING (token)
+)
+SELECT doc_id, token AS top_term, score
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, token) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
+
+
+def q_kmv_by_lang(spark, sf_dir):
+    """Per-language distinct-token KMV sketch (k=32): grouped sketching
+    via row_number <= k — groups sketch in parallel, O(k) state each."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "lang", F.explode(co.words(F.col("text"))).alias("token")
+    )
+    return co.kmv_by_group(toks, "lang", "token", k=32)
+
+
+SQL_KMV_BY_LANG = r"""
+WITH toks AS (
+  SELECT lang,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), hs AS (
+  SELECT DISTINCT lang,
+         ('0x' || substr(md5(token), 1, 15))::UBIGINT AS h
+  FROM toks
+), ks AS (
+  SELECT lang, h,
+         row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+  FROM hs
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS k,
+       CAST(max(h) AS BIGINT) AS kth_hash,
+       CASE WHEN count(*) < 32 THEN CAST(count(*) AS BIGINT)
+            ELSE CAST(floor(31.0 * 1152921504606846976.0
+                            / CAST(max(h) AS DOUBLE)) AS BIGINT)
+       END AS est_distinct
+FROM ks WHERE rn <= 32 GROUP BY lang
+"""
+
+
+MIXTURE_RATES = {"src0": 80, "src1": 40, "src2": 20, "src3": 10, "src4": 5}
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic pretraining-mixture sampling: per-source keep
+    rates (src0 80% ... src4 5%, others dropped); verified by counting
+    the survivors per source. Map-only hash-threshold filter."""
+    d = _docs(spark, sf_dir)
+    return (
+        co.mixture_sample(d, "source", MIXTURE_RATES)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+SQL_MIXTURE_SAMPLE = """
+SELECT source, count(*) AS n_docs
+FROM (SELECT source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+                 % 100 AS b
+      FROM documents)
+WHERE (source = 'src0' AND b < 80) OR (source = 'src1' AND b < 40)
+   OR (source = 'src2' AND b < 20) OR (source = 'src3' AND b < 10)
+   OR (source = 'src4' AND b < 5)
+GROUP BY source
+"""
+
+
+def q_length_curriculum(spark, sf_dir):
+    """Curriculum binning: ntile(10) over an exact integer ordering
+    (n_chars desc, doc_id) -> per-bin doc count and char range. The
+    deterministic-ordering variant of difficulty bucketing.
+
+    NOTE (scale): a global ntile is a global sort — correct but the
+    correctness baseline only. The 100-TB path bins by PRE-COMPUTED
+    quantile boundaries (approx_percentile over one scan, boundaries
+    broadcast, bin = a when-chain at scan speed); `value_quantiles`
+    demonstrates the boundary computation."""
+    d = _docs(spark, sf_dir)
+    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("bin", F.ntile(10).over(w))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )
+
+
+SQL_LENGTH_CURRICULUM = """
+SELECT bin, count(*) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM (SELECT n_chars,
+             ntile(10) OVER (ORDER BY n_chars DESC, doc_id) AS bin
+      FROM documents)
+GROUP BY bin
+"""
+
+
 def extra_queries() -> dict[str, tuple]:
     """name -> (callable, oracle_sql | None)"""
     return {
@@ -1538,4 +1762,11 @@ def extra_queries() -> dict[str, tuple]:
         "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
         "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
         "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+        "chunk_text": (q_chunk_text, SQL_CHUNK_TEXT),
+        "bigram_counts": (q_bigram_counts, SQL_BIGRAM_COUNTS),
+        "vocab_oov": (q_vocab_oov, SQL_VOCAB_OOV),
+        "tfidf_top_term": (q_tfidf_top_term, SQL_TFIDF_TOP_TERM),
+        "kmv_by_lang": (q_kmv_by_lang, SQL_KMV_BY_LANG),
+        "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
+        "length_curriculum": (q_length_curriculum, SQL_LENGTH_CURRICULUM),
     }

@@ -1,0 +1,108 @@
+"""Tests for corpus-preparation operators (functions/corpus_ops.py):
+chunking coverage/overlap invariants, n-gram construction, vocabulary
+OOV bounds, exact-integer TF-IDF determinism, grouped KMV accuracy,
+and mixture-sample determinism.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from nolock_social_ocr_services_spark.functions import corpus_ops as co
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_chunked_covers_every_token_with_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(150))
+    df = spark.createDataFrame([(1, text), (2, "a b"), (3, ""), (4, None)],
+                               "doc_id long, text string")
+    rows = co.chunked(df, size=64, stride=48).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk_text"].split(" ")
+    # doc 1: 150 tokens, stride 48 -> chunks at 0,48,96,144 (4 chunks)
+    assert sorted(by_doc[1]) == [0, 1, 2, 3]
+    assert by_doc[1][0] == [f"w{i}" for i in range(64)]
+    assert by_doc[1][3] == [f"w{i}" for i in range(144, 150)]  # short tail
+    # overlap: chunk 1 starts 48, so its first 16 tokens repeat chunk 0's tail
+    assert by_doc[1][1][:16] == by_doc[1][0][48:]
+    # union of chunks covers all tokens
+    covered = set()
+    for c in by_doc[1].values():
+        covered.update(c)
+    assert covered == {f"w{i}" for i in range(150)}
+    # tiny doc -> one chunk; empty/null docs -> no chunks
+    assert by_doc[2] == {0: ["a", "b"]}
+    assert 3 not in by_doc and 4 not in by_doc
+
+
+def test_ngram_counts_small_vector(spark):
+    df = spark.createDataFrame(
+        [("a b a b c",), ("a b",), ("x",), ("",)], "text string"
+    )
+    got = {
+        r["ngram"]: r["n_occurrences"]
+        for r in co.ngram_counts(df, n=2).collect()
+    }
+    assert got == {"a b": 3, "b a": 1, "b c": 1}
+
+
+def test_vocab_and_oov_bounds(docs):
+    row = co.oov_rate(docs, top_v=128).collect()[0]
+    assert 0 < row["covered_occurrences"] <= row["total_occurrences"]
+    assert 0.0 <= row["oov_rate"] < 1.0
+    # larger vocab covers at least as much
+    row_big = co.oov_rate(docs, top_v=512).collect()[0]
+    assert row_big["covered_occurrences"] >= row["covered_occurrences"]
+
+
+def test_tfidf_exact_and_plan_independent(spark):
+    df = spark.createDataFrame(
+        [(1, "rare common common"), (2, "common common other"), (3, "common filler")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: (r["top_term"], r["score"])
+            for r in co.tfidf_top_terms(df).collect()}
+    # doc 1: rare tf=1 df=1 -> 1e6; common tf=2 df=3 -> 666666 -> rare wins
+    assert rows[1] == ("rare", 1_000_000)
+    # repartitioned input gives identical argmaxes
+    rows2 = {r["doc_id"]: (r["top_term"], r["score"])
+             for r in co.tfidf_top_terms(df.repartition(5)).collect()}
+    assert rows == rows2
+
+
+def test_kmv_by_group_accuracy(spark, docs):
+    toks = docs.select("lang", F.explode(co.words(F.col("text"))).alias("token"))
+    truth = {
+        r["lang"]: r["n"]
+        for r in toks.groupBy("lang")
+        .agg(F.countDistinct("token").alias("n"))
+        .collect()
+    }
+    for r in co.kmv_by_group(toks, "lang", "token", k=32).collect():
+        t = truth[r["lang"]]
+        if t <= 32:
+            assert r["est_distinct"] == t  # exact below k
+        else:
+            assert abs(r["est_distinct"] - t) / t < 0.45  # k=32 sketch
+
+
+def test_mixture_sample_rates_and_subset(docs):
+    kept = co.mixture_sample(docs, "source", {"src0": 80, "src1": 5})
+    counts = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"src0", "src1"}
+    base = {r["source"]: r["n"] for r in
+            docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["src0"] / base["src0"] > counts.get("src1", 0) / base["src1"]
+    # kept src1 rows are exactly the 5%-threshold subset of an 80% pass
+    wide = set(r["doc_id"] for r in
+               co.mixture_sample(docs, "source", {"src1": 80})
+               .select("doc_id").collect())
+    narrow = set(r["doc_id"] for r in
+                 co.mixture_sample(docs, "source", {"src1": 5})
+                 .select("doc_id").collect())
+    assert narrow <= wide
