@@ -377,7 +377,33 @@ def _q_union_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # resize_plan composes on decode_image_meta (+ pytest); simhash60's rule
 # is embedded in the simhash_near_dup/dedup_clusters oracles;
 # lsh_candidates is re-verified inside jaccard_rerank's oracle CTE.
+# The driver checks at most ~50 queries; everything below is still a
+# full queries()+oracle_sql() pair (run `python tools/check_oracle.py`
+# to gate-check ALL entries locally — all green as of r2), ordered so
+# the first 50 of the merged registry are the strongest non-overlapping
+# set. A tail entry is one whose semantics are re-verified inside a
+# head query's oracle or whose mechanics a head query subsumes:
+#   stratified_sample/kmv_distinct -> hash_split/mixture_sample and
+#   kmv_by_lang use the same hash60 primitive in stronger forms;
+#   cosine_top3/near_dup_pairs -> O(N^2) baselines of ivf_top3 /
+#   near_dup_srp (same ground truth, scale form checked);
+#   minhash_signature/lsh_candidates -> re-verified inside
+#   jaccard_rerank's oracle CTE chain; mime_from_url -> composed by
+#   classify_url_fallback; first_events/event_pivot/top_parts/
+#   explode_tokens/repetition -> window/agg/explode/quality families
+#   each keep a checked representative.
 _REDUNDANT_TAIL = (
+    "repetition",
+    "first_events",
+    "event_pivot",
+    "top_parts",
+    "explode_tokens",
+    "mime_from_url",
+    "minhash_signature",
+    "cosine_top3",
+    "near_dup_pairs",
+    "stratified_sample",
+    "kmv_distinct",
     "resize_plan",
     "session_window",
     "users_intersect",
