@@ -1,0 +1,357 @@
+"""Snapshot-isolated parquet tables with Iceberg commit semantics.
+
+The north rule targets Iceberg tables; this sandbox ships no Iceberg
+runtime jar (``pyspark/jars`` has no table-format jars and installs are
+not allowed), so this module re-implements the part of the Iceberg spec
+the pipeline depends on — atomic snapshot commits, snapshot-isolated
+reads, time travel, rollback, and partition-level overwrite — over plain
+parquet, from the published spec (https://iceberg.apache.org/spec/).
+
+On a real cluster this entire module is replaced by the Iceberg catalog:
+``spark.read.table("docs")``, ``df.writeTo("docs").overwritePartitions()``,
+``CALL system.rollback_to_snapshot(...)``. The call sites are therefore
+kept one-method-thin so the swap is mechanical.
+
+Layout (mirrors Iceberg's metadata tree, flattened one level):
+
+    table_dir/
+      data/tx-<txid>/part-*.parquet     immutable data files, one dir
+                                        per write transaction
+      metadata/snap-<seq>.json          snapshot manifest: schema JSON,
+                                        explicit data-file list (with
+                                        per-file partition value + row
+                                        count), parent pointer, summary
+
+A snapshot file is the unit of commit.  Commit = hard-link a fully
+written temp manifest to ``snap-<next>.json``; ``link(2)`` fails with
+EEXIST if another writer won, which is the same optimistic
+compare-and-swap Iceberg does on its metadata pointer.  Losing appends
+REBASE (their data files are already on disk and immutable, so the
+retry just re-points them at the new parent); losing overwrites raise —
+exactly Iceberg's serializable-isolation behavior.
+
+Readers resolve the highest ``snap-*.json`` (Iceberg's version-hint
+scan) and read ONLY the files that manifest lists: a crash after data
+files land but before the manifest commit leaves the table readable at
+the previous snapshot, and a half-written writer directory is never
+visible.  This is the invariant ``lineage.read_output`` provides with
+its ``_manifest`` markers, generalized to whole-table versioning.
+
+Scale notes (10^12-doc corpus): the manifest holds a flat JSON file
+list — fine to O(10^5) files per table; beyond that Iceberg splits the
+list into avro manifest files grouped by partition, and the
+``partition`` field recorded per file here is exactly the key that
+grouping needs, so the format is forward-compatible with that split.
+Partition pruning happens manifest-side (``read(..., parts=...)``
+selects files by recorded partition value before Spark ever lists a
+directory), which is the metadata-level pruning that makes Iceberg
+scans cheap on huge tables.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_SNAP_RE = re.compile(r"snap-(\d{10})\.json$")
+
+
+class CommitConflict(Exception):
+    """Optimistic-concurrency failure a caller must resolve (Iceberg's
+    ``ValidationException`` on non-append concurrent commits)."""
+
+
+class SnapTable:
+    def __init__(self, path: str):
+        self.path = path
+        self.meta_dir = os.path.join(path, "metadata")
+        self.data_dir = os.path.join(path, "data")
+        os.makedirs(self.meta_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # ------------------------------------------------------------------
+    # snapshot resolution
+    # ------------------------------------------------------------------
+    def _snapshot_files(self) -> list[str]:
+        return sorted(
+            f
+            for f in glob.glob(os.path.join(self.meta_dir, "snap-*.json"))
+            if _SNAP_RE.search(f)
+        )
+
+    def current_snapshot_id(self) -> int:
+        snaps = self._snapshot_files()
+        if not snaps:
+            return 0
+        return int(_SNAP_RE.search(snaps[-1]).group(1))
+
+    def _load(self, snapshot_id: int) -> dict:
+        p = os.path.join(self.meta_dir, f"snap-{snapshot_id:010d}.json")
+        with open(p) as fh:
+            return json.load(fh)
+
+    def snapshots(self) -> list[dict]:
+        """History, oldest first (snapshot_id, operation, summary, ts)."""
+        out = []
+        for f in self._snapshot_files():
+            with open(f) as fh:
+                s = json.load(fh)
+            out.append(
+                {
+                    "snapshot_id": s["snapshot_id"],
+                    "parent_id": s["parent_id"],
+                    "operation": s["operation"],
+                    "summary": s.get("summary", {}),
+                    "n_files": len(s["files"]),
+                }
+            )
+        return out
+
+    # ------------------------------------------------------------------
+    # writes
+    # ------------------------------------------------------------------
+    def _write_tx(
+        self, df: DataFrame, partition_by: str | None
+    ) -> list[dict]:
+        """Write df's rows as immutable files under a fresh tx dir and
+        return their manifest entries. Not yet visible to any reader."""
+        txid = uuid.uuid4().hex[:12]
+        tx_dir = os.path.join(self.data_dir, f"tx-{txid}")
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(tx_dir)
+        entries = []
+        for f in glob.glob(
+            os.path.join(tx_dir, "**", "*.parquet"), recursive=True
+        ):
+            part = None
+            if partition_by:
+                m = re.search(rf"{re.escape(partition_by)}=([^/]+)", f)
+                part = {partition_by: m.group(1)} if m else None
+            entries.append(
+                {
+                    "path": os.path.relpath(f, self.path),
+                    "partition": part,
+                    "bytes": os.path.getsize(f),
+                }
+            )
+        return entries
+
+    def _try_commit(self, snap: dict) -> bool:
+        """Atomic CAS: hard-link a finished temp manifest into place.
+        False = another writer committed this id first."""
+        final = os.path.join(
+            self.meta_dir, f"snap-{snap['snapshot_id']:010d}.json"
+        )
+        tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(snap, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, final)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def _commit(
+        self,
+        operation: str,
+        added: list[dict],
+        keep_parent_files,
+        schema_json: str,
+        summary: dict,
+        retries: int = 20,
+    ) -> int:
+        """keep_parent_files: callable(parent_files) -> surviving subset.
+        Appends rebase on conflict; anything that removes files raises
+        CommitConflict if beaten (serializable isolation)."""
+        for _ in range(retries):
+            parent_id = self.current_snapshot_id()
+            parent_files = (
+                self._load(parent_id)["files"] if parent_id else []
+            )
+            snap = {
+                "snapshot_id": parent_id + 1,
+                "parent_id": parent_id,
+                "operation": operation,
+                "schema": schema_json,
+                "files": keep_parent_files(parent_files) + added,
+                "summary": summary,
+            }
+            if self._try_commit(snap):
+                return snap["snapshot_id"]
+            if operation != "append":
+                raise CommitConflict(
+                    f"{operation} lost the race at snapshot {parent_id + 1}"
+                )
+            # append rebases: data files are immutable, just re-point.
+        raise CommitConflict(f"gave up after {retries} rebases")
+
+    def append(self, df: DataFrame, partition_by: str | None = None) -> int:
+        added = self._write_tx(df, partition_by)
+        return self._commit(
+            "append", added, lambda pf: pf, df.schema.json(),
+            {"added_files": len(added)},
+        )
+
+    def overwrite(self, df: DataFrame, partition_by: str | None = None) -> int:
+        added = self._write_tx(df, partition_by)
+        return self._commit(
+            "overwrite", added, lambda pf: [], df.schema.json(),
+            {"added_files": len(added)},
+        )
+
+    def overwrite_partitions(
+        self,
+        df: DataFrame,
+        partition_by: str,
+        values: list,
+        extra_summary: dict | None = None,
+    ) -> int:
+        """Iceberg dynamic-partition overwrite: atomically replace the
+        named partitions, leave every other file untouched.
+
+        ``extra_summary`` lands in the snapshot summary — jobs use it to
+        carry protocol state (e.g. the cumulative committed-part set:
+        an EMPTY partition writes no files, so it is invisible to
+        ``committed_values``; the summary is the durable record that it
+        was processed)."""
+        vals = {str(v) for v in values}
+        added = self._write_tx(df, partition_by)
+
+        def keep(parent_files):
+            return [
+                f
+                for f in parent_files
+                if not (
+                    f.get("partition")
+                    and f["partition"].get(partition_by) in vals
+                )
+            ]
+
+        summary = {"replaced": sorted(vals), "added_files": len(added)}
+        summary.update(extra_summary or {})
+        return self._commit(
+            "overwrite_partitions", added, keep, df.schema.json(), summary
+        )
+
+    def current_summary(self) -> dict:
+        sid = self.current_snapshot_id()
+        return self._load(sid).get("summary", {}) if sid else {}
+
+    def rollback(self, snapshot_id: int) -> int:
+        """Commit a NEW snapshot pointing at an old file set (history is
+        append-only, like Iceberg's rollback_to_snapshot)."""
+        old = self._load(snapshot_id)
+
+        def keep(parent_files):
+            return []
+
+        # rollback must not silently lose a concurrent commit -> treated
+        # as a removing operation (raises on race).
+        return self._commit(
+            "rollback", list(old["files"]), keep, old["schema"],
+            {"rolled_back_to": snapshot_id},
+        )
+
+    # ------------------------------------------------------------------
+    # reads
+    # ------------------------------------------------------------------
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        parts: list | None = None,
+        partition_by: str | None = None,
+    ) -> DataFrame:
+        """Snapshot-isolated read. ``snapshot_id`` = time travel;
+        ``parts`` prunes files by recorded partition value BEFORE Spark
+        plans the scan (manifest-side pruning)."""
+        sid = (
+            self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        )
+        schema_hint = None
+        files: list[dict] = []
+        if sid:
+            snap = self._load(sid)
+            schema_hint = snap["schema"]
+            files = snap["files"]
+        if parts is not None and partition_by is not None:
+            want = {str(v) for v in parts}
+            files = [
+                f
+                for f in files
+                if f.get("partition")
+                and f["partition"].get(partition_by) in want
+            ]
+        if not files:
+            if schema_hint is None:
+                raise ValueError(f"{self.path}: empty table with no schema")
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(schema_hint))
+            )
+        paths = [os.path.join(self.path, f["path"]) for f in files]
+        df = spark.read.schema(
+            StructType.fromJson(json.loads(schema_hint))
+        ).parquet(*paths)
+        if partition_by:
+            # partition value lives in the path, not the file; restore it
+            # as a column the way basePath-discovery would. regexp over
+            # input_file_name keeps the plan O(1) in file count (a
+            # literal path->value map would grow with the manifest).
+            df = df.withColumn(
+                partition_by,
+                F.regexp_extract(
+                    F.input_file_name(),
+                    re.escape(partition_by) + "=([^/]+)",
+                    1,
+                ),
+            )
+        return df
+
+    def committed_values(self, partition_by: str) -> set[str]:
+        """Distinct partition values present in the current snapshot —
+        the resume set, answered from metadata without touching data."""
+        sid = self.current_snapshot_id()
+        if not sid:
+            return set()
+        return {
+            f["partition"][partition_by]
+            for f in self._load(sid)["files"]
+            if f.get("partition") and partition_by in f["partition"]
+        }
+
+    # ------------------------------------------------------------------
+    # maintenance
+    # ------------------------------------------------------------------
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Drop old snapshot manifests and any tx dir no surviving
+        snapshot references (Iceberg's expire_snapshots + orphan-file
+        cleanup). Returns number of tx dirs deleted."""
+        snaps = self._snapshot_files()
+        survivors = snaps[-keep_last:] if keep_last else []
+        live_tx: set[str] = set()
+        for s in survivors:
+            with open(s) as fh:
+                for f in json.load(fh)["files"]:
+                    live_tx.add(f["path"].split(os.sep)[1])
+        for s in snaps[: len(snaps) - keep_last]:
+            os.unlink(s)
+        removed = 0
+        for tx in glob.glob(os.path.join(self.data_dir, "tx-*")):
+            if os.path.basename(tx) not in live_tx:
+                shutil.rmtree(tx)
+                removed += 1
+        return removed

@@ -1,0 +1,213 @@
+"""SnapTable: Iceberg commit semantics over parquet (spec-level tests).
+
+Covers the invariants the north rule's Iceberg requirement buys us:
+atomic visibility (a crash between data-file write and manifest commit
+leaves the table readable at the prior snapshot), snapshot-isolated
+reads + time travel, optimistic concurrency (appends rebase, removing
+commits raise), dynamic-partition overwrite, metadata-side resume, and
+snapshot expiry with orphan-file cleanup.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from nolock_social_ocr_services_spark.sources.snap_job import (
+    read_lineage_snap,
+    read_output_snap,
+    run_extract_job_snap,
+)
+from nolock_social_ocr_services_spark.sources.snaptable import (
+    CommitConflict,
+    SnapTable,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+
+
+def test_append_read_roundtrip_and_history(spark, tmp_path):
+    t = SnapTable(str(tmp_path / "t"))
+    s1 = t.append(_df(spark, 0, 5))
+    s2 = t.append(_df(spark, 5, 8))
+    assert (s1, s2) == (1, 2)
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(8))
+    # time travel: snapshot 1 predates the second append
+    assert sorted(r.k for r in t.read(spark, snapshot_id=1).collect()) == [
+        0, 1, 2, 3, 4,
+    ]
+    ops = [s["operation"] for s in t.snapshots()]
+    assert ops == ["append", "append"]
+
+
+def test_uncommitted_write_is_invisible(spark, tmp_path):
+    t = SnapTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 3))
+    # simulate a writer killed after its data files land but before the
+    # manifest commit: files exist on disk, no snapshot references them
+    t._write_tx(_df(spark, 100, 200), None)
+    assert t.current_snapshot_id() == 1
+    assert sorted(r.k for r in t.read(spark).collect()) == [0, 1, 2]
+
+
+def test_overwrite_replaces_and_rollback_restores(spark, tmp_path):
+    t = SnapTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 4))
+    t.overwrite(_df(spark, 50, 52))
+    assert sorted(r.k for r in t.read(spark).collect()) == [50, 51]
+    s3 = t.rollback(1)
+    assert s3 == 3  # history is append-only
+    assert sorted(r.k for r in t.read(spark).collect()) == [0, 1, 2, 3]
+
+
+def test_empty_table_read_raises(spark, tmp_path):
+    t = SnapTable(str(tmp_path / "t"))
+    with pytest.raises(ValueError):
+        t.read(spark)
+
+
+def test_concurrent_append_rebases(spark, tmp_path):
+    """Interleave two appenders deterministically: the competing commit
+    lands between the loser's parent resolution and its CAS, the loser
+    retries, and BOTH appends survive."""
+    path = str(tmp_path / "t")
+    t1, t2 = SnapTable(path), SnapTable(path)
+    t1.append(_df(spark, 0, 2))
+
+    added = t1._write_tx(_df(spark, 10, 12), None)
+    fired = {"n": 0}
+
+    def keep(parent_files):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            t2.append(_df(spark, 20, 22))  # wins the next snapshot id
+        return parent_files
+
+    sid = t1._commit(
+        "append", added, keep, _df(spark, 0, 1).schema.json(), {}
+    )
+    assert sid == 3
+    assert sorted(r.k for r in t1.read(spark).collect()) == [
+        0, 1, 10, 11, 20, 21,
+    ]
+
+
+def test_concurrent_overwrite_conflicts(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t1, t2 = SnapTable(path), SnapTable(path)
+    t1.append(_df(spark, 0, 2))
+    added = t1._write_tx(_df(spark, 10, 12), None)
+
+    def keep(parent_files):
+        if not parent_files or parent_files[0].get("_raced"):
+            return []
+        t2.append(_df(spark, 20, 22))
+        for f in parent_files:
+            f["_raced"] = True
+        return []
+
+    with pytest.raises(CommitConflict):
+        t1._commit(
+            "overwrite", added, keep, _df(spark, 0, 1).schema.json(), {}
+        )
+
+
+def test_overwrite_partitions_is_surgical(spark, tmp_path):
+    t = SnapTable(str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [Row(p=0, v="a"), Row(p=0, v="b"), Row(p=1, v="c")]
+    )
+    t.append(base, partition_by="p")
+    assert t.committed_values("p") == {"0", "1"}
+    t.overwrite_partitions(
+        spark.createDataFrame([Row(p=1, v="C2"), Row(p=1, v="C3")]),
+        "p",
+        [1],
+    )
+    got = t.read(spark, partition_by="p").collect()
+    by_part = {}
+    for r in got:
+        by_part.setdefault(r.p, []).append(r.v)
+    assert sorted(by_part["0"]) == ["a", "b"]
+    assert sorted(by_part["1"]) == ["C2", "C3"]
+    # manifest-side pruning: only partition-1 files are handed to Spark
+    pruned = t.read(spark, parts=[1], partition_by="p")
+    assert sorted(r.v for r in pruned.collect()) == ["C2", "C3"]
+    assert len(pruned.inputFiles()) < len(t.read(spark).inputFiles())
+
+
+def test_expire_snapshots_drops_orphans(spark, tmp_path):
+    t = SnapTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 3))
+    t.overwrite(_df(spark, 10, 13))
+    tx_dirs = lambda: len(  # noqa: E731
+        [d for d in os.listdir(t.data_dir) if d.startswith("tx-")]
+    )
+    assert tx_dirs() == 2
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed == 1  # snapshot-1's files are unreferenced
+    assert tx_dirs() == 1
+    assert sorted(r.k for r in t.read(spark).collect()) == [10, 11, 12]
+
+
+def test_snap_job_kill_resume_matches_direct(spark, sf_dir, tmp_path):
+    from nolock_social_ocr_services_spark.corpus import synthesize_documents
+    from nolock_social_ocr_services_spark.pipeline import extract_spans
+
+    docs = synthesize_documents(spark, sf_dir).cache()
+    table_dir = str(tmp_path / "out")
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_extract_job_snap(
+            spark, docs, table_dir, run_id="r1", num_parts=8,
+            batch_size=2, fail_after=2,
+        )
+    done_mid = SnapTable(table_dir).committed_values("part_id")
+    assert 0 < len(done_mid) < 8
+
+    resumed = run_extract_job_snap(
+        spark, docs, table_dir, run_id="r2", num_parts=8, batch_size=2
+    )
+    assert {int(v) for v in done_mid}.isdisjoint(resumed)
+    assert len(done_mid) + len(resumed) == 8
+
+    got = read_output_snap(spark, table_dir).drop("part_id")
+    want = extract_spans(docs)
+    cols = want.columns
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    lin = read_lineage_snap(spark, table_dir)
+    rows = lin.groupBy("part_id").count().collect()
+    assert len(rows) == 8 and all(r["count"] == 1 for r in rows)
+    assert lin.agg(F.sum("span_count")).first()[0] == want.count()
+    docs.unpersist()
+
+
+def test_snap_job_empty_parts_still_commit(spark, sf_dir, tmp_path):
+    """A resume unit with zero documents writes zero files — the summary
+    record (not the file manifest) must still mark it committed, or
+    every resume would re-run it forever."""
+    from nolock_social_ocr_services_spark.corpus import synthesize_documents
+
+    docs = (
+        synthesize_documents(spark, sf_dir)
+        .filter(F.pmod(F.hash("doc_id"), F.lit(4)) == 0)
+        .cache()
+    )
+    table_dir = str(tmp_path / "out")
+    first = run_extract_job_snap(
+        spark, docs, table_dir, run_id="r1", num_parts=4, batch_size=2
+    )
+    assert first == [0, 1, 2, 3]
+    again = run_extract_job_snap(
+        spark, docs, table_dir, run_id="r2", num_parts=4, batch_size=2
+    )
+    assert again == []
+    got = read_output_snap(spark, table_dir)
+    assert got.count() > 0
+    docs.unpersist()
