@@ -374,3 +374,31 @@ def connected_components(
             break
         prev_sig = sig
     return lab
+
+
+def canonical_survivors(
+    docs: DataFrame, cc: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Finish the dedup story: clusters -> ONE canonical doc per
+    cluster. Survivor = the cluster label itself (min reachable id —
+    deterministic, so the kept set is identical across runs and cluster
+    sizes); singleton docs are their own cluster and survive trivially.
+    Output: (id_col = the surviving doc, n_members = cluster size).
+
+    Scale: one broadcast-or-hash left join to label docs + one
+    hash-agg on cluster_id — both key-partitioned, no fan-out. The
+    n_members column is what a curation report needs to audit how much
+    the corpus shrank per cluster.
+    """
+    labels = (
+        docs.select(id_col)
+        .join(cc.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col, F.coalesce("label", F.col(id_col)).alias("cluster_id")
+        )
+    )
+    return (
+        labels.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_members"))
+        .select(F.col("cluster_id").alias(id_col), "n_members")
+    )

@@ -150,3 +150,49 @@ def pack_sequences(
             "bin", F.floor(F.col("start_offset") / F.lit(budget)).cast("int")
         )
     )
+
+
+def shuffle_positions(
+    df: DataFrame, id_col: str = "doc_id", seed: int = 42
+) -> DataFrame:
+    """Deterministic global training-shuffle order: every row gets a
+    dense position 1..N in md5(id|seed) order — the epoch shuffle of a
+    pretraining data loader, reproducible across runs, engines, and
+    cluster sizes (new seed = new permutation).
+
+    NOT implemented as one global row_number() window (that collapses
+    the table into a single partition). Two-level form instead:
+
+      bucket  = first two hex chars of the key (256 ranges; hex
+                lexicographic order == key order, so bucket boundaries
+                respect the global order);
+      in-rank = row_number() PARTITION BY bucket (parallel, ~N/256
+                rows per window partition);
+      pos     = broadcast-joined cumulative bucket offset + in-rank.
+
+    Cost at scale: one shuffle on bucket for the windows, one tiny
+    (256-row) aggregate for the offsets, one broadcast join. The only
+    single-partition window runs over those 256 offset rows, never the
+    data. Raising the bucket width (3 hex chars -> 4096) keeps window
+    partitions executor-sized at any corpus size.
+    """
+    key = F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed))))
+    bucket = F.substring(key, 1, 2)
+    with_key = df.withColumn("_sh_key", key).withColumn("_sh_b", bucket)
+    counts = with_key.groupBy("_sh_b").agg(F.count("*").alias("_sh_n"))
+    w_off = Window.orderBy("_sh_b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_sh_b",
+        F.coalesce(F.sum("_sh_n").over(w_off), F.lit(0)).alias("_sh_off"),
+    )
+    w_in = Window.partitionBy("_sh_b").orderBy("_sh_key")
+    return (
+        with_key.withColumn("_sh_r", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "_sh_b")
+        .withColumn(
+            "pos", (F.col("_sh_off") + F.col("_sh_r")).cast("long")
+        )
+        .drop("_sh_key", "_sh_b", "_sh_r", "_sh_off")
+    )

@@ -341,3 +341,40 @@ def near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization (the storage/serving form
+    of an embedding corpus: 4x smaller than float32, dot products in
+    integer SIMD). q_i = round(x_i * 127 / max|x|), zero vectors -> all
+    zeros. Pure JVM higher-order functions, map-only, no shuffle.
+
+    Output keeps INTEGER summaries (q_sum / q_min / q_max / n_sat)
+    rather than raw doubles so cross-engine comparison is exact: the
+    only float op is the single multiply/divide before round, evaluated
+    in double with the same literal form on both engines. n_sat counts
+    saturated components (|q| = 127) — the clipping audit a quantizer
+    report needs.
+    """
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(emb, lambda x: F.abs(x)))
+    q = F.when(
+        scale == 0, F.transform(emb, lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(
+            emb, lambda x: F.round(x * F.lit(127.0) / scale).cast("int")
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("q_sum"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+        F.size(F.filter(q, lambda v: F.abs(v) == 127)).alias("n_sat"),
+    )

@@ -1698,6 +1698,80 @@ GROUP BY bin
 """
 
 
+def q_dedup_survivors(spark, sf_dir):
+    """Clusters -> one canonical survivor per cluster (min id) with
+    member counts: the curation report of a fuzzy-dedup pass. Oracle =
+    the recursive-CTE closure of dedup_clusters, re-grouped by label."""
+    d = _docs(spark, sf_dir)
+    sim_df = dd.simhash_md5_table(d, k=_SIMHASH_K)
+    pairs = dd.simhash_near_dup(sim_df, max_hamming=3, bands=4)
+    cc = dd.connected_components(pairs)
+    return dd.canonical_survivors(d, cc)
+
+
+SQL_DEDUP_SURVIVORS = f"""
+WITH RECURSIVE {{simhash_cte}},
+prs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM simtab a JOIN simtab b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) <= 3
+),
+edges AS (SELECT id_a AS u, id_b AS v FROM prs
+          UNION SELECT id_b, id_a FROM prs),
+reach(src, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.node = e.u
+),
+labels AS (SELECT src, min(node) AS cluster_id FROM reach GROUP BY src)
+SELECT cluster_id AS doc_id, CAST(count(*) AS BIGINT) AS n_members
+FROM labels GROUP BY cluster_id
+"""
+
+
+def q_quantize_embeddings(spark, sf_dir):
+    """Int8 symmetric quantization with integer-exact audit columns
+    (saturation count, quantized sum/min/max) — cross-engine comparable
+    without float canonicalization."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sim.quantize_int8(emb)
+
+
+SQL_QUANTIZE_EMBEDDINGS = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+s AS (SELECT vec_id, emb,
+             list_max(list_transform(emb, x -> abs(x))) AS scale FROM e),
+q AS (SELECT vec_id,
+             CASE WHEN scale = 0 THEN list_transform(emb, x -> 0)
+                  ELSE list_transform(
+                         emb, x -> CAST(round(x * 127.0 / scale) AS INT))
+             END AS qs
+      FROM s)
+SELECT vec_id,
+       CAST(list_sum(qs) AS BIGINT) AS q_sum,
+       CAST(list_min(qs) AS INT) AS q_min,
+       CAST(list_max(qs) AS INT) AS q_max,
+       CAST(len(list_filter(qs, v -> abs(v) = 127)) AS INT) AS n_sat
+FROM q
+"""
+
+
+def q_shuffle_order(spark, sf_dir):
+    """Deterministic epoch-shuffle positions 1..N in md5(id|seed)
+    order, computed with the two-level (bucket offsets + in-bucket
+    row_number) form — never a single global-order window."""
+    d = _docs(spark, sf_dir)
+    return sampling.shuffle_positions(d).select("doc_id", "pos")
+
+
+SQL_SHUFFLE_ORDER = """
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY md5(doc_id || '|42')) AS BIGINT)
+         AS pos
+FROM documents
+"""
+
+
 def extra_queries() -> dict[str, tuple]:
     """name -> (callable, oracle_sql | None)"""
     return {
@@ -1769,4 +1843,10 @@ def extra_queries() -> dict[str, tuple]:
         "kmv_by_lang": (q_kmv_by_lang, SQL_KMV_BY_LANG),
         "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
         "length_curriculum": (q_length_curriculum, SQL_LENGTH_CURRICULUM),
+        "dedup_survivors": (
+            q_dedup_survivors,
+            SQL_DEDUP_SURVIVORS.format(simhash_cte=_sql_simhash_cte()),
+        ),
+        "quantize_embeddings": (q_quantize_embeddings, SQL_QUANTIZE_EMBEDDINGS),
+        "shuffle_order": (q_shuffle_order, SQL_SHUFFLE_ORDER),
     }

@@ -205,3 +205,22 @@ def test_connected_components_random_graphs_match_union_find(spark):
         pairs = spark.createDataFrame(edges, "id_a long, id_b long")
         got = {r.node: r.label for r in dd.connected_components(pairs).collect()}
         assert got == expected, f"seed={seed}"
+
+
+def test_canonical_survivors_counts(spark):
+    from nolock_social_ocr_services_spark.functions import dedup as dd
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(f"d{i}",) for i in range(1, 8)], "doc_id string"
+    )
+    # clusters: {d1,d2,d3} via chain, {d5,d6}; d4, d7 singletons
+    pairs = spark.createDataFrame(
+        [("d1", "d2"), ("d2", "d3"), ("d5", "d6")], "id_a string, id_b string"
+    )
+    cc = dd.connected_components(pairs)
+    got = {
+        r.doc_id: r.n_members
+        for r in dd.canonical_survivors(docs, cc).collect()
+    }
+    assert got == {"d1": 3, "d4": 1, "d5": 2, "d7": 1}

@@ -213,3 +213,26 @@ def test_ivf_recall_vs_exact(spark, emb):
     approx = {(r.query_id, r.neighbor_id) for r in sim.ivf_topk(emb, k=3, n_centroids=8).collect()}
     recall = len(exact & approx) / len(exact)
     assert 0.05 < recall <= 1.0, recall
+
+
+def test_quantize_int8_bounds_and_zero_vectors(spark):
+    from nolock_social_ocr_services_spark.functions import similarity as sim
+
+    df = spark.createDataFrame(
+        [
+            ("a", [1.0, -2.0, 4.0]),      # scale 4 -> q = [32, -64, 127]
+            ("b", [0.0, 0.0, 0.0]),       # zero vector -> all zeros
+            ("c", [-0.5, 0.5, 0.25]),     # scale .5 -> [-127, 127, 64]
+        ],
+        "vec_id string, embedding array<float>",
+    )
+    got = {r.vec_id: r.asDict() for r in sim.quantize_int8(df).collect()}
+    assert got["a"] == {
+        "vec_id": "a", "q_sum": 95, "q_min": -64, "q_max": 127, "n_sat": 1,
+    }
+    assert got["b"] == {
+        "vec_id": "b", "q_sum": 0, "q_min": 0, "q_max": 0, "n_sat": 0,
+    }
+    assert got["c"] == {
+        "vec_id": "c", "q_sum": 64, "q_min": -127, "q_max": 127, "n_sat": 2,
+    }

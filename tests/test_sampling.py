@@ -92,3 +92,46 @@ def test_pack_sequences_invariants(spark):
         # first doc of bin b+1 is past bin b's budget boundary)
         bins = sorted(set(r["bin"] for r in rs))
         assert bins == list(range(len(bins)))  # no empty bins
+
+
+def test_shuffle_positions_dense_permutation(spark):
+    from nolock_social_ocr_services_spark.functions import sampling
+
+    df = spark.createDataFrame(
+        [(f"doc-{i:04d}",) for i in range(500)], "doc_id string"
+    )
+    got = sampling.shuffle_positions(df).collect()
+    # dense 1..N, each exactly once
+    assert sorted(r.pos for r in got) == list(range(1, 501))
+    # matches the single-window definition: rank of md5(id|seed)
+    import hashlib
+
+    def key(d):
+        return hashlib.md5(f"{d}|42".encode()).hexdigest()
+
+    want = {
+        d: i + 1
+        for i, d in enumerate(
+            sorted((r.doc_id for r in got), key=key)
+        )
+    }
+    assert {r.doc_id: r.pos for r in got} == want
+
+
+def test_shuffle_positions_stable_under_repartition(spark):
+    from nolock_social_ocr_services_spark.functions import sampling
+
+    df = spark.createDataFrame(
+        [(f"doc-{i:04d}",) for i in range(300)], "doc_id string"
+    )
+    a = {r.doc_id: r.pos for r in sampling.shuffle_positions(df).collect()}
+    b = {
+        r.doc_id: r.pos
+        for r in sampling.shuffle_positions(df.repartition(13)).collect()
+    }
+    c = {
+        r.doc_id: r.pos
+        for r in sampling.shuffle_positions(df, seed=7).collect()
+    }
+    assert a == b
+    assert a != c  # a new seed is a new permutation
