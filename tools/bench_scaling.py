@@ -330,9 +330,43 @@ single host, {time.strftime('%Y-%m-%d')}.
                     v1_medians.append(rec["median_efficiency"])
             except (ValueError, KeyError):
                 pass
-    cross_med = statistics.median(run_medians) if run_medians else med_eff
-    cross_best = max(run_medians) if run_medians else med_eff
+    cross_med = statistics.median(run_medians) if run_medians else None
+    cross_best = max(run_medians) if run_medians else None
     v1_med = statistics.median(v1_medians) if v1_medians else None
+    if cross_med is None:
+        # No v2 run has >= 2 valid pairs yet: say so — do NOT headline
+        # the current run's number (its pairs failed the validity
+        # criteria, so it is evidence of host noise, not of scaling).
+        summary = (
+            f"\n## Cross-run summary (all logged runs, BENCH/runs.jsonl)\n\n"
+            f"**No v2-protocol run has produced >= 2 valid pairs yet** —"
+            f" the latest run's median ({med_eff:.3f}) is NOT pooled"
+            f" ({sum(valid)}/{len(valid)} pairs passed the pre-registered"
+            f" validity criteria; the host was supply-starved)."
+            f" Provisional evidence is the v1-protocol cross-run median"
+            f" {v1_med:.3f}"
+            f" ({', '.join(f'{m:.3f}' for m in v1_medians)}) — v1 probed"
+            f" supply before 4N slots only, so treat it with that bias"
+            f" caveat (north_rule threshold >= 0.8). This file is"
+            f" rewritten every run with the latest run's full table"
+            f" below.\n"
+            if v1_med is not None else
+            f"\n## Cross-run summary (all logged runs, BENCH/runs.jsonl)\n\n"
+            f"**No run has produced >= 2 valid pairs yet**; latest run"
+            f" median {med_eff:.3f} (not pooled).\n"
+        )
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+            f.write(md.split("## Sandwich-alternation protocol")[0]
+                    + summary
+                    + "\n## Sandwich-alternation protocol"
+                    + md.split("## Sandwich-alternation protocol")[1])
+        print(md)
+        print(summary)
+        print(json.dumps({"median_efficiency": med_eff, "pair_eff": pair_eff,
+                          "valid": valid, "supply_probes": supply,
+                          "lo_times": lo_times, "hi_times": hi_times,
+                          "n_docs": n_docs, "calibration": calib}))
+        return
     summary = (
         f"\n## Cross-run summary (all logged runs, BENCH/runs.jsonl)\n\n"
         f"**Median scaling efficiency across the {len(run_medians)}"
