@@ -86,3 +86,42 @@ def read_output_snap(spark: SparkSession, table_dir: str) -> DataFrame:
 
 def read_lineage_snap(spark: SparkSession, table_dir: str) -> DataFrame:
     return SnapTable(table_dir + "_lineage").read(spark)
+
+
+def exactly_once_sink(table_dir: str):
+    """foreachBatch sink with exactly-once semantics into a SnapTable.
+
+    Structured Streaming's foreachBatch is at-least-once: after a crash
+    the last epoch is REPLAYED with the same epoch_id. Idempotence here
+    is the Iceberg pattern: the epoch id is committed atomically WITH
+    the batch's data (in the snapshot summary), so a replayed epoch is
+    detected from table metadata and skipped — data and dedup marker
+    can never disagree, which is exactly the property a separate
+    "processed epochs" side-file cannot give you.
+
+    Usage::
+
+        q = (stream.writeStream
+             .foreachBatch(exactly_once_sink(path))
+             .option("checkpointLocation", ckpt).start())
+
+    Scale: the committed-epoch set is kept cumulative in the latest
+    summary (ints, one per trigger); for month-long streams carry only
+    (max_epoch, recent_set) — epochs arrive monotonically, so the full
+    set is reconstructible and the summary stays O(1).
+    """
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        table = SnapTable(table_dir)
+        done = set(table.current_summary().get("epochs", []))
+        if int(epoch_id) in done:
+            return  # replayed epoch: data already committed atomically
+        txid = table._write_tx(batch_df, None)
+        table._commit(
+            "append",
+            txid,
+            lambda pf: pf,
+            batch_df.schema.json(),
+            {"epochs": sorted(done | {int(epoch_id)})},
+        )
+
+    return write_batch

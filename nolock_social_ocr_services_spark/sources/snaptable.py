@@ -336,6 +336,35 @@ class SnapTable:
     # ------------------------------------------------------------------
     # maintenance
     # ------------------------------------------------------------------
+    def compact(
+        self,
+        spark: SparkSession,
+        target_files: int = 1,
+        partition_by: str | None = None,
+    ) -> int:
+        """Small-file compaction (Iceberg's rewrite_data_files): rewrite
+        the current snapshot's rows into ``target_files`` files (per
+        partition if ``partition_by``), commit as one replacing
+        snapshot. Readers at older snapshots still see the old files
+        until ``expire_snapshots`` collects them.
+
+        Scale: streaming appends produce one small file per trigger —
+        over a day that is thousands of files whose per-file open/plan
+        cost dominates scans. Compaction is the maintenance job that
+        keeps file count proportional to data size, run per partition
+        so it parallelizes and never rewrites cold partitions twice."""
+        df = self.read(spark, partition_by=partition_by)
+        df = df.coalesce(target_files)
+        added = self._write_tx(df, partition_by)
+        summary = {"compacted_to": len(added)}
+        prev = self.current_summary()
+        for k in ("committed_parts", "epochs"):  # protocol state survives
+            if k in prev:
+                summary[k] = prev[k]
+        return self._commit(
+            "compact", added, lambda pf: [], df.schema.json(), summary
+        )
+
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Drop old snapshot manifests and any tx dir no surviving
         snapshot references (Iceberg's expire_snapshots + orphan-file

@@ -211,3 +211,87 @@ def test_snap_job_empty_parts_still_commit(spark, sf_dir, tmp_path):
     got = read_output_snap(spark, table_dir)
     assert got.count() > 0
     docs.unpersist()
+
+
+def test_compact_rewrites_small_files(spark, tmp_path):
+    t = SnapTable(str(tmp_path / "t"))
+    for lo in range(0, 20, 4):
+        t.append(_df(spark, lo, lo + 4).repartition(3))
+    pre = t.read(spark)
+    assert len(pre.inputFiles()) >= 5
+    pre_snapshot = t.current_snapshot_id()
+    t.compact(spark, target_files=1)
+    post = t.read(spark)
+    assert len(post.inputFiles()) == 1
+    assert sorted(r.k for r in post.collect()) == list(range(20))
+    # time travel to the pre-compact snapshot still works until expiry
+    assert sorted(r.k for r in t.read(spark, snapshot_id=pre_snapshot).collect()) == list(range(20))
+    t.expire_snapshots(keep_last=1)
+    assert len(t.read(spark).inputFiles()) == 1
+
+
+def test_compact_preserves_protocol_summary(spark, tmp_path):
+    t = SnapTable(str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [(p, f"v{p}{i}") for p in range(2) for i in range(3)], "p int, v string"
+    )
+    t.overwrite_partitions(
+        base, "p", [0, 1], extra_summary={"committed_parts": [0, 1]}
+    )
+    t.compact(spark, target_files=1, partition_by="p")
+    assert t.current_summary().get("committed_parts") == [0, 1]
+    got = t.read(spark, partition_by="p").collect()
+    assert sorted((r.p, r.v) for r in got) == sorted(
+        (str(p), f"v{p}{i}") for p in range(2) for i in range(3)
+    )
+
+
+def test_exactly_once_sink_skips_replayed_epoch(spark, tmp_path):
+    from nolock_social_ocr_services_spark.sources.snap_job import (
+        exactly_once_sink,
+    )
+
+    path = str(tmp_path / "t")
+    sink = exactly_once_sink(path)
+    sink(_df(spark, 0, 5), 0)
+    sink(_df(spark, 5, 8), 1)
+    sink(_df(spark, 0, 5), 0)   # crash-replay of epoch 0
+    sink(_df(spark, 5, 8), 1)   # crash-replay of epoch 1
+    t = SnapTable(path)
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(8))
+    assert t.current_summary()["epochs"] == [0, 1]
+
+
+def test_exactly_once_sink_through_restarted_stream(spark, tmp_path):
+    """Real stream: write epochs through foreachBatch, stop, add more
+    input, restart from the SAME checkpoint — committed epochs are not
+    re-appended, new input lands exactly once."""
+    from nolock_social_ocr_services_spark.sources.snap_job import (
+        exactly_once_sink,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    table = str(tmp_path / "t")
+    _df(spark, 0, 10).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_pass():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(exactly_once_sink(table))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_pass()
+    first = sorted(r.k for r in SnapTable(table).read(spark).collect())
+    assert first == list(range(10))
+    _df(spark, 10, 15).write.mode("append").parquet(src)
+    run_pass()
+    got = sorted(r.k for r in SnapTable(table).read(spark).collect())
+    assert got == list(range(15))
