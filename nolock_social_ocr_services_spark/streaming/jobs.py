@@ -190,3 +190,15 @@ def stream_stream_join(
         )
     )
     return lw.join(rw, cond, "inner")
+
+
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static broadcast enrichment: join each micro-batch against
+    a small static dimension table (MIME -> routing metadata, tenant
+    configs, ...). The static side is broadcast, so the stream never
+    shuffles — per-trigger cost is a map-side hash lookup, which is the
+    only join shape that stays flat as trigger rate grows. The static
+    side is re-resolved per micro-batch, so a dim TABLE (e.g. a
+    SnapTable path re-read in foreachBatch) can be updated mid-stream.
+    """
+    return stream.join(F.broadcast(dim), on=on, how="left")

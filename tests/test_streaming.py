@@ -205,3 +205,35 @@ def test_stream_stream_join_matches_batch(spark, tmp_path_factory):
         if lu == ru and rt <= lt and rt >= lt - dt.timedelta(minutes=2)
     }
     assert got == expected and len(expected) > 0
+
+
+def test_stream_static_broadcast_enrichment(spark, corpus_path):
+    """Stream-static join: spans enriched against a static MIME routing
+    dim; result matches the same join done in batch."""
+    dim = spark.createDataFrame(
+        [("application/pdf", "ocr"), ("text/html", "strip"),
+         ("image/png", "ocr"), ("image/jpeg", "ocr")],
+        "mime string, route string",
+    )
+    stream = jobs.stream_extract(spark, corpus_path, max_files_per_trigger=4)
+    q = (
+        jobs.enrich_with_dim(stream, dim, on="mime")
+        .writeStream.format("memory")
+        .queryName("enriched_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT doc_id, offset, mime, route FROM enriched_out"
+    ).collect()
+    batch = (
+        pipeline.extract_spans(spark.read.parquet(corpus_path))
+        .join(F.broadcast(dim), on="mime", how="left")
+        .select("doc_id", "offset", "mime", "route")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    routed = [r for r in got if r.route is not None]
+    assert routed and len(routed) < len(got)
