@@ -295,3 +295,19 @@ def test_exactly_once_sink_through_restarted_stream(spark, tmp_path):
     run_pass()
     got = sorted(r.k for r in SnapTable(table).read(spark).collect())
     assert got == list(range(15))
+
+
+def test_schema_evolution_old_files_null_fill(spark, tmp_path):
+    """Iceberg-style schema evolution: append with a superset schema;
+    reads resolve ALL files against the CURRENT snapshot's schema, so
+    pre-evolution files surface the new column as NULL, and time travel
+    still reads the old snapshot with the old schema."""
+    t = SnapTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 3))
+    t.append(_df(spark, 3, 5).withColumn("w", F.col("k") * 100))
+    got = {r.k: r.asDict() for r in t.read(spark).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+    assert got[0]["w"] is None and got[4]["w"] == 400
+    old = t.read(spark, snapshot_id=1)
+    assert "w" not in old.columns
+    assert sorted(r.k for r in old.collect()) == [0, 1, 2]
