@@ -57,11 +57,48 @@ import re
 import shutil
 import uuid
 
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _SNAP_RE = re.compile(r"snap-(\d{10})\.json$")
+
+# merge_upsert collects at most this many distinct incoming keys for
+# exact per-file pruning; beyond it the [min,max] envelope is used.
+_MERGE_KEYSET_LIMIT = 10_000
+
+
+def _footer_stats(path: str, cols: set[str]) -> dict:
+    """Per-file min/max column bounds from the parquet FOOTER (no data
+    read, no Spark job) — the stats Iceberg manifests carry for file
+    skipping. JSON-serializable types only; a column with unusable
+    stats is simply absent (reader keeps the file — never unsound)."""
+    md = pq.ParquetFile(path).metadata
+    out: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for i in range(g.num_columns):
+            c = g.column(i)
+            name = c.path_in_schema
+            if name not in cols:
+                continue
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    continue
+            if not isinstance(mn, (int, float, str)):
+                continue
+            if name in out:
+                out[name] = [min(out[name][0], mn), max(out[name][1], mx)]
+            else:
+                out[name] = [mn, mx]
+    return out
 
 
 class CommitConflict(Exception):
@@ -119,10 +156,15 @@ class SnapTable:
     # writes
     # ------------------------------------------------------------------
     def _write_tx(
-        self, df: DataFrame, partition_by: str | None
+        self,
+        df: DataFrame,
+        partition_by: str | None,
+        stats_cols: set[str] | None = None,
     ) -> list[dict]:
         """Write df's rows as immutable files under a fresh tx dir and
-        return their manifest entries. Not yet visible to any reader."""
+        return their manifest entries. Not yet visible to any reader.
+        ``stats_cols``: record per-file min/max bounds for these columns
+        in the manifest (Iceberg file-skipping stats)."""
         txid = uuid.uuid4().hex[:12]
         tx_dir = os.path.join(self.data_dir, f"tx-{txid}")
         writer = df.write.mode("errorifexists")
@@ -137,13 +179,14 @@ class SnapTable:
             if partition_by:
                 m = re.search(rf"{re.escape(partition_by)}=([^/]+)", f)
                 part = {partition_by: m.group(1)} if m else None
-            entries.append(
-                {
-                    "path": os.path.relpath(f, self.path),
-                    "partition": part,
-                    "bytes": os.path.getsize(f),
-                }
-            )
+            entry = {
+                "path": os.path.relpath(f, self.path),
+                "partition": part,
+                "bytes": os.path.getsize(f),
+            }
+            if stats_cols:
+                entry["stats"] = _footer_stats(f, stats_cols)
+            entries.append(entry)
         return entries
 
     def _try_commit(self, snap: dict) -> bool:
@@ -199,8 +242,32 @@ class SnapTable:
             # append rebases: data files are immutable, just re-point.
         raise CommitConflict(f"gave up after {retries} rebases")
 
-    def append(self, df: DataFrame, partition_by: str | None = None) -> int:
-        added = self._write_tx(df, partition_by)
+    def append(
+        self,
+        df: DataFrame,
+        partition_by: str | None = None,
+        cluster_by: str | None = None,
+        stats_cols: list[str] | None = None,
+        cluster_files: int | None = None,
+    ) -> int:
+        """``cluster_by``: range-partition + sort rows by that column
+        before writing, so each file covers a TIGHT, mostly-disjoint
+        value range and the recorded bounds actually skip files
+        (Iceberg's sort-order / 1-D clustering). ``stats_cols``: extra
+        columns to record bounds for without re-clustering.
+        ``cluster_files``: explicit file count — an unsized range
+        shuffle lets AQE coalesce to byte-sized partitions (right at
+        scale); the explicit count pins small appends that AQE would
+        fold into one file."""
+        cols = set(stats_cols or [])
+        if cluster_by:
+            cols.add(cluster_by)
+            df = (
+                df.repartitionByRange(cluster_files, F.col(cluster_by))
+                if cluster_files
+                else df.repartitionByRange(F.col(cluster_by))
+            ).sortWithinPartitions(cluster_by)
+        added = self._write_tx(df, partition_by, stats_cols=cols or None)
         return self._commit(
             "append", added, lambda pf: pf, df.schema.json(),
             {"added_files": len(added)},
@@ -247,6 +314,83 @@ class SnapTable:
             "overwrite_partitions", added, keep, df.schema.json(), summary
         )
 
+    def merge_upsert(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        key: str,
+        partition_by: str | None = None,
+    ) -> int:
+        """Copy-on-write MERGE (Iceberg row-level update, MoW flavor):
+        incoming rows REPLACE current rows with an equal ``key``; new
+        keys are inserted. Only data files whose recorded ``key``
+        bounds overlap the incoming key range are rewritten — every
+        other file survives the commit untouched, so a point-update
+        against a clustered 10^12-row table rewrites a handful of
+        files, not the table. Files with no recorded bounds are
+        conservatively rewritten (correct, just not pruned).
+
+        File pruning is metadata-side (the evaluation Iceberg does on
+        the MERGE's ON predicate): up to ``_MERGE_KEYSET_LIMIT``
+        distinct incoming keys are collected (one small job) and tested
+        EXACTLY against each file's bounds — so a point update whose
+        keys straddle the table (one low key, one brand-new high key)
+        still touches only the files actually containing them. Larger
+        key sets degrade to the [min, max] envelope, still sound.
+        Removing rows means losing a concurrent race must raise, and it
+        does (non-append commit)."""
+        import bisect
+
+        rows = (
+            df.select(key).distinct().limit(_MERGE_KEYSET_LIMIT + 1).collect()
+        )
+        current, schema_hint = self.scan_files()
+        if not rows:  # empty incoming frame: nothing to do
+            return self.current_snapshot_id()
+        keys = sorted(r[0] for r in rows)
+        lo, hi = keys[0], keys[-1]
+        exact = len(keys) <= _MERGE_KEYSET_LIMIT
+
+        def overlaps(entry: dict) -> bool:
+            b = (entry.get("stats") or {}).get(key)
+            if b is None:
+                return True
+            if b[0] > hi or b[1] < lo:
+                return False
+            if not exact:
+                return True
+            i = bisect.bisect_left(keys, b[0])
+            return i < len(keys) and keys[i] <= b[1]
+
+        touched = [f for f in current if overlaps(f)]
+        untouched = [f for f in current if not overlaps(f)]
+        if touched:
+            old = spark.read.schema(
+                StructType.fromJson(json.loads(schema_hint))
+            ).parquet(*(os.path.join(self.path, f["path"]) for f in touched))
+            # anti-join drops the replaced rows; AQE resolves the build
+            # side (broadcast for a point update, shuffle for a bulk one)
+            survivors = old.join(
+                df.select(key).distinct(), on=key, how="left_anti"
+            )
+            out = survivors.unionByName(df)
+        else:
+            out = df
+        added = self._write_tx(out, partition_by, stats_cols={key})
+        return self._commit(
+            "merge",
+            added,
+            lambda pf: [
+                f for f in pf if f["path"] in {u["path"] for u in untouched}
+            ],
+            df.schema.json(),
+            {
+                "merge_key": key,
+                "rewritten_files": len(touched),
+                "untouched_files": len(untouched),
+            },
+        )
+
     def current_summary(self) -> dict:
         sid = self.current_snapshot_id()
         return self._load(sid).get("summary", {}) if sid else {}
@@ -269,16 +413,16 @@ class SnapTable:
     # ------------------------------------------------------------------
     # reads
     # ------------------------------------------------------------------
-    def read(
+    def scan_files(
         self,
-        spark: SparkSession,
         snapshot_id: int | None = None,
         parts: list | None = None,
         partition_by: str | None = None,
-    ) -> DataFrame:
-        """Snapshot-isolated read. ``snapshot_id`` = time travel;
-        ``parts`` prunes files by recorded partition value BEFORE Spark
-        plans the scan (manifest-side pruning)."""
+        between: dict | None = None,
+    ) -> tuple[list[dict], str | None]:
+        """Manifest-side planning: the (files, schema_json) a read at
+        this snapshot touches after partition pruning and min/max
+        file skipping — all from metadata, no data-dir access."""
         sid = (
             self.current_snapshot_id() if snapshot_id is None else snapshot_id
         )
@@ -296,6 +440,38 @@ class SnapTable:
                 if f.get("partition")
                 and f["partition"].get(partition_by) in want
             ]
+        if between:
+            def survives(entry: dict) -> bool:
+                stats = entry.get("stats") or {}
+                for col, (lo, hi) in between.items():
+                    b = stats.get(col)
+                    if b is None:
+                        continue  # no recorded bounds -> must keep
+                    if (hi is not None and b[0] > hi) or (
+                        lo is not None and b[1] < lo
+                    ):
+                        return False
+                return True
+
+            files = [f for f in files if survives(f)]
+        return files, schema_hint
+
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        parts: list | None = None,
+        partition_by: str | None = None,
+        between: dict | None = None,
+    ) -> DataFrame:
+        """Snapshot-isolated read. ``snapshot_id`` = time travel;
+        ``parts`` prunes files by recorded partition value BEFORE Spark
+        plans the scan; ``between`` = {col: (lo, hi)} skips files whose
+        recorded min/max bounds miss the range (Iceberg file skipping)
+        AND applies the residual row filter, so results are exact."""
+        files, schema_hint = self.scan_files(
+            snapshot_id, parts, partition_by, between
+        )
         if not files:
             if schema_hint is None:
                 raise ValueError(f"{self.path}: empty table with no schema")
@@ -319,7 +495,77 @@ class SnapTable:
                     1,
                 ),
             )
+        if between:
+            for col, (lo, hi) in between.items():
+                if lo is not None:
+                    df = df.where(F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    df = df.where(F.col(col) <= F.lit(hi))
         return df
+
+    def read_incremental(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Iceberg incremental append scan: rows ADDED after
+        ``from_snapshot_id`` (exclusive) up to ``to_snapshot_id``
+        (inclusive, default current). The primitive incremental
+        consumers build on — each poll reads only the new files, never
+        re-scanning the table.
+
+        Semantics match Iceberg's ``incremental read``: ``append``
+        snapshots contribute their added files; ``compact`` snapshots
+        are skipped (a rewrite adds no logical rows — its files must
+        NOT be re-emitted); any logically-destructive operation in the
+        range (``overwrite``, ``overwrite_partitions``, ``rollback``)
+        raises, because "rows added since X" is undefined once rows
+        were also removed.
+
+        Scale: resolution is metadata-only — O(snapshots in range)
+        manifest reads, no data-dir listing — so a consumer polling a
+        10^12-row table pays for its delta, not the table."""
+        to_id = (
+            self.current_snapshot_id()
+            if to_snapshot_id is None
+            else to_snapshot_id
+        )
+        if to_id < from_snapshot_id:
+            raise ValueError(
+                f"to_snapshot_id {to_id} < from_snapshot_id {from_snapshot_id}"
+            )
+        added: list[dict] = []
+        schema_hint = None
+        for sid in range(from_snapshot_id + 1, to_id + 1):
+            snap = self._load(sid)
+            schema_hint = snap["schema"]
+            if snap["operation"] == "compact":
+                continue
+            if snap["operation"] != "append":
+                raise ValueError(
+                    f"incremental read undefined across snapshot {sid} "
+                    f"({snap['operation']}): rows were removed in range"
+                )
+            parent_paths = (
+                {f["path"] for f in self._load(snap["parent_id"])["files"]}
+                if snap["parent_id"]
+                else set()
+            )
+            added.extend(
+                f for f in snap["files"] if f["path"] not in parent_paths
+            )
+        if schema_hint is None:  # empty range: current schema, zero rows
+            sid = self.current_snapshot_id()
+            if not sid:
+                raise ValueError(f"{self.path}: empty table with no schema")
+            schema_hint = self._load(sid)["schema"]
+        schema = StructType.fromJson(json.loads(schema_hint))
+        if not added:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(
+            *(os.path.join(self.path, f["path"]) for f in added)
+        )
 
     def committed_values(self, partition_by: str) -> set[str]:
         """Distinct partition values present in the current snapshot —
@@ -341,6 +587,7 @@ class SnapTable:
         spark: SparkSession,
         target_files: int = 1,
         partition_by: str | None = None,
+        cluster_by: str | None = None,
     ) -> int:
         """Small-file compaction (Iceberg's rewrite_data_files): rewrite
         the current snapshot's rows into ``target_files`` files (per
@@ -352,10 +599,22 @@ class SnapTable:
         over a day that is thousands of files whose per-file open/plan
         cost dominates scans. Compaction is the maintenance job that
         keeps file count proportional to data size, run per partition
-        so it parallelizes and never rewrites cold partitions twice."""
+        so it parallelizes and never rewrites cold partitions twice.
+
+        ``cluster_by`` = Iceberg's rewrite_data_files with a sort
+        order: the rewrite range-clusters rows and records per-file
+        min/max bounds, so a table of unsorted streaming appends GAINS
+        file-skipping stats at its next compaction."""
         df = self.read(spark, partition_by=partition_by)
-        df = df.coalesce(target_files)
-        added = self._write_tx(df, partition_by)
+        if cluster_by:
+            df = df.repartitionByRange(
+                target_files, F.col(cluster_by)
+            ).sortWithinPartitions(cluster_by)
+        else:
+            df = df.coalesce(target_files)
+        added = self._write_tx(
+            df, partition_by, stats_cols={cluster_by} if cluster_by else None
+        )
         summary = {"compacted_to": len(added)}
         prev = self.current_summary()
         for k in ("committed_parts", "epochs"):  # protocol state survives

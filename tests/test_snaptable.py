@@ -311,3 +311,106 @@ def test_schema_evolution_old_files_null_fill(spark, tmp_path):
     old = t.read(spark, snapshot_id=1)
     assert "w" not in old.columns
     assert sorted(r.k for r in old.collect()) == [0, 1, 2]
+
+
+def test_incremental_read_appends_only_new_rows(spark, tmp_path):
+    """Iceberg incremental append scan: each poll sees exactly the rows
+    added in the snapshot range — never rows from before `from`, never
+    re-emitted compaction rewrites."""
+    t = SnapTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))                       # snap 1
+    t.append(_df(spark, 5, 8))                       # snap 2
+    t.append(_df(spark, 8, 10))                      # snap 3
+    got = sorted(r.k for r in t.read_incremental(spark, 1).collect())
+    assert got == list(range(5, 10))
+    got = sorted(r.k for r in t.read_incremental(spark, 1, 2).collect())
+    assert got == [5, 6, 7]
+    # empty range: zero rows, schema preserved
+    empty = t.read_incremental(spark, 3)
+    assert empty.count() == 0 and empty.columns == ["k", "v"]
+
+
+def test_incremental_read_skips_compaction_rejects_overwrite(spark, tmp_path):
+    t = SnapTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))                       # snap 1
+    t.compact(spark)                                 # snap 2: rewrite, no new rows
+    t.append(_df(spark, 5, 7))                       # snap 3
+    got = sorted(r.k for r in t.read_incremental(spark, 1).collect())
+    assert got == [5, 6]                             # compaction NOT re-emitted
+    t.overwrite(_df(spark, 0, 3))                    # snap 4: destroys rows
+    with pytest.raises(ValueError, match="incremental read undefined"):
+        t.read_incremental(spark, 1)
+    # range entirely after the overwrite is fine again
+    t.append(_df(spark, 3, 4))                       # snap 5
+    assert [r.k for r in t.read_incremental(spark, 4).collect()] == [3]
+
+
+def test_clustered_append_records_bounds_and_skips_files(spark, tmp_path):
+    """Iceberg file skipping: a clustered append records per-file
+    min/max bounds in the manifest (from parquet footers — no extra
+    Spark job), and a range read plans only the overlapping files,
+    from metadata alone."""
+    t = SnapTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 2000), cluster_by="k", cluster_files=16)
+    all_files, _ = t.scan_files()
+    assert len(all_files) > 4  # genuinely multi-file
+    assert all("k" in (f.get("stats") or {}) for f in all_files)
+    # the files are range-clustered, so their bounds are ~disjoint and
+    # a narrow range hits a small fraction of them
+    hit, _ = t.scan_files(between={"k": (100, 199)})
+    assert 0 < len(hit) < len(all_files) / 2
+    got = sorted(r.k for r in t.read(spark, between={"k": (100, 199)}).collect())
+    assert got == list(range(100, 200))
+    # unstatted columns never prune (unsound otherwise): v has no bounds
+    keep, _ = t.scan_files(between={"v": (0, 1)})
+    assert len(keep) == len(all_files)
+    got = sorted(r.k for r in t.read(spark, between={"v": (0, 50)}).collect())
+    assert got == list(range(6))  # residual filter still exact
+
+
+def test_compact_with_sort_order_gains_file_skipping(spark, tmp_path):
+    """rewrite_data_files with a sort order: unsorted appends have no
+    bounds; the clustered compaction rewrite records them."""
+    t = SnapTable(str(tmp_path / "t"))
+    # interleaved appends: each file spans nearly the full k range
+    t.append(_df(spark, 0, 1000).orderBy(F.md5(F.col("k").cast("string"))))
+    t.append(_df(spark, 1000, 2000).orderBy(F.md5(F.col("k").cast("string"))))
+    before, _ = t.scan_files(between={"k": (0, 49)})
+    all_before, _ = t.scan_files()
+    assert len(before) == len(all_before)  # nothing prunable yet
+    t.compact(spark, target_files=8, cluster_by="k")
+    hit, _ = t.scan_files(between={"k": (0, 49)})
+    all_after, _ = t.scan_files()
+    assert len(all_after) == 8 and len(hit) <= 2
+    got = sorted(r.k for r in t.read(spark, between={"k": (0, 49)}).collect())
+    assert got == list(range(50))
+
+
+def test_merge_upsert_rewrites_only_overlapping_files(spark, tmp_path):
+    """Copy-on-write MERGE: a point update against a clustered table
+    rewrites only the files whose key bounds overlap the incoming keys;
+    every other file survives by path."""
+    t = SnapTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 2000), cluster_by="k", cluster_files=16)
+    before = {f["path"] for f in t.scan_files()[0]}
+    upd = spark.createDataFrame(
+        [(105, -1), (106, -2), (9000, -3)], "k long, v long"
+    )
+    t.merge_upsert(spark, upd, key="k")
+    after, _ = t.scan_files()
+    after_paths = {f["path"] for f in after}
+    summary = t.current_summary()
+    # exact keyset pruning: only the file holding 105/106 is rewritten;
+    # 9000 is beyond every file's bounds and must not widen the rewrite
+    assert summary["rewritten_files"] <= 2
+    assert summary["untouched_files"] >= len(before) - 2
+    # untouched files survive with identical paths (no full rewrite)
+    assert len(before & after_paths) == summary["untouched_files"]
+    rows = {r.k: r.v for r in t.read(spark).collect()}
+    assert len(rows) == 2001  # 2000 originals - 2 replaced + 2 + 1 new
+    assert rows[105] == -1 and rows[106] == -2 and rows[9000] == -3
+    assert rows[107] == 1070  # neighbor in a rewritten file survives
+    assert rows[0] == 0       # untouched file survives
+    # incremental read across a merge is undefined -> raises
+    with pytest.raises(ValueError, match="incremental read undefined"):
+        t.read_incremental(spark, 1)
