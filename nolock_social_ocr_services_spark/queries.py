@@ -1772,6 +1772,115 @@ FROM documents
 """
 
 
+# -- layout parse: OCR region reading order -----------------------------------
+
+
+def q_layout_reading_order(spark, sf_dir):
+    """Two-column reading-order reconstruction over the OCR page image
+    regions (OcrImageObject bboxes + page dimensions,
+    MistralOcr/Models/OcrModels.cs:146-172) — the north rule's
+    "PDF/layout parse" stage. Zero-shuffle: per-row array sort."""
+    from .extract.ocr import with_ocr_metadata
+    from .operators.layout import with_reading_order
+
+    spans = (
+        _corpus_mod.flat_spans(spark, sf_dir)
+        .filter(F.col("media_ref").isNotNull())
+        .select("doc_id", "offset", "media_ref", "mime")
+    )
+    ordered = with_reading_order(with_ocr_metadata(spans))
+    ex = ordered.filter(
+        F.col("ordered_regions").isNotNull()
+        & (F.size("ordered_regions") > 0)
+    ).select("doc_id", "offset", F.explode("ordered_regions").alias("r"))
+    return ex.select(
+        "doc_id",
+        "offset",
+        F.col("r.reading_rank").alias("reading_rank"),
+        F.col("r.region_index").alias("region_index"),
+        F.col("r.col_idx").alias("col_idx"),
+        F.col("r.x").alias("x"),
+        F.col("r.y").alias("y"),
+    )
+
+
+def _sql_layout_reading_order() -> str:
+    from .extract.ocr import ocr_field_exprs
+    from .corpus import DUCK
+
+    e = ocr_field_exprs(DUCK, h="md5(media_ref)")
+    return f"""
+        WITH src AS (
+          SELECT doc_id, "offset", media_ref,
+                 unnest(generate_series(0, CAST({e['n_images']} AS BIGINT) - 1)) AS i
+          FROM {{flat}} f
+          WHERE media_ref IS NOT NULL AND mime <> 'application/octet-stream'
+        ), pos AS (
+          SELECT doc_id, "offset", CAST(i AS INT) AS region_index,
+                 CAST({e['img_x']} AS INT) AS x,
+                 CAST({e['img_y']} AS INT) AS y,
+                 CASE WHEN CAST({e['img_x']} AS INT)
+                           + CAST({e['img_w']} AS INT) / 2.0
+                           >= ({e['page_width']}) / 2.0
+                      THEN 1 ELSE 0 END AS col_idx
+          FROM src
+        )
+        SELECT doc_id, "offset",
+               CAST(row_number() OVER (
+                   PARTITION BY doc_id, "offset"
+                   ORDER BY col_idx, y, x, region_index) - 1 AS INT)
+                 AS reading_rank,
+               region_index, CAST(col_idx AS INT) AS col_idx, x, y
+        FROM pos
+    """
+
+
+# -- main-content block extraction (readability heuristic) --------------------
+
+
+def q_main_content(spark, sf_dir):
+    """Block-level main-content selection over HTML spans: candidate
+    sectioning blocks scored by non-anchor text length, argmax wins
+    (readability/boilerpipe heuristic; north rule "DOM heuristics").
+    Pure per-row built-ins — zero Python stages, zero shuffles."""
+    from .extract.html import main_content
+
+    spans = _corpus_mod.flat_spans(spark, sf_dir).filter(
+        F.col("kind") == "html"
+    )
+    return spans.select(
+        "doc_id", "offset", main_content(F.col("text")).alias("mc")
+    ).select(
+        "doc_id",
+        "offset",
+        F.col("mc.main_text").alias("main_text"),
+        F.col("mc.main_score").alias("main_score"),
+        F.col("mc.n_blocks").alias("n_blocks"),
+    )
+
+
+def _sql_main_content() -> str:
+    # the corpus html is PREFIX || content || SUFFIX with constant
+    # nav/footer blocks, so the oracle evaluates the same integer
+    # scores in closed form: nav = 1, footer = 16, main = len(content).
+    pfx = _corpus_mod.HTML_PREFIX.replace("'", "''")
+    sfx = _corpus_mod.HTML_SUFFIX.replace("'", "''")
+    return f"""
+        WITH h AS (
+          SELECT doc_id, "offset",
+                 trim(replace(replace(text, '{pfx}', ''), '{sfx}', ''))
+                   AS content
+          FROM {{flat}} f WHERE kind = 'html'
+        )
+        SELECT doc_id, "offset",
+               CASE WHEN length(content) >= 16 THEN content
+                    ELSE '(c) 2024 corp - privacy' END AS main_text,
+               CAST(greatest(length(content), 16) AS INT) AS main_score,
+               3 AS n_blocks
+        FROM h
+    """
+
+
 def extra_queries() -> dict[str, tuple]:
     """name -> (callable, oracle_sql | None)"""
     return {
@@ -1849,4 +1958,12 @@ def extra_queries() -> dict[str, tuple]:
         ),
         "quantize_embeddings": (q_quantize_embeddings, SQL_QUANTIZE_EMBEDDINGS),
         "shuffle_order": (q_shuffle_order, SQL_SHUFFLE_ORDER),
+        "layout_reading_order": (
+            q_layout_reading_order,
+            _sql_layout_reading_order().format(flat=_ORACLE_FLAT),
+        ),
+        "main_content": (
+            q_main_content,
+            _sql_main_content().format(flat=_ORACLE_FLAT),
+        ),
     }
