@@ -76,6 +76,23 @@ spark.stop()
 """
 
 
+# v3 validity: a pass is starved iff the hypervisor withheld more than
+# this fraction of the level's cores DURING the pass (CPU steal time,
+# /proc/stat field 8 — guest-runnable-but-not-scheduled ticks). Unlike
+# the point probes (which sample 2 s before a slot and provably miss
+# starvation arriving mid-pass), steal accounting integrates over the
+# whole pass; and unlike job CPU-utilization it cannot confuse the
+# job's OWN idle time (skew, barriers) with host interference, so it
+# never excuses genuinely poor scaling. Fixed in advance.
+STEAL_MAX_FRAC = 0.20
+_CLK = os.sysconf("SC_CLK_TCK")
+
+
+def _steal_ticks() -> int:
+    with open("/proc/stat") as fh:
+        return int(fh.readline().split()[8])
+
+
 def _spin(counter, seconds=3.0):
     x = 0
     t0 = time.monotonic()
@@ -174,22 +191,35 @@ def main() -> None:
         _await(os.path.join(sync_dir, f"ready_{hi_cores}"))
         lo_times, hi_times, pair_eff = [], [], []
 
-        def run_pass(cores: int, i: int) -> float:
+        lo_steal, hi_steal = [], []
+
+        def run_pass(cores: int, i: int, steal_log: list) -> float:
+            s0 = _steal_ticks()
             open(os.path.join(sync_dir, f"turn_{cores}_{i}"), "w").close()
-            return round(_read_sec(os.path.join(sync_dir, f"done_{cores}_{i}")), 2)
+            sec = _read_sec(os.path.join(sync_dir, f"done_{cores}_{i}"))
+            # cores the hypervisor withheld machine-wide during the pass,
+            # as a fraction of the level's pinned cores (the only procs
+            # demanding CPU during a pass — the other JVM idles on its
+            # token and probes run between passes)
+            steal_log.append(
+                round((_steal_ticks() - s0) / _CLK / sec / cores, 3)
+            )
+            return round(sec, 2)
 
         # strictly serialized sandwich: N_0, 4N_0, N_1, 4N_1, ..., N_pairs
-        # SYMMETRIC supply probes (protocol v2): one before EVERY slot,
-        # N and 4N alike — a starved N slot inflates the efficiency just
-        # as a starved 4N slot deflates it, so validity must gate both.
+        # SYMMETRIC supply probes (v2): one before EVERY slot, N and 4N
+        # alike — a starved N slot inflates the efficiency just as a
+        # starved 4N slot deflates it, so validity gates both. v3 adds
+        # IN-PASS steal accounting on every slot: the probes are point
+        # samples and miss starvation that arrives mid-pass.
         supply, lo_supply = [], []
         lo_supply.append(probe_supply(hi_cores))
-        lo_times.append(run_pass(lo_cores, 0))
+        lo_times.append(run_pass(lo_cores, 0, lo_steal))
         for i in range(pairs):
             supply.append(probe_supply(hi_cores))
-            hi_times.append(run_pass(hi_cores, i))
+            hi_times.append(run_pass(hi_cores, i, hi_steal))
             lo_supply.append(probe_supply(hi_cores))
-            lo_times.append(run_pass(lo_cores, i + 1))
+            lo_times.append(run_pass(lo_cores, i + 1, lo_steal))
             bracket = (lo_times[i] + lo_times[i + 1]) / 2.0
             pair_eff.append(round((bracket / hi_times[i]) / 4.0, 3))
         lo_proc.wait(timeout=600)
@@ -219,16 +249,31 @@ def main() -> None:
     # bracketing N slots (starvation there INFLATES efficiency by
     # slowing the denominator side). All criteria are independent of
     # the measured 4N job time.
+    # v3 adds IN-PASS steal accounting (criterion c): /proc/stat steal
+    # ticks integrated over each pass, normalized to the level's pinned
+    # cores. The point probes provably miss mid-pass starvation (run
+    # 2026-08-17T19:09, pair 1: a 113 s 4N pass — 3.8x the healthy
+    # 30 s — passed both 2 s probes and scored 0.400 "valid"); steal
+    # integrates over the whole pass and, unlike job CPU utilization,
+    # cannot mistake the job's own idle phases (skew, barriers, driver
+    # stages) for host interference — so it never excuses genuinely
+    # poor scaling, it only rejects passes the hypervisor throttled.
+    # Applied to all three slots of a pair, symmetrically.
     all_probes = supply + lo_supply
     best_supply = max(all_probes) if all_probes else 1.0
     ok_sup = [s >= 0.75 * best_supply for s in supply]
     ok_lo = [s >= 0.75 * best_supply for s in lo_supply]
+    ok_st_hi = [s <= STEAL_MAX_FRAC for s in hi_steal]
+    ok_st_lo = [s <= STEAL_MAX_FRAC for s in lo_steal]
     valid = [
         abs(lo_times[i] - lo_times[i + 1]) / min(lo_times[i], lo_times[i + 1])
         <= 0.35
         and ok_sup[i]
         and ok_lo[i]
         and ok_lo[i + 1]
+        and ok_st_hi[i]
+        and ok_st_lo[i]
+        and ok_st_lo[i + 1]
         for i in range(len(pair_eff))
     ]
     valid_eff = [e for e, v in zip(pair_eff, valid) if v]
@@ -271,21 +316,31 @@ eff_i = ((t_N_i + t_N_i+1)/2 / t_4N_i) / 4.
 
 A pair is valid iff (a) its two bracketing N passes agree within 35%
 (drift shifted non-linearly inside the pair otherwise — bracketing
-cannot cancel that) and (b) independent {hi_cores}-process CPU-spin
+cannot cancel that); (b) independent {hi_cores}-process CPU-spin
 probes run just before EVERY slot of the pair — both bracketing N slots
-and the 4N slot — each show >= 75% of the run's best supply. A starved
-4N slot measures the hypervisor, not the job; a starved N slot is just
-as disqualifying because it inflates the efficiency by slowing the
-denominator side (probing only the 4N slots would bias the statistic
-upward). All criteria are fixed in advance and independent of the
-measured 4N job time; every pair is shown.
+and the 4N slot — each show >= 75% of the run's best supply; and
+(c, protocol v3) the hypervisor's CPU STEAL time integrated over each
+of the pair's three passes (/proc/stat, machine-wide, normalized to the
+level's pinned cores) stays <= {STEAL_MAX_FRAC:.0%}. The probes are 2 s
+point samples and demonstrably miss starvation arriving mid-pass (run
+2026-08-17T19:09 pair 1: a 113 s 4N pass — 3.8x the healthy 30 s —
+passed both probes and scored 0.400); steal accounting integrates over
+the whole pass and cannot mistake the job's own idle phases for host
+interference, so it rejects throttled passes without ever excusing
+genuinely poor scaling. A starved 4N slot measures the hypervisor, not
+the job; a starved N slot is just as disqualifying because it inflates
+the efficiency by slowing the denominator side. All criteria are fixed
+in advance and independent of the measured 4N job time; every pair is
+shown.
 
-| pair | probe@N (M/s) | t_N before (s) | probe@4N (M/s) | t_4N={hi_cores}c (s) | probe@N' (M/s) | t_N after (s) | efficiency | valid |
-|---|---|---|---|---|---|---|---|---|
+| pair | t_N before (s) | steal@N | t_4N={hi_cores}c (s) | steal@4N | t_N after (s) | steal@N' | probes N/4N/N' (M/s) | efficiency | valid |
+|---|---|---|---|---|---|---|---|---|---|
 """ + "\n".join(
-        f"| {i} | {lo_supply[i]:.0f} | {lo_times[i]:.2f} | {supply[i]:.0f} | "
-        f"{hi_times[i]:.2f} | {lo_supply[i + 1]:.0f} | "
-        f"{lo_times[i + 1]:.2f} | {pair_eff[i]:.3f} | "
+        f"| {i} | {lo_times[i]:.2f} | {lo_steal[i]:.2f} | "
+        f"{hi_times[i]:.2f} | {hi_steal[i]:.2f} | "
+        f"{lo_times[i + 1]:.2f} | {lo_steal[i + 1]:.2f} | "
+        f"{lo_supply[i]:.0f}/{supply[i]:.0f}/{lo_supply[i + 1]:.0f} | "
+        f"{pair_eff[i]:.3f} | "
         f"{'yes' if valid[i] else 'no'} |"
         for i in range(len(pair_eff))
     ) + f"""
@@ -310,86 +365,78 @@ single host, {time.strftime('%Y-%m-%d')}.
     with open(runs_path, "a") as f:
         f.write(json.dumps({
             "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
-            "protocol": "v2-symmetric-probes",
+            "protocol": "v3-steal-accounting",
             "median_efficiency": med_eff, "pair_eff": pair_eff,
             "valid": valid, "supply_probes": supply,
             "lo_supply_probes": lo_supply,
+            "lo_steal": lo_steal, "hi_steal": hi_steal,
             "lo_times": lo_times, "hi_times": hi_times,
         }) + "\n")
-    run_medians = []  # current (v2) protocol only — the headline pool
-    v1_medians = []
+
+    # Pool runs by protocol generation; the headline is the median over
+    # the NEWEST protocol's runs with >= 2 valid pairs (each generation
+    # fixed a demonstrated measurement error in the previous one, so
+    # mixing generations would mix instruments). Older generations are
+    # always stated with their known biases — nothing is hidden.
+    pools: dict[str, list] = {"v3": [], "v2": [], "v1": []}
     with open(runs_path) as f:
         for line in f:
             try:
                 rec = json.loads(line)
                 if sum(rec.get("valid", [])) < 2:
                     continue
-                if rec.get("protocol") == "v2-symmetric-probes":
-                    run_medians.append(rec["median_efficiency"])
-                else:
-                    v1_medians.append(rec["median_efficiency"])
+                proto = rec.get("protocol", "")
+                gen = (
+                    "v3" if proto.startswith("v3")
+                    else "v2" if proto.startswith("v2") else "v1"
+                )
+                pools[gen].append(rec["median_efficiency"])
             except (ValueError, KeyError):
                 pass
-    cross_med = statistics.median(run_medians) if run_medians else None
-    cross_best = max(run_medians) if run_medians else None
-    v1_med = statistics.median(v1_medians) if v1_medians else None
-    if cross_med is None:
-        # No v2 run has >= 2 valid pairs yet: say so — do NOT headline
-        # the current run's number (its pairs failed the validity
-        # criteria, so it is evidence of host noise, not of scaling).
-        summary = (
-            f"\n## Cross-run summary (all logged runs, BENCH/runs.jsonl)\n\n"
-            f"**No v2-protocol run has produced >= 2 valid pairs yet** —"
-            f" the latest run's median ({med_eff:.3f}) is NOT pooled"
-            f" ({sum(valid)}/{len(valid)} pairs passed the pre-registered"
-            f" validity criteria; the host was supply-starved)."
-            f" Provisional evidence is the v1-protocol cross-run median"
-            f" {v1_med:.3f}"
-            f" ({', '.join(f'{m:.3f}' for m in v1_medians)}) — v1 probed"
-            f" supply before 4N slots only, so treat it with that bias"
-            f" caveat (north_rule threshold >= 0.8). This file is"
-            f" rewritten every run with the latest run's full table"
-            f" below.\n"
-            if v1_med is not None else
-            f"\n## Cross-run summary (all logged runs, BENCH/runs.jsonl)\n\n"
-            f"**No run has produced >= 2 valid pairs yet**; latest run"
-            f" median {med_eff:.3f} (not pooled).\n"
+    gen_note = {
+        "v3": "steal-accounted (current protocol)",
+        "v2": ("point probes only — provably miss mid-pass starvation"
+               " in either direction"),
+        "v1": ("probed 4N slots only — starved-N inflation never"
+               " invalidated"),
+    }
+    lines = ["", "## Cross-run summary (all logged runs, BENCH/runs.jsonl)", ""]
+    headline_gen = next((g for g in ("v3", "v2", "v1") if pools[g]), None)
+    if headline_gen is None:
+        lines.append(
+            f"**No run has produced >= 2 valid pairs yet** — the latest"
+            f" run's median ({med_eff:.3f}, {sum(valid)}/{len(valid)}"
+            f" pairs valid) is evidence of host noise, not of scaling,"
+            f" and is NOT headlined."
         )
-        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-            f.write(md.split("## Sandwich-alternation protocol")[0]
-                    + summary
-                    + "\n## Sandwich-alternation protocol"
-                    + md.split("## Sandwich-alternation protocol")[1])
-        print(md)
-        print(summary)
-        print(json.dumps({"median_efficiency": med_eff, "pair_eff": pair_eff,
-                          "valid": valid, "supply_probes": supply,
-                          "lo_times": lo_times, "hi_times": hi_times,
-                          "n_docs": n_docs, "calibration": calib}))
-        return
-    summary = (
-        f"\n## Cross-run summary (all logged runs, BENCH/runs.jsonl)\n\n"
-        f"**Median scaling efficiency across the {len(run_medians)}"
-        f" v2-protocol runs with >= 2 valid pairs: {cross_med:.3f}**"
-        f" (north_rule threshold >= 0.8). Latest run: {med_eff:.3f};"
-        f" best v2 run: {cross_best:.3f} (best is stated for completeness,"
-        f" never used as the headline — max-over-noisy-runs is upward-"
-        f"biased). The headline pools only v2-symmetric-probe runs: v1"
-        f" runs probed supply before 4N slots only, so their validity"
-        f" flags are biased in BOTH directions (a starved N slot inflates"
-        f" efficiency and was never invalidated; an uncaught starved-4N"
-        f" deflates it) — their medians"
-        f" ({', '.join(f'{m:.3f}' for m in v1_medians) or 'none'};"
-        f" median {v1_med:.3f}) are kept in the log and stated here but"
-        f" not pooled. This file is rewritten every run with the latest"
-        f" run's full table below.\n"
-        if v1_med is not None else
-        f"\n## Cross-run summary (all logged runs, BENCH/runs.jsonl)\n\n"
-        f"**Median scaling efficiency across the {len(run_medians)}"
-        f" v2-protocol runs with >= 2 valid pairs: {cross_med:.3f}**"
-        f" (north_rule threshold >= 0.8). Latest run: {med_eff:.3f};"
-        f" best v2 run: {cross_best:.3f}.\n"
+    else:
+        pool = pools[headline_gen]
+        lines.append(
+            f"**Median scaling efficiency across the {len(pool)}"
+            f" {headline_gen}-protocol runs with >= 2 valid pairs:"
+            f" {statistics.median(pool):.3f}** (north_rule threshold"
+            f" >= 0.8). Latest run: {med_eff:.3f}"
+            f" ({sum(valid)}/{len(valid)} pairs valid). Best"
+            f" {headline_gen} run: {max(pool):.3f} — stated for"
+            f" completeness, never headlined (max-over-noisy-runs is"
+            f" upward-biased)."
+        )
+    for g in ("v3", "v2", "v1"):
+        if g == headline_gen or not pools[g]:
+            continue
+        lines.append("")
+        lines.append(
+            f"Prior-protocol {g} runs ({gen_note[g]}):"
+            f" {', '.join(f'{m:.3f}' for m in pools[g])}"
+            f" (median {statistics.median(pools[g]):.3f}) — logged and"
+            f" shown, not pooled into the headline."
+        )
+    lines.append("")
+    lines.append(
+        "This file is rewritten every run with the latest run's full"
+        " table below; every run ever made is in runs.jsonl."
     )
+    summary = "\n".join(lines) + "\n"
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md.split("## Sandwich-alternation protocol")[0]
                 + summary
@@ -399,6 +446,7 @@ single host, {time.strftime('%Y-%m-%d')}.
     print(summary)
     print(json.dumps({"median_efficiency": med_eff, "pair_eff": pair_eff,
                       "valid": valid, "supply_probes": supply,
+                      "lo_steal": lo_steal, "hi_steal": hi_steal,
                       "lo_times": lo_times, "hi_times": hi_times,
                       "n_docs": n_docs, "calibration": calib}))
 
