@@ -216,12 +216,23 @@ class SnapTable:
         schema_json: str,
         summary: dict,
         retries: int = 20,
+        expected_parent: int | None = None,
     ) -> int:
         """keep_parent_files: callable(parent_files) -> surviving subset.
         Appends rebase on conflict; anything that removes files raises
-        CommitConflict if beaten (serializable isolation)."""
+        CommitConflict if beaten (serializable isolation).
+        ``expected_parent``: for operations whose keep-filter was
+        PLANNED against a specific snapshot (merge), the commit must
+        land exactly on that parent — a writer slipping in between plan
+        and commit would otherwise have its files silently dropped by
+        the stale filter."""
         for _ in range(retries):
             parent_id = self.current_snapshot_id()
+            if expected_parent is not None and parent_id != expected_parent:
+                raise CommitConflict(
+                    f"planned against snapshot {expected_parent} but the "
+                    f"table is now at {parent_id}"
+                )
             parent_files = (
                 self._load(parent_id)["files"] if parent_id else []
             )
@@ -344,7 +355,8 @@ class SnapTable:
         rows = (
             df.select(key).distinct().limit(_MERGE_KEYSET_LIMIT + 1).collect()
         )
-        current, schema_hint = self.scan_files()
+        base = self.current_snapshot_id()
+        current, schema_hint = self.scan_files(snapshot_id=base)
         if not rows:  # empty incoming frame: nothing to do
             return self.current_snapshot_id()
         keys = sorted(r[0] for r in rows)
@@ -389,6 +401,7 @@ class SnapTable:
                 "rewritten_files": len(touched),
                 "untouched_files": len(untouched),
             },
+            expected_parent=base,
         )
 
     def current_summary(self) -> dict:
@@ -604,8 +617,14 @@ class SnapTable:
         ``cluster_by`` = Iceberg's rewrite_data_files with a sort
         order: the rewrite range-clusters rows and records per-file
         min/max bounds, so a table of unsorted streaming appends GAINS
-        file-skipping stats at its next compaction."""
-        df = self.read(spark, partition_by=partition_by)
+        file-skipping stats at its next compaction.
+
+        The rewrite is planned against a pinned snapshot and the commit
+        CAS-checks that parent (``expected_parent``): an append landing
+        mid-compaction must fail the compaction, not vanish under its
+        replace-everything keep-filter."""
+        base = self.current_snapshot_id()
+        df = self.read(spark, snapshot_id=base, partition_by=partition_by)
         if cluster_by:
             df = df.repartitionByRange(
                 target_files, F.col(cluster_by)
@@ -616,12 +635,13 @@ class SnapTable:
             df, partition_by, stats_cols={cluster_by} if cluster_by else None
         )
         summary = {"compacted_to": len(added)}
-        prev = self.current_summary()
+        prev = self._load(base).get("summary", {}) if base else {}
         for k in ("committed_parts", "epochs"):  # protocol state survives
             if k in prev:
                 summary[k] = prev[k]
         return self._commit(
-            "compact", added, lambda pf: [], df.schema.json(), summary
+            "compact", added, lambda pf: [], df.schema.json(), summary,
+            expected_parent=base,
         )
 
     def expire_snapshots(self, keep_last: int = 1) -> int:

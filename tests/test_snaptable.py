@@ -414,3 +414,20 @@ def test_merge_upsert_rewrites_only_overlapping_files(spark, tmp_path):
     # incremental read across a merge is undefined -> raises
     with pytest.raises(ValueError, match="incremental read undefined"):
         t.read_incremental(spark, 1)
+
+
+def test_merge_commit_rejects_interleaved_writer(spark, tmp_path):
+    """A merge plans its keep-filter against a specific snapshot; if a
+    writer lands between plan and commit, the stale filter would drop
+    the newcomer's files — the commit must fail instead (CAS on the
+    planned parent), never silently lose data."""
+    t = SnapTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))                       # snap 1 (planned base)
+    t.append(_df(spark, 5, 8))                       # snap 2: the interloper
+    with pytest.raises(CommitConflict, match="planned against snapshot 1"):
+        t._commit(
+            "merge", [], lambda pf: pf, _df(spark, 0, 1).schema.json(),
+            {}, expected_parent=1,
+        )
+    # and nothing was committed
+    assert t.current_snapshot_id() == 2
