@@ -252,6 +252,16 @@ def _ocr_udf(h: pd.Series, mime: pd.Series) -> pd.DataFrame:
     return _ocr_batch(h, mime)
 
 
+# Semantically the UDF IS deterministic (pure hash of its inputs), but
+# marking it nondeterministic stops Catalyst from inlining it into
+# success filters (`receipt.isNotNull()`) and pushing the copy below the
+# salted exchange — which materialized as TWO ArrowEvalPython stages and
+# ran the (expensive-in-real-life) OCR twice per media row. With the
+# flag, the filter stays above the single OCR projection.
+# Pinned by tests/test_plans.py::test_filtered_extract_single_ocr_stage.
+_ocr_udf = _ocr_udf.asNondeterministic()
+
+
 def run_ocr(
     df: DataFrame, media_ref_col: str = "media_ref", mime_col: str = "mime"
 ) -> DataFrame:
@@ -644,4 +654,6 @@ def make_fused_classify_ocr_udf(spark, compiled_trie, fallback: str):
         out.insert(0, "mime", mime)
         return out
 
-    return fused
+    # same rationale as _ocr_udf: keep success filters from duplicating
+    # the Python stage (the fused UDF carries the OCR cost too).
+    return fused.asNondeterministic()

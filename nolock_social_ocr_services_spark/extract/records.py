@@ -305,7 +305,16 @@ def route_and_extract(
     only the simple one did — the full->simple fallback, O9),
     ``extract_error``, ``confidence`` (OcrExtractionService.cs:231-241).
     """
-    text = clean_extracted_text(F.col(text_col))
+    # Materialize the T5 cleanup chain ONCE as its own projected column:
+    # Catalyst does not CSE a deterministic expression across the many
+    # per-field regexp_extracts that consume it, so inlining `text` here
+    # re-ran the 3-regex cleanup per extracted field (~6x per schema,
+    # visible as ~300 regexp_replace nodes in the r2 pipeline plan).
+    # CollapseProject keeps this projection separate because the alias is
+    # non-cheap and multiply referenced, so the chain runs once per row.
+    _clean = "__cleaned_text"
+    df = df.withColumn(_clean, clean_extracted_text(F.col(text_col)))
+    text = F.col(_clean)
     mime = F.col(mime_col)
     kind = F.col(kind_col)
     is_media = kind.isin("image", "pdf")
@@ -357,4 +366,4 @@ def route_and_extract(
                 F.lit(None).cast("double")
             )
         ),
-    )
+    ).drop(_clean)

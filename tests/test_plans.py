@@ -36,6 +36,33 @@ def test_extract_pipeline_one_scan_one_shuffle(spark, corpus_path):
     assert batch_eval_count(flat) == 0  # no row-at-a-time Python anywhere
 
 
+def test_filtered_extract_single_ocr_stage(spark, corpus_path):
+    """Success-filtered extract queries must NOT duplicate the OCR stage:
+    before r3, `receipt.isNotNull()` inlined the whole extraction
+    expression (OCR UDF included) and Catalyst pushed it below the
+    salted exchange — 2 ArrowEvalPython stages, OCR run twice per media
+    row. _ocr_udf.asNondeterministic() pins the filter above the single
+    OCR projection."""
+    docs = spark.read.parquet(corpus_path)
+    flat = pipeline.extract_spans(docs, salt_buckets=16)
+    filtered = flat.filter(F.col("receipt").isNotNull()).select(
+        "doc_id", "offset", "receipt"
+    )
+    assert arrow_eval_count(filtered) == 1
+    assert batch_eval_count(filtered) == 0
+
+
+def test_cleanup_chain_materialized_once(spark, corpus_path):
+    """The T5 cleanup regex chain is projected once, not re-inlined per
+    extracted field: the bare pipeline plan carries a handful of
+    regexp_replace nodes (clean chain + boilerplate strip), not the
+    ~300 of the per-field inlined form."""
+    docs = spark.read.parquet(corpus_path)
+    flat = pipeline.extract_spans(docs, salt_buckets=16)
+    n = explain_str(flat).count("regexp_replace")
+    assert n <= 12, f"cleanup chain re-inlined: {n} regexp_replace nodes"
+
+
 def test_extract_pipeline_udf_engine_two_arrow_stages(spark, corpus_path):
     docs = spark.read.parquet(corpus_path)
     flat = pipeline.extract_spans(docs, salt_buckets=16, classify_engine="udf")
