@@ -382,17 +382,34 @@ def _q_union_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to gate-check ALL entries locally — all green as of r2), ordered so
 # the first 50 of the merged registry are the strongest non-overlapping
 # set. A tail entry is one whose semantics are re-verified inside a
-# head query's oracle or whose mechanics a head query subsumes:
-#   stratified_sample/kmv_distinct -> hash_split/mixture_sample and
-#   kmv_by_lang use the same hash60 primitive in stronger forms;
+# head query's oracle, whose mechanics a head query subsumes, or whose
+# near-twin already holds a driver-green row from an earlier round:
+#   users_except/users_intersect, event_rollup/event_cube,
+#   simhash60/simhash_near_dup -> one of each pair suffices;
+#   kmv_by_lang/hash_split -> kmv_distinct + stratified_sample cover
+#   the same hash60 / hash-threshold primitives (rotated into the head
+#   for r3 — they had never had a driver row);
 #   cosine_top3/near_dup_pairs -> O(N^2) baselines of ivf_top3 /
 #   near_dup_srp (same ground truth, scale form checked);
 #   minhash_signature/lsh_candidates -> re-verified inside
 #   jaccard_rerank's oracle CTE chain; mime_from_url -> composed by
-#   classify_url_fallback; first_events/event_pivot/top_parts/
-#   explode_tokens/repetition -> window/agg/explode/quality families
-#   each keep a checked representative.
+#   classify_url_fallback; bigram_counts -> n-gram explode covered by
+#   top_tokens/vocab_oov; event_gaps -> window family keeps
+#   user_sessions + asof_click_view; first_events/event_pivot/
+#   top_parts/explode_tokens/repetition -> window/agg/explode/quality
+#   families each keep a checked representative.
 _REDUNDANT_TAIL = (
+    # demoted r3 (all r2-driver-green; family rep stays checked)
+    "users_except",
+    "event_rollup",
+    "kmv_by_lang",
+    "hash_split",
+    "bigram_counts",
+    "event_gaps",
+    "classify_url_fallback",
+    "length_curriculum_ntile",  # global-sort baseline of the head twin
+    "asof_click_view",  # r2-green; salted skew-safe twin takes the slot
+    # demoted earlier rounds
     "repetition",
     "first_events",
     "event_pivot",
@@ -402,8 +419,6 @@ _REDUNDANT_TAIL = (
     "minhash_signature",
     "cosine_top3",
     "near_dup_pairs",
-    "stratified_sample",
-    "kmv_distinct",
     "resize_plan",
     "session_window",
     "users_intersect",

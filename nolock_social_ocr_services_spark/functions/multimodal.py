@@ -4,12 +4,17 @@ stages.
 
 The Spark-side architecture here is real and tested — schemas,
 partition-preserving batch iteration, UDF signatures, batch shapes. The
-codec step itself is STUBBED (this container has no image/audio libs):
-``decode_image`` raises ``NotImplementedError`` unless
-``deterministic_fake=True``, in which case a seeded pure function of the
-payload bytes produces stable metadata + features, which is what the
-tests pin down. Swapping the fake for Pillow/ffmpeg is a one-function
-change; nothing in the Spark plan moves.
+codec step AUTO-DETECTS a real image library: ``available_codec()``
+returns a Pillow-backed codec when PIL imports (a real cluster), or any
+codec injected via ``register_codec`` (deployment hook, also how the
+tests prove the path is swappable without code edits), and ``None`` in
+this container (no image libs, installs disallowed) — in which case
+``decode_images``/``resize_images`` raise ``NotImplementedError`` unless
+``deterministic_fake=True``, whose seeded pure function of the payload
+bytes produces stable metadata + features (what the oracle pins down).
+The codec is resolved DRIVER-SIDE at plan build and captured in the
+mapInPandas closure, so it ships to executors with the task — no
+worker-side import-order dependence.
 
 The reference treats payloads the same way: opaque byte streams with a
 sniffed MIME (OcrRequestHandler.cs:69-82) handed to an external decoder.
@@ -38,6 +43,61 @@ IMAGE_META_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 
+class PillowCodec:
+    """Real image codec backed by PIL, used automatically when Pillow is
+    importable (a real cluster). Same contract as the deterministic
+    fake: decode -> (width, height, channels, FEATURE_DIM features);
+    resample -> raw bytes of the resized image."""
+
+    def decode(self, payload: bytes) -> tuple[int, int, int, np.ndarray]:
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload))
+        width, height = img.size
+        channels = len(img.getbands())
+        # 16-dim feature: 4x4 grayscale thumbnail, row-major, [0,1]
+        thumb = img.convert("L").resize((4, 4))
+        feats = (
+            np.asarray(thumb, dtype=np.float64).reshape(FEATURE_DIM) / 255.0
+        )
+        return width, height, channels, feats
+
+    def resample(self, payload: bytes, target_w: int, target_h: int) -> bytes:
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload))
+        return img.resize((target_w, target_h)).tobytes()
+
+
+_REGISTERED_CODEC = None
+
+
+def register_codec(codec) -> None:
+    """Install a custom codec (any object with ``decode``/``resample``)
+    ahead of auto-detection. Must be picklable: it is captured in the
+    mapInPandas closure and shipped to executors."""
+    global _REGISTERED_CODEC
+    _REGISTERED_CODEC = codec
+
+
+def available_codec():
+    """The codec the decode/resize stages will use: an explicitly
+    registered one, else Pillow if importable, else None (this
+    container: no image libs -> None, the deterministic fake is the
+    only runnable path)."""
+    if _REGISTERED_CODEC is not None:
+        return _REGISTERED_CODEC
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        return None
+    return PillowCodec()
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     """Deterministic stand-in for a real image decoder: dims + a feature
     vector derived from the payload digest. Stable across runs/hosts.
@@ -56,14 +116,19 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
 
 
 def decode_image_batch(
-    payloads: pd.Series, deterministic_fake: bool = False
+    payloads: pd.Series, deterministic_fake: bool = False, codec=None
 ) -> pd.DataFrame:
     """One Arrow batch: binary payloads -> (width,height,channels,
-    decode_ok, features). Real decoder NOT available in this container."""
-    if not deterministic_fake:
+    decode_ok, features). ``codec`` = a real decoder (auto-detected by
+    the calling stage); ``deterministic_fake`` = the seeded stand-in;
+    neither -> NotImplementedError (this container ships no image lib).
+    A real codec's per-payload failures become decode_ok=False rows —
+    errors stay data (ST6), one corrupt image never fails the batch."""
+    if not deterministic_fake and codec is None:
         raise NotImplementedError(
-            "image decoding requires Pillow/libvips (not in this container); "
-            "pass deterministic_fake=True for the seeded stand-in"
+            "image decoding requires a codec (Pillow auto-detected, or "
+            "register_codec(...)); pass deterministic_fake=True for the "
+            "seeded stand-in"
         )
     metas = []
     feats = []
@@ -71,10 +136,18 @@ def decode_image_batch(
         if p is None or len(p) == 0:
             metas.append((None, None, None, False))
             feats.append(None)
-        else:
+            continue
+        if deterministic_fake:
             w, h, c, f = _fake_decode(bytes(p))
-            metas.append((w, h, c, True))
-            feats.append(f.tolist())
+        else:
+            try:
+                w, h, c, f = codec.decode(bytes(p))
+            except Exception:
+                metas.append((None, None, None, False))
+                feats.append(None)
+                continue
+        metas.append((w, h, c, True))
+        feats.append(np.asarray(f, dtype=np.float64).tolist())
     out = pd.DataFrame(metas, columns=["width", "height", "channels", "decode_ok"])
     out["features"] = feats
     return out
@@ -90,7 +163,12 @@ def decode_images(
     Batch shape contract: output rows == input rows per batch, original
     columns preserved, so the stage composes anywhere in a pipeline
     without realignment joins.
+
+    Codec resolution happens HERE (driver, plan build): the resolved
+    codec object rides the closure to executors, so the same code is the
+    real decoder on a cluster with Pillow and the guarded fake here.
     """
+    codec = None if deterministic_fake else available_codec()
     out_schema = T.StructType(
         list(df.schema.fields)
         + [
@@ -105,7 +183,9 @@ def decode_images(
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             decoded = decode_image_batch(
-                pdf[payload_col], deterministic_fake=deterministic_fake
+                pdf[payload_col],
+                deterministic_fake=deterministic_fake,
+                codec=codec,
             )
             yield pd.concat(
                 [pdf.reset_index(drop=True), decoded.reset_index(drop=True)], axis=1
@@ -151,10 +231,12 @@ def resize_images(
 ) -> DataFrame:
     """mapInPandas resize stage. Target dims are computed JVM-side by
     ``resize_dims`` (so the plan prunes to only the needed columns); the
-    pixel resample itself is the stubbed codec step — the fake emits a
+    pixel resample uses the auto-detected codec (Pillow on a real
+    cluster, or register_codec), else the deterministic fake emits a
     payload-digest token as the "resized" payload so tests can pin
     row alignment and schema without an image library.
     """
+    codec = None if deterministic_fake else available_codec()
     with_dims = df.withColumn(
         "_target", resize_dims(F.col(width_col), F.col(height_col), max_side)
     )
@@ -166,20 +248,30 @@ def resize_images(
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic_fake:
+            if not deterministic_fake and codec is None:
                 raise NotImplementedError(
-                    "pixel resample requires Pillow/libvips; pass "
-                    "deterministic_fake=True for the seeded stand-in"
+                    "pixel resample requires a codec (Pillow auto-detected, "
+                    "or register_codec(...)); pass deterministic_fake=True "
+                    "for the seeded stand-in"
                 )
             resized = []
             for p, t in zip(pdf[payload_col], pdf["_target"]):
                 if p is None or t is None or t.get("target_w") is None:
                     resized.append(None)
-                else:
+                elif deterministic_fake:
                     token = hashlib.md5(
                         bytes(p) + b"|%dx%d" % (t["target_w"], t["target_h"])
                     ).digest()
                     resized.append(token)
+                else:
+                    try:
+                        resized.append(
+                            codec.resample(
+                                bytes(p), t["target_w"], t["target_h"]
+                            )
+                        )
+                    except Exception:
+                        resized.append(None)  # corrupt image: error-as-data
             out = pdf.reset_index(drop=True).drop(columns=["_target"])
             out["resized"] = resized
             yield out

@@ -14,17 +14,31 @@ idiomatic distributed form — rather than range-exploded joins:
     ids per key in one window pass; the session aggregate is a second
     shuffle on the (key, session) pair.
 
-Skew note: both operators shuffle on the entity key (user_id). A
-pathological hot key serializes inside one task — at 100 TB, split hot
-entities first (salt the key by coarse time bucket, then merge
-sessions that straddle bucket edges; for as-of, replicate the right
-side into each salt bucket).
+Skew note: ``as_of_join``/``sessionize`` shuffle on the entity key
+(user_id); a pathological hot key serializes inside one task.
+``as_of_join_salted`` is the hot-key-safe variant: the window shuffle
+key becomes (key, coarse time bucket) — a hot entity splits across as
+many tasks as it spans buckets — and the cross-bucket "most recent
+right row" is carried in via a BUCKET-LEVEL as-of over the tiny
+per-(key, bucket) last-row table, so the merge step costs O(keys x
+buckets) metadata rows, never a second pass over the data.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _struct_type(df: DataFrame, cols: list[str]) -> str:
+    return (
+        "struct<"
+        + ",".join(
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in df.select(*cols).schema.fields
+        )
+        + ">"
+    )
 
 
 def as_of_join(
@@ -51,28 +65,18 @@ def as_of_join(
     """
     carry = [ts, *right_cols]
 
-    def struct_type(df: DataFrame, cols: list[str]) -> str:
-        return (
-            "struct<"
-            + ",".join(
-                f"{f.name}:{f.dataType.simpleString()}"
-                for f in df.select(*cols).schema.fields
-            )
-            + ">"
-        )
-
     l_tag = left.select(
         F.col(on),
         F.col(ts),
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
-        F.lit(None).cast(struct_type(right, carry)).alias("_rrow"),
+        F.lit(None).cast(_struct_type(right, carry)).alias("_rrow"),
     )
     r_tag = right.select(
         F.col(on),
         F.col(ts),
         F.lit(0).alias("_side"),
-        F.lit(None).cast(struct_type(left, list(left.columns))).alias("_lrow"),
+        F.lit(None).cast(_struct_type(left, list(left.columns))).alias("_lrow"),
         F.struct(*[F.col(c) for c in carry]).alias("_rrow"),
     )
     order = [F.col(ts).asc(), F.col("_side").asc()]
@@ -98,6 +102,142 @@ def as_of_join(
         out = out.withColumn(
             "_match", F.when(within, F.col("_match"))
         )
+    sel = [F.col("_lrow")[c].alias(c) for c in left.columns]
+    sel.append(F.col("_match")[ts].alias("matched_ts"))
+    sel += [F.col("_match")[c].alias(f"matched_{c}") for c in right_cols]
+    return out.select(*sel)
+
+
+def as_of_join_salted(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str = "ts",
+    right_cols: tuple[str, ...] = ("value",),
+    tolerance_seconds: int | None = None,
+    tie_col: str | None = None,
+    bucket_width_seconds: int = 86400,
+    bucket_expr: Column | None = None,
+) -> DataFrame:
+    """Hot-key-safe as-of join: output-identical to ``as_of_join`` (same
+    columns, same matches), but the big window shuffles on
+    (key, time-bucket) instead of key alone, so a pathological hot key
+    splits across as many tasks as it spans buckets.
+
+    How the cross-bucket match survives the split: for each left bucket
+    b, the candidate set is (right rows inside b) + (the single most
+    recent right row from any earlier bucket). The latter comes from a
+    bucket-LEVEL as-of: one hash-agg reduces the right side to its last
+    row per (key, bucket) — ``max_by`` over (ts, tie) picks the same
+    winner the base operator's window order does — then a window over
+    that tiny table (O(keys x buckets) rows, never the data) carries the
+    running last into every left bucket. The carry row is injected into
+    its bucket with its TRUE timestamp, so the in-bucket window needs no
+    special casing; a same-bucket duplicate of an injected row is
+    harmless (``last`` sees equal values).
+
+    ``bucket_expr`` overrides the default ``floor(unix_timestamp(ts) /
+    bucket_width_seconds)`` for non-TIMESTAMP ts columns; it must be
+    monotone non-decreasing in ``ts``.
+    """
+    carry = [ts, *right_cols]
+    b = (
+        bucket_expr
+        if bucket_expr is not None
+        else F.floor(
+            F.unix_timestamp(F.col(ts)) / F.lit(int(bucket_width_seconds))
+        )
+    )
+    r_struct_t = _struct_type(right, carry)
+    l_struct_t = _struct_type(left, list(left.columns))
+
+    # 1. right side reduced to its last row per (key, bucket): the
+    # max_by order struct mirrors the base window's (ts, tie) order
+    # (struct comparison puts a NULL tie first = smallest, matching
+    # asc_nulls_first).
+    order_fields = [F.col(ts)] + ([F.col(tie_col)] if tie_col else [])
+    rl = (
+        right.withColumn("_b", b)
+        .groupBy(on, "_b")
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in carry]), F.struct(*order_fields)
+            ).alias("_rrow")
+        )
+    )
+
+    # 2. bucket-level as-of over the tiny table: latest right bucket-last
+    # from a STRICTLY earlier bucket for each left bucket. Within a
+    # bucket the left row sorts FIRST (side desc: 1 before 0) — a
+    # same-bucket right last must NOT become the carry: its ts can be
+    # LATER than left rows in the bucket, and taking it would overwrite
+    # the true earlier-bucket carry those rows need (the in-bucket
+    # window already sees same-bucket right rows at their real order).
+    lb = left.withColumn("_b", b)
+    lbuckets = lb.select(on, "_b").distinct()
+    tag_lb = lbuckets.select(
+        F.col(on),
+        F.col("_b"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r_struct_t).alias("_rrow"),
+    )
+    tag_rl = rl.select(on, "_b", F.lit(0).alias("_side"), "_rrow")
+    wb = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_b").asc(), F.col("_side").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carries = (
+        tag_lb.unionByName(tag_rl)
+        .withColumn("_carry", F.last("_rrow", ignorenulls=True).over(wb))
+        .filter((F.col("_side") == 1) & F.col("_carry").isNotNull())
+        .select(on, "_b", F.col("_carry").alias("_rrow"))
+    )
+
+    # 3. the big union, windowed per (key, bucket) — the skew-split key
+    l_rows = lb.select(
+        F.col(on),
+        F.col(ts),
+        F.col("_b"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        F.lit(None).cast(r_struct_t).alias("_rrow"),
+    )
+    r_rows = right.withColumn("_b", b).select(
+        F.col(on),
+        F.col(ts),
+        F.col("_b"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_struct_t).alias("_lrow"),
+        F.struct(*[F.col(c) for c in carry]).alias("_rrow"),
+    )
+    c_rows = carries.select(
+        F.col(on),
+        F.col("_rrow")[ts].alias(ts),
+        F.col("_b"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_struct_t).alias("_lrow"),
+        F.col("_rrow"),
+    )
+    order = [F.col(ts).asc(), F.col("_side").asc()]
+    if tie_col is not None:
+        order.append(F.col("_rrow")[tie_col].asc_nulls_first())
+    w = (
+        Window.partitionBy(on, "_b")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        l_rows.unionByName(r_rows)
+        .unionByName(c_rows)
+        .withColumn("_match", F.last("_rrow", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    if tolerance_seconds is not None:
+        within = F.col(ts) <= F.col("_match")[ts] + F.expr(
+            f"INTERVAL {int(tolerance_seconds)} SECONDS"
+        )
+        out = out.withColumn("_match", F.when(within, F.col("_match")))
     sel = [F.col("_lrow")[c].alias(c) for c in left.columns]
     sel.append(F.col("_match")[ts].alias("matched_ts"))
     sel += [F.col("_match")[c].alias(f"matched_{c}") for c in right_cols]

@@ -1004,6 +1004,38 @@ def q_asof_click_view(spark, sf_dir):
     )
 
 
+def q_asof_click_view_salted(spark, sf_dir):
+    """Hot-key-safe as-of join twin: identical output to
+    `asof_click_view` (same oracle SQL), but the window shuffle key is
+    (user_id, day-bucket) — a hot user splits across buckets instead of
+    serializing in one task; the cross-bucket match is carried in via a
+    bucket-level as-of over the per-(user, bucket) last-view table
+    (operators/temporal.as_of_join_salted). A small bucket width forces
+    MANY buckets at sf0.01 so the carry path is genuinely exercised."""
+    from .operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value", F.col("event_id").alias("view_id")
+    )
+    out = temporal.as_of_join_salted(
+        clicks,
+        views,
+        on="user_id",
+        ts="ts",
+        right_cols=("value", "view_id"),
+        tie_col="view_id",
+        bucket_width_seconds=6 * 3600,
+    )
+    return out.select(
+        "event_id", "user_id", "matched_ts", "matched_view_id",
+        F.round("matched_value", 2).alias("matched_value"),
+    )
+
+
 SQL_ASOF_CLICK_VIEW = """
 WITH l AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
@@ -1665,15 +1697,69 @@ GROUP BY source
 
 
 def q_length_curriculum(spark, sf_dir):
-    """Curriculum binning: ntile(10) over an exact integer ordering
-    (n_chars desc, doc_id) -> per-bin doc count and char range. The
-    deterministic-ordering variant of difficulty bucketing.
+    """Curriculum binning, BOUNDARY-BIN form (the 100-TB path, now the
+    registered query): instead of a global-sort ntile over every row,
+    decile boundaries are derived from the VALUE HISTOGRAM —
+    groupBy(n_chars) is one map-side-combined hash-agg whose output is
+    O(distinct lengths), the cumulative-count window runs over that tiny
+    table (thousands of rows, never the corpus), and each value's bin is
+    exact integer arithmetic: bin(v) = ceil(10 * cum_docs(>=v) / total).
+    Ties share a bin by construction (equal difficulty -> equal bin),
+    the property a curriculum actually wants; assigning bins back to
+    full rows is the 9 boundary values broadcast into a when-chain at
+    scan speed. Exact (integer DIV, no approx sketch, no float), so the
+    DuckDB oracle reproduces it bit-for-bit.
 
-    NOTE (scale): a global ntile is a global sort — correct but the
-    correctness baseline only. The 100-TB path bins by PRE-COMPUTED
-    quantile boundaries (approx_percentile over one scan, boundaries
-    broadcast, bin = a when-chain at scan speed); `value_quantiles`
-    demonstrates the boundary computation."""
+    The prior global-ntile form is kept as `length_curriculum_ntile`
+    (registry tail) — the correctness baseline whose plan is the
+    documented scale-killer."""
+    d = _docs(spark, sf_dir)
+    hist = d.groupBy("n_chars").agg(F.count("*").alias("n"))
+    w_cum = Window.orderBy(F.desc("n_chars")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    binned = hist.select(
+        "n_chars",
+        "n",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("total"),
+    ).withColumn("bin", F.expr("CAST((cum*10 + total - 1) DIV total AS INT)"))
+    return binned.groupBy("bin").agg(
+        F.sum("n").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+SQL_LENGTH_CURRICULUM = """
+WITH hist AS (
+    SELECT n_chars, count(*) AS n FROM documents GROUP BY n_chars
+), c AS (
+    SELECT n_chars, n,
+           sum(n) OVER (ORDER BY n_chars DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+           sum(n) OVER () AS total
+    FROM hist
+)
+SELECT CAST((cum * 10 + total - 1) // total AS INT) AS bin,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM c
+GROUP BY 1
+"""
+
+
+def q_length_curriculum_ntile(spark, sf_dir):
+    """Curriculum binning, global-ntile baseline: ntile(10) over an
+    exact integer ordering (n_chars desc, doc_id) -> per-bin doc count
+    and char range. Exactly-equal bin sizes (ties split by doc_id).
+
+    NOTE (scale): a global ntile is a global sort in ONE partition —
+    correct but the documented scale-killer; `length_curriculum` is the
+    registered boundary-bin form that replaces it at 100 TB."""
     d = _docs(spark, sf_dir)
     w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
     return (
@@ -1687,7 +1773,7 @@ def q_length_curriculum(spark, sf_dir):
     )
 
 
-SQL_LENGTH_CURRICULUM = """
+SQL_LENGTH_CURRICULUM_NTILE = """
 SELECT bin, count(*) AS n_docs,
        CAST(min(n_chars) AS BIGINT) AS min_chars,
        CAST(max(n_chars) AS BIGINT) AS max_chars
@@ -1924,6 +2010,10 @@ def extra_queries() -> dict[str, tuple]:
         "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
         "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
         "asof_click_view": (q_asof_click_view, SQL_ASOF_CLICK_VIEW),
+        "asof_click_view_salted": (
+            q_asof_click_view_salted,
+            SQL_ASOF_CLICK_VIEW,
+        ),
         "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
         "session_window": (q_session_window, SQL_SESSION_WINDOW),
         "ivf_top3": (q_ivf_top3, SQL_IVF_TOP3),
@@ -1952,6 +2042,10 @@ def extra_queries() -> dict[str, tuple]:
         "kmv_by_lang": (q_kmv_by_lang, SQL_KMV_BY_LANG),
         "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
         "length_curriculum": (q_length_curriculum, SQL_LENGTH_CURRICULUM),
+        "length_curriculum_ntile": (
+            q_length_curriculum_ntile,
+            SQL_LENGTH_CURRICULUM_NTILE,
+        ),
         "dedup_survivors": (
             q_dedup_survivors,
             SQL_DEDUP_SURVIVORS.format(simhash_cte=_sql_simhash_cte()),

@@ -71,9 +71,9 @@ def run_extract_job_snap(
                 "committed_parts": sorted(done | set(processed) | set(batch))
             },
         )
-        committed = out.read(
-            spark, parts=batch, partition_by="part_id"
-        ).withColumn("part_id", F.col("part_id").cast("int"))
+        # read() restores part_id from the path and casts it back to the
+        # declared int type (recorded partition_by in the manifest)
+        committed = out.read(spark, parts=batch)
         lin.append(_lineage_rows_batch(committed, run_id))
         processed.extend(batch)
     return processed
@@ -105,10 +105,13 @@ def exactly_once_sink(table_dir: str):
              .foreachBatch(exactly_once_sink(path))
              .option("checkpointLocation", ckpt).start())
 
-    Scale: the committed-epoch set is kept cumulative in the latest
-    summary (ints, one per trigger); for month-long streams carry only
-    (max_epoch, recent_set) — epochs arrive monotonically, so the full
-    set is reconstructible and the summary stays O(1).
+    Scale: the committed-epoch set is kept cumulative in the snapshot's
+    PROTOCOL record (ints, one per trigger), which every commit —
+    including appends and compactions by other jobs — folds forward, so
+    interleaved table maintenance cannot erase the dedup state; for
+    month-long streams carry only (max_epoch, recent_set) — epochs
+    arrive monotonically, so the full set is reconstructible and the
+    record stays O(1).
     """
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         table = SnapTable(table_dir)
@@ -121,7 +124,8 @@ def exactly_once_sink(table_dir: str):
             txid,
             lambda pf: pf,
             batch_df.schema.json(),
-            {"epochs": sorted(done | {int(epoch_id)})},
+            {"added_files": len(txid)},
+            protocol={"epochs": sorted(done | {int(epoch_id)})},
         )
 
     return write_batch

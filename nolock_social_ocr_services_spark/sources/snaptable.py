@@ -37,15 +37,16 @@ the previous snapshot, and a half-written writer directory is never
 visible.  This is the invariant ``lineage.read_output`` provides with
 its ``_manifest`` markers, generalized to whole-table versioning.
 
-Scale notes (10^12-doc corpus): the manifest holds a flat JSON file
-list — fine to O(10^5) files per table; beyond that Iceberg splits the
-list into avro manifest files grouped by partition, and the
-``partition`` field recorded per file here is exactly the key that
-grouping needs, so the format is forward-compatible with that split.
-Partition pruning happens manifest-side (``read(..., parts=...)``
-selects files by recorded partition value before Spark ever lists a
-directory), which is the metadata-level pruning that makes Iceberg
-scans cheap on huge tables.
+Scale notes (10^12-doc corpus): up to ``_MANIFEST_INLINE_LIMIT`` files
+the snapshot lists them inline; beyond that the list is split into
+SHARDED MANIFESTS (``metadata/man-*.json``) grouped by partition value
+— Iceberg's manifest-list -> manifest-file structure. The snapshot then
+carries only per-shard metadata (partition values, file count, column
+stat envelopes); appends REUSE the parent's shards by reference, so
+commit cost is O(new files), and partition/range pruning happens at the
+manifest level first (``read(..., parts=...)``/``between=`` opens only
+the touched shard files) and file level second — the metadata-level
+pruning that makes Iceberg scans cheap on huge tables.
 """
 
 from __future__ import annotations
@@ -68,14 +69,30 @@ _SNAP_RE = re.compile(r"snap-(\d{10})\.json$")
 # exact per-file pruning; beyond it the [min,max] envelope is used.
 _MERGE_KEYSET_LIMIT = 10_000
 
+# A snapshot lists its files inline up to this many entries; beyond it
+# the list is split into SHARDED MANIFESTS (Iceberg's manifest-list ->
+# manifest-file structure): the snapshot holds only per-shard metadata
+# (partition values, n_files, stat envelopes) and readers open just the
+# shards their partition/range filters touch. Appends REUSE the parent's
+# shards untouched (commit cost = O(new files), not O(table)).
+_MANIFEST_INLINE_LIMIT = 512
+# max file entries per manifest shard (within one partition group)
+_MANIFEST_SHARD_ROWS = 10_000
+
 
 def _footer_stats(path: str, cols: set[str]) -> dict:
     """Per-file min/max column bounds from the parquet FOOTER (no data
     read, no Spark job) — the stats Iceberg manifests carry for file
     skipping. JSON-serializable types only; a column with unusable
-    stats is simply absent (reader keeps the file — never unsound)."""
+    stats is simply absent (reader keeps the file — never unsound).
+
+    Soundness requires ALL-row-group coverage: if even one row group
+    lacks usable stats for a column, bounds built from the others would
+    cover only part of the file and pruning on them could skip matching
+    rows — so such a column's bounds are dropped for the whole file."""
     md = pq.ParquetFile(path).metadata
     out: dict[str, list] = {}
+    bad: set[str] = set()  # columns with >=1 uncovered row group
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for i in range(g.num_columns):
@@ -85,20 +102,61 @@ def _footer_stats(path: str, cols: set[str]) -> dict:
                 continue
             st = c.statistics
             if st is None or not st.has_min_max:
+                bad.add(name)
                 continue
             mn, mx = st.min, st.max
             if isinstance(mn, bytes):
                 try:
                     mn, mx = mn.decode(), mx.decode()
                 except UnicodeDecodeError:
+                    bad.add(name)
                     continue
             if not isinstance(mn, (int, float, str)):
+                bad.add(name)
                 continue
             if name in out:
                 out[name] = [min(out[name][0], mn), max(out[name][1], mx)]
             else:
                 out[name] = [mn, mx]
+    for name in bad:
+        out.pop(name, None)
     return out
+
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _restore_partition_col(df: DataFrame, partition_by: str, schema: StructType) -> DataFrame:
+    """Restore a partitionBy column from the file path (Spark omits it
+    from the data files). The value is regexp-extracted from
+    ``input_file_name()`` — O(1) in file count, unlike a literal
+    path->value map — url-decoded (Spark escapes special chars in
+    partition paths), NULLed for the hive null sentinel, and try_cast
+    back to the column's DECLARED type from the stored schema (a
+    partition written from an int column reads back as int, not the
+    path string)."""
+    raw = F.regexp_extract(
+        F.input_file_name(), re.escape(partition_by) + "=([^/]+)", 1
+    )
+    decoded = F.when(
+        raw == _HIVE_NULL, F.lit(None).cast("string")
+    ).otherwise(F.url_decode(raw))
+    dtype = next(
+        (f.dataType for f in schema.fields if f.name == partition_by), None
+    )
+    if dtype is not None:
+        decoded = decoded.try_cast(dtype)
+    # files written WITHOUT partitionBy (an unpartitioned compact or
+    # append into a partitioned table) carry the column in their data
+    # and no `col=` path segment — keep the stored value for those.
+    stored = (
+        F.col(partition_by)
+        if partition_by in schema.fieldNames()
+        else F.lit(None).cast("string")
+    )
+    return df.withColumn(
+        partition_by, F.when(raw == "", stored).otherwise(decoded)
+    )
 
 
 class CommitConflict(Exception):
@@ -136,21 +194,102 @@ class SnapTable:
             return json.load(fh)
 
     def snapshots(self) -> list[dict]:
-        """History, oldest first (snapshot_id, operation, summary, ts)."""
+        """History, oldest first (snapshot_id, operation, summary, ts).
+        n_files comes from shard metadata when manifests are sharded —
+        no shard file is opened."""
         out = []
         for f in self._snapshot_files():
             with open(f) as fh:
                 s = json.load(fh)
+            n = (
+                sum(m["n_files"] for m in s["manifests"])
+                if "manifests" in s
+                else len(s["files"])
+            )
             out.append(
                 {
                     "snapshot_id": s["snapshot_id"],
                     "parent_id": s["parent_id"],
                     "operation": s["operation"],
                     "summary": s.get("summary", {}),
-                    "n_files": len(s["files"]),
+                    "n_files": n,
                 }
             )
         return out
+
+    # ------------------------------------------------------------------
+    # sharded manifests (Iceberg manifest-list -> manifest-file shape)
+    # ------------------------------------------------------------------
+    def _load_manifest(self, rel_path: str) -> list[dict]:
+        """One shard's file entries. Separate method so tests can count
+        which shards a pruned scan actually opens."""
+        with open(os.path.join(self.path, rel_path)) as fh:
+            return json.load(fh)["files"]
+
+    def _snap_files(self, snap: dict) -> list[dict]:
+        """Materialize a snapshot's full file list (all shards)."""
+        if "manifests" in snap:
+            out: list[dict] = []
+            for m in snap["manifests"]:
+                out.extend(self._load_manifest(m["path"]))
+            return out
+        return snap.get("files", [])
+
+    def _write_manifest_shards(self, entries: list[dict]) -> list[dict]:
+        """Write file entries as manifest shards grouped by partition
+        value (the grouping Iceberg uses so partition pruning can skip
+        whole shards), chunked at _MANIFEST_SHARD_ROWS. Returns the
+        manifest-list records: per-shard path, n_files, partition
+        values, and per-column [min,max] stat envelopes."""
+        groups: dict[str, list[dict]] = {}
+        for e in entries:
+            part = e.get("partition")
+            key = json.dumps(part, sort_keys=True) if part else "_"
+            groups.setdefault(key, []).append(e)
+        records = []
+        for key in sorted(groups):
+            grp = groups[key]
+            for i in range(0, len(grp), _MANIFEST_SHARD_ROWS):
+                chunk = grp[i : i + _MANIFEST_SHARD_ROWS]
+                rel = os.path.join(
+                    "metadata", f"man-{uuid.uuid4().hex}.json"
+                )
+                with open(os.path.join(self.path, rel), "w") as fh:
+                    json.dump({"files": chunk}, fh)
+                parts = sorted(
+                    {
+                        v
+                        for e in chunk
+                        if e.get("partition")
+                        for v in e["partition"].values()
+                    }
+                )
+                # a column's shard envelope is only sound if EVERY file
+                # in the shard contributed bounds for it (same coverage
+                # rule as _footer_stats at the row-group level)
+                env: dict[str, list] | None = None
+                for e in chunk:
+                    st = e.get("stats") or {}
+                    if env is None:
+                        env = {c: list(b) for c, b in st.items()}
+                    else:
+                        for c in list(env):
+                            if c not in st:
+                                del env[c]
+                            else:
+                                env[c] = [
+                                    min(env[c][0], st[c][0]),
+                                    max(env[c][1], st[c][1]),
+                                ]
+                records.append(
+                    {
+                        "path": rel,
+                        "n_files": len(chunk),
+                        "partitions": parts or None,
+                        "stats": env or None,
+                    }
+                )
+        return records
 
     # ------------------------------------------------------------------
     # writes
@@ -217,6 +356,8 @@ class SnapTable:
         summary: dict,
         retries: int = 20,
         expected_parent: int | None = None,
+        partition_by: str | None = None,
+        protocol: dict | None = None,
     ) -> int:
         """keep_parent_files: callable(parent_files) -> surviving subset.
         Appends rebase on conflict; anything that removes files raises
@@ -225,7 +366,15 @@ class SnapTable:
         PLANNED against a specific snapshot (merge), the commit must
         land exactly on that parent — a writer slipping in between plan
         and commit would otherwise have its files silently dropped by
-        the stale filter."""
+        the stale filter.
+        ``partition_by``: recorded in the snapshot so readers restore
+        the partition column without every caller re-specifying it.
+        ``protocol``: durable job-protocol state (committed parts,
+        stream epochs). Unlike ``summary`` (per-commit bookkeeping),
+        protocol state is FOLDED FORWARD from the parent by every
+        commit — an interleaved plain append or a compact can never
+        silently erase another job's resume/dedup record."""
+        added_shards: list[dict] | None = None  # cached across rebases
         for _ in range(retries):
             parent_id = self.current_snapshot_id()
             if expected_parent is not None and parent_id != expected_parent:
@@ -233,17 +382,37 @@ class SnapTable:
                     f"planned against snapshot {expected_parent} but the "
                     f"table is now at {parent_id}"
                 )
-            parent_files = (
-                self._load(parent_id)["files"] if parent_id else []
-            )
+            parent = self._load(parent_id) if parent_id else {}
             snap = {
                 "snapshot_id": parent_id + 1,
                 "parent_id": parent_id,
                 "operation": operation,
                 "schema": schema_json,
-                "files": keep_parent_files(parent_files) + added,
+                "partition_by": (
+                    partition_by
+                    if partition_by is not None
+                    else parent.get("partition_by")
+                ),
                 "summary": summary,
+                "protocol": {**parent.get("protocol", {}), **(protocol or {})},
             }
+            if operation == "append" and "manifests" in parent:
+                # manifest REUSE: an append never rewrites (or even
+                # reads) the parent's shards — commit cost is O(added),
+                # the property that keeps appends cheap on a 10^12-row
+                # table. Shards for the added files are written once and
+                # survive CAS rebases (they reference only tx data).
+                if added_shards is None:
+                    added_shards = (
+                        self._write_manifest_shards(added) if added else []
+                    )
+                snap["manifests"] = list(parent["manifests"]) + added_shards
+            else:
+                files = keep_parent_files(self._snap_files(parent)) + added
+                if len(files) <= _MANIFEST_INLINE_LIMIT:
+                    snap["files"] = files
+                else:
+                    snap["manifests"] = self._write_manifest_shards(files)
             if self._try_commit(snap):
                 return snap["snapshot_id"]
             if operation != "append":
@@ -281,14 +450,14 @@ class SnapTable:
         added = self._write_tx(df, partition_by, stats_cols=cols or None)
         return self._commit(
             "append", added, lambda pf: pf, df.schema.json(),
-            {"added_files": len(added)},
+            {"added_files": len(added)}, partition_by=partition_by,
         )
 
     def overwrite(self, df: DataFrame, partition_by: str | None = None) -> int:
         added = self._write_tx(df, partition_by)
         return self._commit(
             "overwrite", added, lambda pf: [], df.schema.json(),
-            {"added_files": len(added)},
+            {"added_files": len(added)}, partition_by=partition_by,
         )
 
     def overwrite_partitions(
@@ -301,11 +470,12 @@ class SnapTable:
         """Iceberg dynamic-partition overwrite: atomically replace the
         named partitions, leave every other file untouched.
 
-        ``extra_summary`` lands in the snapshot summary — jobs use it to
-        carry protocol state (e.g. the cumulative committed-part set:
-        an EMPTY partition writes no files, so it is invisible to
-        ``committed_values``; the summary is the durable record that it
-        was processed)."""
+        ``extra_summary`` carries job-protocol state (e.g. the cumulative
+        committed-part set: an EMPTY partition writes no files, so it is
+        invisible to ``committed_values``; this is the durable record
+        that it was processed). It is stored in the snapshot's
+        ``protocol`` field, which EVERY subsequent commit folds forward
+        — a plain append or compact by another job cannot erase it."""
         vals = {str(v) for v in values}
         added = self._write_tx(df, partition_by)
 
@@ -320,9 +490,9 @@ class SnapTable:
             ]
 
         summary = {"replaced": sorted(vals), "added_files": len(added)}
-        summary.update(extra_summary or {})
         return self._commit(
-            "overwrite_partitions", added, keep, df.schema.json(), summary
+            "overwrite_partitions", added, keep, df.schema.json(), summary,
+            partition_by=partition_by, protocol=extra_summary,
         )
 
     def merge_upsert(
@@ -360,8 +530,17 @@ class SnapTable:
         if not rows:  # empty incoming frame: nothing to do
             return self.current_snapshot_id()
         keys = sorted(r[0] for r in rows)
-        lo, hi = keys[0], keys[-1]
         exact = len(keys) <= _MERGE_KEYSET_LIMIT
+        if exact:
+            lo, hi = keys[0], keys[-1]
+        else:
+            # the keyset overflowed: LIMIT without ORDER BY returned an
+            # ARBITRARY subset, so its min/max are sample bounds — files
+            # holding incoming keys outside them would be classified
+            # untouched while df inserts the same keys (duplicates).
+            # One agg computes the true envelope.
+            b = df.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+            lo, hi = b["lo"], b["hi"]
 
         def overlaps(entry: dict) -> bool:
             b = (entry.get("stats") or {}).get(key)
@@ -377,9 +556,17 @@ class SnapTable:
         touched = [f for f in current if overlaps(f)]
         untouched = [f for f in current if not overlaps(f)]
         if touched:
-            old = spark.read.schema(
-                StructType.fromJson(json.loads(schema_hint))
-            ).parquet(*(os.path.join(self.path, f["path"]) for f in touched))
+            schema = StructType.fromJson(json.loads(schema_hint))
+            old = spark.read.schema(schema).parquet(
+                *(os.path.join(self.path, f["path"]) for f in touched)
+            )
+            if partition_by is not None:
+                # a partitioned table's data files OMIT the partition
+                # column; without restoring it from the path, survivors
+                # would be rewritten with NULL partition values (and land
+                # under the hive null partition, invisible to later
+                # overwrite_partitions/committed_values).
+                old = _restore_partition_col(old, partition_by, schema)
             # anti-join drops the replaced rows; AQE resolves the build
             # side (broadcast for a point update, shuffle for a bulk one)
             survivors = old.join(
@@ -402,11 +589,19 @@ class SnapTable:
                 "untouched_files": len(untouched),
             },
             expected_parent=base,
+            partition_by=partition_by,
         )
 
     def current_summary(self) -> dict:
+        """Latest snapshot's summary, with the folded-forward protocol
+        state merged in (protocol keys win): readers of durable job
+        state (committed parts, epochs) see it regardless of which
+        operation committed last."""
         sid = self.current_snapshot_id()
-        return self._load(sid).get("summary", {}) if sid else {}
+        if not sid:
+            return {}
+        snap = self._load(sid)
+        return {**snap.get("summary", {}), **snap.get("protocol", {})}
 
     def rollback(self, snapshot_id: int) -> int:
         """Commit a NEW snapshot pointing at an old file set (history is
@@ -419,8 +614,9 @@ class SnapTable:
         # rollback must not silently lose a concurrent commit -> treated
         # as a removing operation (raises on race).
         return self._commit(
-            "rollback", list(old["files"]), keep, old["schema"],
+            "rollback", self._snap_files(old), keep, old["schema"],
             {"rolled_back_to": snapshot_id},
+            partition_by=old.get("partition_by"),
         )
 
     # ------------------------------------------------------------------
@@ -444,7 +640,43 @@ class SnapTable:
         if sid:
             snap = self._load(sid)
             schema_hint = snap["schema"]
-            files = snap["files"]
+            if partition_by is None:
+                # recorded at write time: callers need not re-specify
+                partition_by = snap.get("partition_by")
+            if "manifests" in snap:
+                # MANIFEST-LEVEL pruning first: a shard is opened only
+                # if its recorded partition values / stat envelopes can
+                # match — on a sharded 10^12-row table the planner reads
+                # O(touched shards), not the whole file list. Both
+                # filters are conservative (missing metadata -> keep),
+                # and the file-level filters below re-check exactly.
+                shards = snap["manifests"]
+                if parts is not None:
+                    want = {str(v) for v in parts}
+                    shards = [
+                        s
+                        for s in shards
+                        if s.get("partitions") is None
+                        or want & set(s["partitions"])
+                    ]
+                if between:
+                    def shard_survives(s: dict) -> bool:
+                        env = s.get("stats") or {}
+                        for col, (lo, hi) in between.items():
+                            b = env.get(col)
+                            if b is None:
+                                continue
+                            if (hi is not None and b[0] > hi) or (
+                                lo is not None and b[1] < lo
+                            ):
+                                return False
+                        return True
+
+                    shards = [s for s in shards if shard_survives(s)]
+                for m in shards:
+                    files.extend(self._load_manifest(m["path"]))
+            else:
+                files = snap["files"]
         if parts is not None and partition_by is not None:
             want = {str(v) for v in parts}
             files = [
@@ -481,7 +713,20 @@ class SnapTable:
         ``parts`` prunes files by recorded partition value BEFORE Spark
         plans the scan; ``between`` = {col: (lo, hi)} skips files whose
         recorded min/max bounds miss the range (Iceberg file skipping)
-        AND applies the residual row filter, so results are exact."""
+        AND applies the residual row filter, so results are exact.
+
+        ``partition_by`` defaults to the value recorded in the snapshot
+        manifest at write time, so a partitioned table reads back with
+        its partition column restored (and cast to the declared type)
+        without every caller re-specifying it."""
+        if partition_by is None:
+            sid = (
+                self.current_snapshot_id()
+                if snapshot_id is None
+                else snapshot_id
+            )
+            if sid:
+                partition_by = self._load(sid).get("partition_by")
         files, schema_hint = self.scan_files(
             snapshot_id, parts, partition_by, between
         )
@@ -492,22 +737,15 @@ class SnapTable:
                 [], StructType.fromJson(json.loads(schema_hint))
             )
         paths = [os.path.join(self.path, f["path"]) for f in files]
-        df = spark.read.schema(
-            StructType.fromJson(json.loads(schema_hint))
-        ).parquet(*paths)
+        schema = StructType.fromJson(json.loads(schema_hint))
+        df = spark.read.schema(schema).parquet(*paths)
         if partition_by:
             # partition value lives in the path, not the file; restore it
-            # as a column the way basePath-discovery would. regexp over
-            # input_file_name keeps the plan O(1) in file count (a
-            # literal path->value map would grow with the manifest).
-            df = df.withColumn(
-                partition_by,
-                F.regexp_extract(
-                    F.input_file_name(),
-                    re.escape(partition_by) + "=([^/]+)",
-                    1,
-                ),
-            )
+            # as a column (url-decoded, cast to the declared type) the
+            # way basePath-discovery would. regexp over input_file_name
+            # keeps the plan O(1) in file count (a literal path->value
+            # map would grow with the manifest).
+            df = _restore_partition_col(df, partition_by, schema)
         if between:
             for col, (lo, hi) in between.items():
                 if lo is not None:
@@ -560,14 +798,24 @@ class SnapTable:
                     f"incremental read undefined across snapshot {sid} "
                     f"({snap['operation']}): rows were removed in range"
                 )
-            parent_paths = (
-                {f["path"] for f in self._load(snap["parent_id"])["files"]}
-                if snap["parent_id"]
-                else set()
-            )
-            added.extend(
-                f for f in snap["files"] if f["path"] not in parent_paths
-            )
+            psnap = self._load(snap["parent_id"]) if snap["parent_id"] else {}
+            if "manifests" in snap and "manifests" in psnap:
+                # shard-diff fast path: appends only ADD shards (parent
+                # shards are reused by reference), so the delta is the
+                # new shard files — O(delta) metadata reads
+                pshards = {m["path"] for m in psnap["manifests"]}
+                for m in snap["manifests"]:
+                    if m["path"] not in pshards:
+                        added.extend(self._load_manifest(m["path"]))
+            else:
+                parent_paths = {
+                    f["path"] for f in self._snap_files(psnap)
+                }
+                added.extend(
+                    f
+                    for f in self._snap_files(snap)
+                    if f["path"] not in parent_paths
+                )
         if schema_hint is None:  # empty range: current schema, zero rows
             sid = self.current_snapshot_id()
             if not sid:
@@ -582,13 +830,21 @@ class SnapTable:
 
     def committed_values(self, partition_by: str) -> set[str]:
         """Distinct partition values present in the current snapshot —
-        the resume set, answered from metadata without touching data."""
+        the resume set, answered from metadata without touching data.
+        On a sharded table it reads only the manifest-LIST records
+        (shards carry their partition-value sets), no shard files."""
         sid = self.current_snapshot_id()
         if not sid:
             return set()
+        snap = self._load(sid)
+        if "manifests" in snap:
+            vals: set[str] = set()
+            for m in snap["manifests"]:
+                vals.update(m.get("partitions") or [])
+            return vals
         return {
             f["partition"][partition_by]
-            for f in self._load(sid)["files"]
+            for f in snap["files"]
             if f.get("partition") and partition_by in f["partition"]
         }
 
@@ -634,29 +890,35 @@ class SnapTable:
         added = self._write_tx(
             df, partition_by, stats_cols={cluster_by} if cluster_by else None
         )
-        summary = {"compacted_to": len(added)}
-        prev = self._load(base).get("summary", {}) if base else {}
-        for k in ("committed_parts", "epochs"):  # protocol state survives
-            if k in prev:
-                summary[k] = prev[k]
+        # protocol state (committed parts, epochs) survives automatically:
+        # _commit folds the parent's protocol record forward.
         return self._commit(
-            "compact", added, lambda pf: [], df.schema.json(), summary,
-            expected_parent=base,
+            "compact", added, lambda pf: [], df.schema.json(),
+            {"compacted_to": len(added)},
+            expected_parent=base, partition_by=partition_by,
         )
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
-        """Drop old snapshot manifests and any tx dir no surviving
-        snapshot references (Iceberg's expire_snapshots + orphan-file
-        cleanup). Returns number of tx dirs deleted."""
+        """Drop old snapshot manifests, orphaned manifest SHARDS (from
+        expired snapshots or lost commit races), and any tx dir no
+        surviving snapshot references (Iceberg's expire_snapshots +
+        orphan-file cleanup). Returns number of tx dirs deleted."""
         snaps = self._snapshot_files()
         survivors = snaps[-keep_last:] if keep_last else []
         live_tx: set[str] = set()
+        live_man: set[str] = set()
         for s in survivors:
             with open(s) as fh:
-                for f in json.load(fh)["files"]:
-                    live_tx.add(f["path"].split(os.sep)[1])
+                snap = json.load(fh)
+            for m in snap.get("manifests", []):
+                live_man.add(os.path.basename(m["path"]))
+            for f in self._snap_files(snap):
+                live_tx.add(f["path"].split(os.sep)[1])
         for s in snaps[: len(snaps) - keep_last]:
             os.unlink(s)
+        for man in glob.glob(os.path.join(self.meta_dir, "man-*.json")):
+            if os.path.basename(man) not in live_man:
+                os.unlink(man)
         removed = 0
         for tx in glob.glob(os.path.join(self.data_dir, "tx-*")):
             if os.path.basename(tx) not in live_tx:

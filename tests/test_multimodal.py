@@ -99,3 +99,69 @@ def test_resize_images_without_fake_raises(spark):
     )
     with pytest.raises(Exception, match="Pillow|NotImplementedError"):
         mm.resize_images(df, deterministic_fake=False).collect()
+
+
+def _make_toy_codec():
+    """Minimal 'real' codec for the swap test: payload = b'IMG' + w + h
+    + c (one byte each). Anything else raises -> decode_ok=False.
+    Defined DYNAMICALLY (function scope) so cloudpickle ships the class
+    by value to executors — the tests directory is not on the worker
+    import path, exactly like a user-supplied codec from a notebook."""
+
+    class ToyCodec:
+        def decode(self, payload):
+            import numpy as np
+
+            if payload[:3] != b"IMG" or len(payload) < 6:
+                raise ValueError("not a toy image")
+            w, h, c = payload[3], payload[4], payload[5]
+            feats = np.resize(
+                np.frombuffer(payload, dtype=np.uint8).astype(np.float64),
+                16,
+            ) / 255.0
+            return w, h, c, feats
+
+        def resample(self, payload, target_w, target_h):
+            self.decode(payload)  # validate
+            return b"IMG" + bytes([target_w, target_h, payload[5]])
+
+    return ToyCodec()
+
+
+@pytest.fixture
+def toy_codec():
+    mm.register_codec(_make_toy_codec())
+    yield
+    mm.register_codec(None)
+
+
+def test_codec_autodetect_absent_in_container():
+    # no image lib here; the fake is the only runnable path by default
+    assert mm.available_codec() is None
+
+
+def test_registered_codec_used_without_code_edits(spark, toy_codec):
+    """Directive: the real-codec path must be swappable in without
+    editing the stages — register a codec, run decode WITHOUT the fake
+    flag, get real decodes + error-as-data for corrupt payloads."""
+    rows = [
+        (0, b"IMG" + bytes([120, 80, 3]) + b"pixels"),
+        (1, b"notanimage"),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {r.id: r for r in mm.decode_images(df).collect()}
+    assert out[0].decode_ok and (out[0].width, out[0].height, out[0].channels) == (120, 80, 3)
+    assert len(out[0].features) == mm.FEATURE_DIM
+    assert not out[1].decode_ok and out[1].features is None  # corrupt -> data
+    assert not out[2].decode_ok
+
+
+def test_registered_codec_resample(spark, toy_codec):
+    df = spark.createDataFrame(
+        [(0, b"IMG" + bytes([200, 100, 1]) + b"x")], "id long, payload binary"
+    )
+    dec = mm.decode_images(df)
+    out = mm.resize_images(dec, max_side=50).collect()[0]
+    # 200x100 fits into 50 -> 50x25; toy codec re-encodes the header
+    assert out.resized == b"IMG" + bytes([50, 25, 1])

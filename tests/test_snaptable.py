@@ -128,12 +128,13 @@ def test_overwrite_partitions_is_surgical(spark, tmp_path):
         "p",
         [1],
     )
-    got = t.read(spark, partition_by="p").collect()
+    # no partition_by needed: recorded in the manifest, restored typed
+    got = t.read(spark).collect()
     by_part = {}
     for r in got:
         by_part.setdefault(r.p, []).append(r.v)
-    assert sorted(by_part["0"]) == ["a", "b"]
-    assert sorted(by_part["1"]) == ["C2", "C3"]
+    assert sorted(by_part[0]) == ["a", "b"]
+    assert sorted(by_part[1]) == ["C2", "C3"]
     # manifest-side pruning: only partition-1 files are handed to Spark
     pruned = t.read(spark, parts=[1], partition_by="p")
     assert sorted(r.v for r in pruned.collect()) == ["C2", "C3"]
@@ -242,7 +243,7 @@ def test_compact_preserves_protocol_summary(spark, tmp_path):
     assert t.current_summary().get("committed_parts") == [0, 1]
     got = t.read(spark, partition_by="p").collect()
     assert sorted((r.p, r.v) for r in got) == sorted(
-        (str(p), f"v{p}{i}") for p in range(2) for i in range(3)
+        (p, f"v{p}{i}") for p in range(2) for i in range(3)
     )
 
 
@@ -431,3 +432,245 @@ def test_merge_commit_rejects_interleaved_writer(spark, tmp_path):
         )
     # and nothing was committed
     assert t.current_snapshot_id() == 2
+
+
+def test_merge_upsert_overflowed_keyset_uses_true_envelope(
+    spark, tmp_path, monkeypatch
+):
+    """When the incoming keyset overflows the exact-pruning limit, the
+    pruning envelope must be df's TRUE [min,max] — not the min/max of
+    the arbitrary LIMIT sample. With the sample envelope, files holding
+    keys outside the sample kept their old rows while df inserted the
+    same keys: silent duplicates."""
+    from nolock_social_ocr_services_spark.sources import snaptable as st
+
+    monkeypatch.setattr(st, "_MERGE_KEYSET_LIMIT", 4)
+    t = SnapTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 400), cluster_by="k", cluster_files=8)
+    # 10 incoming keys (> limit) spanning the whole table
+    upd = spark.createDataFrame(
+        [(k, -k) for k in range(0, 400, 40)], "k long, v long"
+    )
+    t.merge_upsert(spark, upd, key="k")
+    rows = t.read(spark).collect()
+    assert len(rows) == 400  # replaced, never duplicated
+    by_k = {}
+    for r in rows:
+        by_k.setdefault(r.k, []).append(r.v)
+    dups = {k: v for k, v in by_k.items() if len(v) > 1}
+    assert dups == {}, f"duplicate keys after merge: {dups}"
+    for k in range(0, 400, 40):
+        assert by_k[k] == [-k]
+
+
+def test_merge_upsert_partitioned_table_keeps_partition_values(
+    spark, tmp_path
+):
+    """Copy-on-write MERGE on a PARTITIONED table: survivors in rewritten
+    files must keep their partition values (restored from the path
+    before the anti-join), and stay visible to committed_values /
+    partition-pruned reads afterwards."""
+    t = SnapTable(str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [(k, k % 3, k * 10) for k in range(30)], "k long, p int, v long"
+    )
+    t.append(base, partition_by="p")
+    upd = spark.createDataFrame([(7, 1, -7), (99, 0, -99)], "k long, p int, v long")
+    t.merge_upsert(spark, upd, key="k", partition_by="p")
+    assert t.committed_values("p") == {"0", "1", "2"}
+    rows = {r.k: (r.p, r.v) for r in t.read(spark).collect()}
+    assert len(rows) == 31
+    assert rows[7] == (1, -7) and rows[99] == (0, -99)
+    # survivors keep their true partition, not NULL / default
+    assert rows[8] == (2, 80) and rows[0] == (0, 0)
+    assert t.read(spark, parts=[2]).count() == 10
+    # a later partition overwrite still sees (and replaces) survivors
+    t.overwrite_partitions(
+        spark.createDataFrame([(1000, 2, 1)], "k long, p int, v long"),
+        "p",
+        [2],
+    )
+    assert t.read(spark, parts=[2]).count() == 1
+    assert t.read(spark).count() == 22
+
+
+def test_read_restores_recorded_partition_column_typed(spark, tmp_path):
+    """partition_by is recorded in the manifest at write time: a plain
+    read() restores the column (no caller re-spec) cast to its DECLARED
+    type — an int partition reads back as int, not path string."""
+    t = SnapTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(1, 0, "a"), (2, 1, "b")], "k long, p int, v string"),
+        partition_by="p",
+    )
+    df = t.read(spark)
+    assert dict(df.dtypes)["p"] == "int"
+    assert {(r.k, r.p) for r in df.collect()} == {(1, 0), (2, 1)}
+
+
+def test_protocol_state_survives_interleaved_commits(spark, tmp_path):
+    """Job-protocol state (committed_parts, epochs) is folded forward by
+    EVERY commit: a plain append by another job, a merge, and a compact
+    must not erase it — previously only compact re-threaded a hardcoded
+    key allowlist, so any other interleaved commit silently reset the
+    resume/dedup record."""
+    t = SnapTable(str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [(k, k % 2, k) for k in range(10)], "k long, p int, v long"
+    )
+    t.overwrite_partitions(
+        base, "p", [0, 1], extra_summary={"committed_parts": [0, 1]}
+    )
+    # interloper 1: a plain append (e.g. a backfill job)
+    t.append(spark.createDataFrame([(100, 0, 100)], "k long, p int, v long"))
+    assert t.current_summary().get("committed_parts") == [0, 1]
+    # interloper 2: compaction with NO knowledge of the protocol keys
+    t.compact(spark, target_files=1)
+    assert t.current_summary().get("committed_parts") == [0, 1]
+    # interloper 3: a merge
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame([(5, 1, -5)], "k long, p int, v long"),
+        key="k",
+    )
+    assert t.current_summary().get("committed_parts") == [0, 1]
+
+
+def test_footer_stats_drop_partially_covered_columns(tmp_path):
+    """A column whose stats are unusable in SOME row groups must record
+    NO bounds at all: bounds from the readable row groups alone cover
+    part of the file, and pruning on them could skip matching rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nolock_social_ocr_services_spark.sources.snaptable import (
+        _footer_stats,
+    )
+
+    path = str(tmp_path / "f.parquet")
+    schema = pa.schema([("b", pa.binary()), ("k", pa.int64())])
+    with pq.ParquetWriter(path, schema) as w:
+        # row group 1: utf8-decodable binary stats
+        w.write_table(pa.table({"b": [b"aa", b"bb"], "k": [1, 2]}, schema=schema))
+        # row group 2: undecodable binary stats (decode fails -> uncovered)
+        w.write_table(pa.table({"b": [b"\xff\xfe"], "k": [3]}, schema=schema))
+    stats = _footer_stats(path, {"b", "k"})
+    assert "b" not in stats        # partial coverage -> no bounds
+    assert stats["k"] == [1, 3]    # fully covered column keeps bounds
+
+
+@pytest.fixture
+def tiny_shards(monkeypatch):
+    """Force sharded manifests at toy scale."""
+    from nolock_social_ocr_services_spark.sources import snaptable as st
+
+    monkeypatch.setattr(st, "_MANIFEST_INLINE_LIMIT", 2)
+    monkeypatch.setattr(st, "_MANIFEST_SHARD_ROWS", 2)
+    return st
+
+
+def test_sharded_manifests_roundtrip_and_append_reuse(
+    spark, tmp_path, tiny_shards
+):
+    """Above the inline limit the file list splits into manifest shards;
+    reads see every row, and a subsequent append REUSES the parent's
+    shard files by reference (commit cost O(new files))."""
+    t = SnapTable(str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [(k, k % 3, k * 10) for k in range(30)], "k long, p int, v long"
+    )
+    t.append(base, partition_by="p")
+    snap1 = t._load(1)
+    assert "manifests" in snap1 and "files" not in snap1
+    assert sum(m["n_files"] for m in snap1["manifests"]) == len(
+        t._snap_files(snap1)
+    )
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(30))
+    t.append(
+        spark.createDataFrame([(100, 0, 1)], "k long, p int, v long"),
+        partition_by="p",
+    )
+    snap2 = t._load(2)
+    s1_paths = {m["path"] for m in snap1["manifests"]}
+    s2_paths = {m["path"] for m in snap2["manifests"]}
+    assert s1_paths < s2_paths  # parent shards reused verbatim
+    assert t.read(spark).count() == 31
+    # snapshots()/committed_values answer from shard metadata
+    assert t.snapshots()[-1]["n_files"] == len(t._snap_files(snap2))
+    assert t.committed_values("p") == {"0", "1", "2"}
+
+
+def test_sharded_partition_scan_opens_only_touched_shards(
+    spark, tmp_path, tiny_shards, monkeypatch
+):
+    """Manifest-level partition pruning: read(parts=[1]) must open ONLY
+    the shard files whose recorded partition values match."""
+    t = SnapTable(str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [(k, k % 3, k * 10) for k in range(30)], "k long, p int, v long"
+    )
+    t.append(base, partition_by="p")
+    opened = []
+    orig = SnapTable._load_manifest
+
+    def spy(self, rel_path):
+        opened.append(rel_path)
+        return orig(self, rel_path)
+
+    monkeypatch.setattr(SnapTable, "_load_manifest", spy)
+    got = t.read(spark, parts=[1])
+    assert sorted(r.k for r in got.collect()) == [
+        k for k in range(30) if k % 3 == 1
+    ]
+    snap = t._load(1)
+    matching = {
+        m["path"] for m in snap["manifests"] if "1" in (m["partitions"] or [])
+    }
+    assert set(opened) == matching
+    assert len(opened) < len(snap["manifests"])
+
+
+def test_sharded_between_scan_skips_shards_by_envelope(
+    spark, tmp_path, tiny_shards, monkeypatch
+):
+    """Manifest-level range pruning: a between= read on a CLUSTERED
+    sharded table opens only shards whose stat envelope overlaps."""
+    t = SnapTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 400), cluster_by="k", cluster_files=8)
+    snap = t._load(1)
+    assert "manifests" in snap
+    opened = []
+    orig = SnapTable._load_manifest
+
+    def spy(self, rel_path):
+        opened.append(rel_path)
+        return orig(self, rel_path)
+
+    monkeypatch.setattr(SnapTable, "_load_manifest", spy)
+    got = t.read(spark, between={"k": (100, 120)})
+    assert sorted(r.k for r in got.collect()) == list(range(100, 121))
+    assert 0 < len(set(opened)) < len(snap["manifests"])
+
+
+def test_sharded_expire_drops_orphan_shards(spark, tmp_path, tiny_shards):
+    import glob as g
+
+    t = SnapTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10))          # sharded (limit=2, >2 files?) 
+    t.overwrite(_df(spark, 100, 110))    # parent shards become garbage
+    all_man = lambda: len(  # noqa: E731
+        g.glob(os.path.join(t.meta_dir, "man-*.json"))
+    )
+    before = all_man()
+    t.expire_snapshots(keep_last=1)
+    live = t._load(t.current_snapshot_id()).get("manifests", [])
+    assert all_man() == len(live) <= before
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(100, 110))
+
+
+def test_sharded_incremental_read_diffs_shards(spark, tmp_path, tiny_shards):
+    t = SnapTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10))
+    t.append(_df(spark, 10, 15))
+    inc = t.read_incremental(spark, from_snapshot_id=1)
+    assert sorted(r.k for r in inc.collect()) == list(range(10, 15))

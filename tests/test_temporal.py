@@ -86,3 +86,71 @@ def test_session_stats(spark):
     assert rows[(7, 0)] == (2, _ts(0), _ts(2))
     assert rows[(7, 1)] == (1, _ts(40), _ts(40))
     assert rows[(8, 0)] == (1, _ts(0), _ts(0))
+
+
+def test_salted_as_of_join_matches_base_on_skewed_keys(spark):
+    """as_of_join_salted must be output-identical to as_of_join on a
+    pathologically skewed input (one user owns ~95% of rows) — the
+    carry path (matches crossing bucket boundaries), ties, and
+    unmatched-left NULLs all exercised."""
+    n = 2000
+    left = spark.range(n).select(
+        # 95% of rows on user 0 -> one hot window key in the base form
+        F.when(F.col("id") % 20 < 19, 0).otherwise(F.col("id") % 7).alias("user_id"),
+        F.col("id").alias("event_id"),
+        # one event every ~97s -> spans many 3600s buckets
+        F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, id*97)").alias("ts"),
+    )
+    right = spark.range(0, n, 3).select(
+        F.when(F.col("id") % 20 < 19, 0).otherwise(F.col("id") % 7).alias("user_id"),
+        F.col("id").alias("view_id"),
+        F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, id*101)").alias("ts"),
+        (F.col("id") * 2).cast("double").alias("value"),
+    )
+    kw = dict(on="user_id", ts="ts", right_cols=("value", "view_id"), tie_col="view_id")
+    base = temporal.as_of_join(left, right, **kw)
+    salted = temporal.as_of_join_salted(
+        left, right, bucket_width_seconds=3600, **kw
+    )
+    key = lambda r: (r.user_id, r.event_id)  # noqa: E731
+    b = {key(r): (r.matched_ts, r.matched_view_id, r.matched_value) for r in base.collect()}
+    s = {key(r): (r.matched_ts, r.matched_view_id, r.matched_value) for r in salted.collect()}
+    assert s == b
+
+    # skew evidence: the base form serializes the hot user in ONE window
+    # partition (~1900 rows); the salted form's largest single window
+    # partition (the task-serialized unit) is a small fraction of that.
+    bucket = F.floor(F.unix_timestamp("ts") / F.lit(3600))
+    sizes = (
+        left.unionByName(
+            right.select("user_id", F.col("view_id").alias("event_id"), "ts"),
+            allowMissingColumns=False,
+        )
+        .groupBy("user_id", bucket.alias("b"))
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .first()
+    )
+    hot_total = left.filter(F.col("user_id") == 0).count() + right.filter(
+        F.col("user_id") == 0
+    ).count()
+    assert sizes.mx < hot_total / 10
+
+
+def test_salted_as_of_join_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _ts(0)), (1, 2, dt.datetime(2024, 1, 1, 2, 0, 0))],
+        "user_id long, event_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(0), 5.0)], "user_id long, ts timestamp, value double"
+    )
+    out = {
+        r.event_id: r.matched_value
+        for r in temporal.as_of_join_salted(
+            left, right, on="user_id", ts="ts", right_cols=("value",),
+            tolerance_seconds=600, bucket_width_seconds=3600,
+        ).collect()
+    }
+    assert out[1] == 5.0
+    assert out[2] is None  # match exists but is older than tolerance
