@@ -102,6 +102,90 @@ def _spin(counter, seconds=3.0):
         counter.value += 100000
 
 
+CANARY_SRC = r"""
+import multiprocessing as mp
+import sys, time
+import numpy as np
+
+out_path = sys.argv[1]
+
+def spin(v):
+    x = 0
+    while True:
+        for _ in range(100000):
+            x += 1
+        with v.get_lock():
+            v.value += 100000
+
+def stream(v):
+    # 64 MiB PREALLOCATED copy per iteration: far beyond LLC, so the
+    # rate tracks the MACHINE's memory bandwidth headroom — the
+    # starvation mode invisible to CPU steal (scheduling-only) and to
+    # cache-resident spin probes. Own PROCESS (not thread): sharing a
+    # GIL with the spin loop starves this side and measures Python, not
+    # the host. copyto into a pre-touched buffer, NOT a.copy(): fresh
+    # 64 MiB allocations pay this VM's pathological mmap/page-zeroing
+    # cost (~2 s/copy measured) and would measure the kernel allocator,
+    # not bandwidth (copyto: 15 GB/s on the same host, same moment).
+    a = np.zeros(8 * 1024 * 1024, dtype=np.float64)
+    b = np.empty_like(a)
+    np.copyto(b, a)  # pre-touch
+    while True:
+        np.copyto(b, a)
+        with v.get_lock():
+            v.value += 1
+
+spin_v = mp.Value("l", 0)
+mem_v = mp.Value("l", 0)
+mp.Process(target=spin, args=(spin_v,), daemon=True).start()
+mp.Process(target=stream, args=(mem_v,), daemon=True).start()
+with open(out_path, "w", buffering=1) as fh:
+    while True:
+        time.sleep(0.5)
+        fh.write(f"{time.monotonic()} {spin_v.value} {mem_v.value}\n")
+"""
+
+
+def start_canary(out_path: str, total_cores: int) -> subprocess.Popen:
+    """In-pass canary (recorded, NON-GATING under protocol v3): one spin
+    thread + one memory-stream thread pinned to the two HIGHEST cores —
+    outside both task sets (lo uses 0..N-1, hi uses 0..4N-1, both < the
+    canary cores on this 32-vCPU host) — sampling host work-rate DURING
+    every pass. Catches the third starvation mode (memory-bandwidth
+    contention: passes 3x slow with steal <= 0.15 and healthy 2 s spin
+    probes, observed run 2026-08-17T20:01). Recorded per pass in
+    runs.jsonl; becomes gating criterion (d) of protocol v4 iff the
+    recorded data shows pairs passing v3 while the canary collapses."""
+    cores = f"{total_cores - 2},{total_cores - 1}"
+    return subprocess.Popen(
+        ["taskset", "-c", cores, sys.executable, "-c", CANARY_SRC, out_path],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+
+
+def canary_rates(out_path: str, t0: float, t1: float) -> tuple | None:
+    """(spin M/s, mem copies/s) inside the window [t0, t1], from the
+    cumulative counters the canary logs every 0.5 s."""
+    try:
+        with open(out_path) as fh:
+            samples = [
+                tuple(float(x) for x in line.split()) for line in fh
+            ]
+    except OSError:
+        return None
+    inside = [s for s in samples if t0 <= s[0] <= t1]
+    if len(inside) < 2:
+        return None
+    (ta, sa, ma), (tb, sb, mb) = inside[0], inside[-1]
+    if tb <= ta:
+        return None
+    return (
+        round((sb - sa) / (tb - ta) / 1e6, 1),
+        round((mb - ma) / (tb - ta), 1),
+    )
+
+
 def probe_supply(procs: int, seconds: float = 2.0) -> float:
     """Instantaneous host CPU supply (M incr/s) at `procs` spin
     processes — an independent probe of whether the hypervisor is
@@ -192,9 +276,15 @@ def main() -> None:
         lo_times, hi_times, pair_eff = [], [], []
 
         lo_steal, hi_steal = [], []
+        windows: list[tuple] = []  # (cores, i, t_start, t_end) per pass
+        canary_path = os.path.join(sync_dir, "canary.log")
+        canary_proc = start_canary(
+            canary_path, multiprocessing.cpu_count()
+        )
 
         def run_pass(cores: int, i: int, steal_log: list) -> float:
             s0 = _steal_ticks()
+            w0 = time.monotonic()
             open(os.path.join(sync_dir, f"turn_{cores}_{i}"), "w").close()
             sec = _read_sec(os.path.join(sync_dir, f"done_{cores}_{i}"))
             # cores the hypervisor withheld machine-wide during the pass,
@@ -204,6 +294,7 @@ def main() -> None:
             steal_log.append(
                 round((_steal_ticks() - s0) / _CLK / sec / cores, 3)
             )
+            windows.append((cores, i, w0, time.monotonic()))
             return round(sec, 2)
 
         # strictly serialized sandwich: N_0, 4N_0, N_1, 4N_1, ..., N_pairs
@@ -228,6 +319,20 @@ def main() -> None:
         for p in (lo_proc, hi_proc):
             if p.poll() is None:
                 p.kill()
+        canary_proc.kill()
+
+    # per-pass canary rates (recorded, NON-GATING under v3): in-pass
+    # host work-rate on cores outside both task sets
+    lo_canary = [
+        canary_rates(canary_path, w[2], w[3])
+        for w in windows
+        if w[0] == lo_cores
+    ]
+    hi_canary = [
+        canary_rates(canary_path, w[2], w[3])
+        for w in windows
+        if w[0] == hi_cores
+    ]
 
     sys.path.insert(0, REPO)
     import duckdb
@@ -333,6 +438,18 @@ the efficiency by slowing the denominator side. All criteria are fixed
 in advance and independent of the measured 4N job time; every pair is
 shown.
 
+Additionally recorded (NON-GATING under v3): an in-pass CANARY — one
+CPU-spin thread + one 64 MiB memory-stream thread pinned to the two
+highest cores, OUTSIDE both task sets — logs host work-rate during
+every pass (runs.jsonl `lo_canary`/`hi_canary`, (spin M/s, mem
+copies/s)). This instruments the third starvation mode (host memory-
+bandwidth contention: passes 3x slow with steal <= 0.15 and healthy
+spin probes, observed 2026-08-17T20:01) that steal accounting and
+point probes cannot see. Pre-registration: if recorded data shows
+pairs passing all v3 criteria while the canary's mem rate collapses
+below 70% of the run's best during a pass, protocol v4 adds that as
+gating criterion (d) with the 70% threshold fixed here, in advance.
+
 | pair | t_N before (s) | steal@N | t_4N={hi_cores}c (s) | steal@4N | t_N after (s) | steal@N' | probes N/4N/N' (M/s) | efficiency | valid |
 |---|---|---|---|---|---|---|---|---|---|
 """ + "\n".join(
@@ -371,6 +488,10 @@ single host, {time.strftime('%Y-%m-%d')}.
             "lo_supply_probes": lo_supply,
             "lo_steal": lo_steal, "hi_steal": hi_steal,
             "lo_times": lo_times, "hi_times": hi_times,
+            # in-pass canary (spin M/s, mem copies/s) per pass — the
+            # memory-bandwidth-starvation instrument; recorded under v3
+            # so a future v4 gate is justified by data, not suspicion
+            "lo_canary": lo_canary, "hi_canary": hi_canary,
         }) + "\n")
 
     # Pool runs by protocol generation; the headline is the median over
