@@ -190,3 +190,23 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path_factory):
     )[1][:120]
     # count matches the unpartitioned source
     assert back.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_length_curriculum_has_no_global_sort_ntile(spark, sf_dir):
+    """The registered curriculum query must be the boundary-bin form:
+    no ntile over a global ordering of the corpus (the documented
+    scale-killer, kept only as the length_curriculum_ntile baseline).
+    Its window runs over the VALUE HISTOGRAM — i.e. above a hash
+    aggregate, never directly over the scan."""
+    from nolock_social_ocr_services_spark.queries import q_length_curriculum
+
+    q = q_length_curriculum(spark, sf_dir)
+    plan = explain_str(q)
+    assert "ntile" not in plan
+    assert scan_count(q) == 1
+    # the single-partition window section must sit ABOVE the histogram
+    # aggregate (plans print root-first): an aggregate appears after
+    # the last Window line, proving the window input is pre-aggregated
+    assert "Window" in plan and "HashAggregate" in plan
+    after_window = plan[plan.rindex("Window"):]
+    assert "HashAggregate" in after_window
