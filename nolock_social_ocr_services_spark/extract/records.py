@@ -130,47 +130,83 @@ def _field(text: Column, label: str) -> Column:
     )
 
 
-def parse_receipt(text: Column) -> Column:
-    """Receipt struct from markdown text; NULL unless required fields
-    (merchant, date, total — the 'simple schema' contract) all parse."""
-    merchant = _field(text, "Merchant")
-    date = _field(text, "Date")
-    # try_cast everywhere a parsed string becomes a number: under ANSI
-    # (Spark 4 default) a plain cast THROWS on malformed text and one bad
-    # row aborts the job; try_cast -> NULL -> the required-field gate
-    # marks the record unparsed instead (errors stay data, ST6).
-    total = _field(text, "Total").try_cast(MONEY)
-    struct = F.struct(
-        merchant.alias("merchant_name"),
-        date.alias("receipt_date"),
-        total.alias("total_amount"),
-        _field(text, "Tax").try_cast(MONEY).alias("tax_amount"),
-        F.nullif(
+def _receipt_fields(text: Column) -> dict[str, Column]:
+    """Every raw field either receipt schema consumes, extracted once.
+
+    try_cast everywhere a parsed string becomes a number: under ANSI
+    (Spark 4 default) a plain cast THROWS on malformed text and one bad
+    row aborts the job; try_cast -> NULL -> the required-field gate
+    marks the record unparsed instead (errors stay data, ST6).
+    """
+    return {
+        "merchant": _field(text, "Merchant"),
+        "date": _field(text, "Date"),
+        "total": _field(text, "Total").try_cast(MONEY),
+        "tax": _field(text, "Tax").try_cast(MONEY),
+        "payment": F.nullif(
             F.regexp_extract(text, r"(?m)^Payment:\s*(cash|card|check)\s*$", 1),
             F.lit(""),
-        ).alias("payment_method"),
-        _field(text, "Items").try_cast("int").alias("items_count"),
+        ),
+        "items_count": _field(text, "Items").try_cast("int"),
+        "address": _field(text, "Address"),
+        "phone": _field(text, "Phone"),
+        "subtotal": _field(text, "Subtotal").try_cast(MONEY),
+        "items": parse_items(text),
+    }
+
+
+def _check_fields(text: Column) -> dict[str, Column]:
+    """Every raw field either check schema consumes, extracted once."""
+    return {
+        "number": _field(text, "Check Number"),
+        "date": _field(text, "Date"),
+        "payee": _field(text, "Payee"),
+        "amount": _field(text, "Amount").try_cast(MONEY),
+        "bank": _field(text, "Bank"),
+        "signed": _field(text, "Signed"),
+        "routing": _field(text, "Routing"),
+        "account": _field(text, "Account"),
+        "acct_type": _field(text, "Account Type"),
+        "memo": _field(text, "Memo"),
+    }
+
+
+def _receipt_simple_from(f: dict[str, Column]) -> Column:
+    struct = F.struct(
+        f["merchant"].alias("merchant_name"),
+        f["date"].alias("receipt_date"),
+        f["total"].alias("total_amount"),
+        f["tax"].alias("tax_amount"),
+        f["payment"].alias("payment_method"),
+        f["items_count"].alias("items_count"),
     )
-    ok = merchant.isNotNull() & date.isNotNull() & total.isNotNull()
+    ok = f["merchant"].isNotNull() & f["date"].isNotNull() & f["total"].isNotNull()
     return F.when(ok, struct).otherwise(F.lit(None).cast(SIMPLE_RECEIPT_SCHEMA))
 
 
-def parse_check(text: Column) -> Column:
-    number = _field(text, "Check Number")
-    payee = _field(text, "Payee")
-    amount = _field(text, "Amount").try_cast(MONEY)
+def _check_simple_from(f: dict[str, Column]) -> Column:
     struct = F.struct(
-        number.alias("check_number"),
-        _field(text, "Date").alias("check_date"),
-        payee.alias("payee"),
-        amount.alias("amount"),
-        _field(text, "Bank").alias("bank_name"),
-        F.when(_field(text, "Signed").isNull(), F.lit(None).cast("boolean"))
-        .otherwise(_field(text, "Signed") == "yes")
+        f["number"].alias("check_number"),
+        f["date"].alias("check_date"),
+        f["payee"].alias("payee"),
+        f["amount"].alias("amount"),
+        f["bank"].alias("bank_name"),
+        F.when(f["signed"].isNull(), F.lit(None).cast("boolean"))
+        .otherwise(f["signed"] == "yes")
         .alias("is_signed"),
     )
-    ok = number.isNotNull() & payee.isNotNull() & amount.isNotNull()
+    ok = f["number"].isNotNull() & f["payee"].isNotNull() & f["amount"].isNotNull()
     return F.when(ok, struct).otherwise(F.lit(None).cast(SIMPLE_CHECK_SCHEMA))
+
+
+def parse_receipt(text: Column) -> Column:
+    """Receipt struct from markdown text; NULL unless required fields
+    (merchant, date, total — the 'simple schema' contract) all parse."""
+    return _receipt_simple_from(_receipt_fields(text))
+
+
+def parse_check(text: Column) -> Column:
+    return _check_simple_from(_check_fields(text))
 
 
 _ITEM_LINE_RE = r"(?m)^Item \d+: (I-[0-9a-f]{4} x\d+ @ \d+\.\d{2} = \d+\.\d{2})$"
@@ -197,91 +233,89 @@ def parse_items(text: Column) -> Column:
     )
 
 
-def parse_receipt_full(text: Column) -> Column:
-    """Full Receipt struct (ReceiptModels.cs:408-445): merchant contact
-    block, totals (subtotal/tax/total), line items, computed warnings.
-    NULL unless the full-block fields (address, subtotal, >=1 item) parse
-    — the rows where they don't are exactly the full->simple fallback
-    rows (OcrExtractionService.cs:51-56)."""
-    merchant = _field(text, "Merchant")
-    date = _field(text, "Date")
-    total = _field(text, "Total").try_cast(MONEY)
-    tax = _field(text, "Tax").try_cast(MONEY)
-    address = _field(text, "Address")
-    phone = _field(text, "Phone")
-    subtotal = _field(text, "Subtotal").try_cast(MONEY)
-    items = parse_items(text)
+def _receipt_full_from(f: dict[str, Column]) -> Column:
     # totals-consistency warning (the reference surfaces validation
     # warnings on the model, ReceiptModels.cs:441-445): integer-cents
     # comparison, exact in both engines.
+    items = f["items"]
     items_cents = F.aggregate(
         items,
         F.lit(0).cast("long"),
         lambda acc, it: acc + (it["total_price"] * 100).cast("long"),
     )
     warnings = F.when(
-        items_cents != (subtotal * 100).cast("long"),
+        items_cents != (f["subtotal"] * 100).cast("long"),
         F.array(F.lit("ITEMS_TOTAL_MISMATCH")),
     ).otherwise(F.array().cast("array<string>"))
     struct = F.struct(
         F.struct(
-            merchant.alias("name"), address.alias("address"), phone.alias("phone")
+            f["merchant"].alias("name"),
+            f["address"].alias("address"),
+            f["phone"].alias("phone"),
         ).alias("merchant"),
-        date.alias("receipt_date"),
+        f["date"].alias("receipt_date"),
         F.struct(
-            subtotal.alias("subtotal"), tax.alias("tax"), total.alias("total")
+            f["subtotal"].alias("subtotal"),
+            f["tax"].alias("tax"),
+            f["total"].alias("total"),
         ).alias("totals"),
-        F.nullif(
-            F.regexp_extract(text, r"(?m)^Payment:\s*(cash|card|check)\s*$", 1),
-            F.lit(""),
-        ).alias("payment_method"),
+        f["payment"].alias("payment_method"),
         items.alias("items"),
-        _field(text, "Items").try_cast("int").alias("items_count"),
+        f["items_count"].alias("items_count"),
         warnings.alias("warnings"),
     )
     ok = (
-        merchant.isNotNull()
-        & date.isNotNull()
-        & total.isNotNull()
-        & address.isNotNull()
-        & subtotal.isNotNull()
+        f["merchant"].isNotNull()
+        & f["date"].isNotNull()
+        & f["total"].isNotNull()
+        & f["address"].isNotNull()
+        & f["subtotal"].isNotNull()
         & (F.size(items) >= 1)
     )
     return F.when(ok, struct).otherwise(F.lit(None).cast(FULL_RECEIPT_SCHEMA))
+
+
+def _check_full_from(f: dict[str, Column]) -> Column:
+    struct = F.struct(
+        f["number"].alias("check_number"),
+        f["date"].alias("check_date"),
+        f["payee"].alias("payee"),
+        f["amount"].alias("amount"),
+        f["bank"].alias("bank_name"),
+        f["routing"].alias("routing_number"),
+        f["account"].alias("account_number"),
+        F.when(f["acct_type"].isin(*ACCOUNT_TYPE_DOMAIN), f["acct_type"]).alias(
+            "account_type"
+        ),
+        f["memo"].alias("memo"),
+        F.when(f["signed"].isNull(), F.lit(None).cast("boolean"))
+        .otherwise(f["signed"] == "yes")
+        .alias("is_signed"),
+    )
+    ok = (
+        f["number"].isNotNull()
+        & f["payee"].isNotNull()
+        & f["amount"].isNotNull()
+        & f["routing"].isNotNull()
+        & f["account"].isNotNull()
+    )
+    return F.when(ok, struct).otherwise(F.lit(None).cast(FULL_CHECK_SCHEMA))
+
+
+def parse_receipt_full(text: Column) -> Column:
+    """Full Receipt struct (ReceiptModels.cs:408-445): merchant contact
+    block, totals (subtotal/tax/total), line items, computed warnings.
+    NULL unless the full-block fields (address, subtotal, >=1 item) parse
+    — the rows where they don't are exactly the full->simple fallback
+    rows (OcrExtractionService.cs:51-56)."""
+    return _receipt_full_from(_receipt_fields(text))
 
 
 def parse_check_full(text: Column) -> Column:
     """Full Check struct (CheckModels.cs:85-162): bank routing/account
     block + memo; ``account_type`` is domain-validated (out-of-domain
     values -> NULL, quarantined by the enum battery)."""
-    number = _field(text, "Check Number")
-    payee = _field(text, "Payee")
-    amount = _field(text, "Amount").try_cast(MONEY)
-    routing = _field(text, "Routing")
-    account = _field(text, "Account")
-    acct_raw = _field(text, "Account Type")
-    struct = F.struct(
-        number.alias("check_number"),
-        _field(text, "Date").alias("check_date"),
-        payee.alias("payee"),
-        amount.alias("amount"),
-        _field(text, "Bank").alias("bank_name"),
-        routing.alias("routing_number"),
-        account.alias("account_number"),
-        F.when(acct_raw.isin(*ACCOUNT_TYPE_DOMAIN), acct_raw).alias("account_type"),
-        _field(text, "Memo").alias("memo"),
-        F.when(_field(text, "Signed").isNull(), F.lit(None).cast("boolean"))
-        .otherwise(_field(text, "Signed") == "yes")
-        .alias("is_signed"),
-    )
-    ok = (
-        number.isNotNull()
-        & payee.isNotNull()
-        & amount.isNotNull()
-        & routing.isNotNull()
-        & account.isNotNull()
-    )
-    return F.when(ok, struct).otherwise(F.lit(None).cast(FULL_CHECK_SCHEMA))
+    return _check_full_from(_check_fields(text))
 
 
 def route_and_extract(
@@ -320,24 +354,29 @@ def route_and_extract(
     is_media = kind.isin("image", "pdf")
     empty_text = is_media & (F.coalesce(F.trim(F.col(text_col)), F.lit("")) == "")
 
-    receipt = F.when(
-        mime.startswith("image/") & ~empty_text, parse_receipt(text)
-    ).otherwise(F.lit(None).cast(SIMPLE_RECEIPT_SCHEMA))
-    check = F.when(
-        (mime == "application/pdf") & ~empty_text, parse_check(text)
-    ).otherwise(F.lit(None).cast(SIMPLE_CHECK_SCHEMA))
-    receipt_full = F.when(
-        mime.startswith("image/") & ~empty_text, parse_receipt_full(text)
-    ).otherwise(F.lit(None).cast(FULL_RECEIPT_SCHEMA))
-    check_full = F.when(
-        (mime == "application/pdf") & ~empty_text, parse_check_full(text)
-    ).otherwise(F.lit(None).cast(FULL_CHECK_SCHEMA))
+    # Materialize every RAW FIELD once, masked to NULL off its route (the
+    # simple and full parsers share most fields; inlining both parses ran
+    # each shared regexp_extract twice per media row, 'Signed' four
+    # times). Masked hidden columns keep the lazy when() guard — text/html
+    # rows run zero extraction regexes — while the simple/full structs and
+    # their ok-gates below read the same materialized column. A masked-off
+    # row yields all-NULL fields, fails every required-field gate, and
+    # produces the same NULL struct the outer when() used to.
+    rfields = _receipt_fields(text)
+    cfields = _check_fields(text)
+    is_receipt_row = mime.startswith("image/") & ~empty_text
+    is_check_row = (mime == "application/pdf") & ~empty_text
+    hidden = {f"__rf_{k}": F.when(is_receipt_row, v) for k, v in rfields.items()}
+    hidden |= {f"__cf_{k}": F.when(is_check_row, v) for k, v in cfields.items()}
+    df = df.withColumns(hidden)
+    rf = {k: F.col(f"__rf_{k}") for k in rfields}
+    cf = {k: F.col(f"__cf_{k}") for k in cfields}
 
     out = (
-        df.withColumn("receipt", receipt)
-        .withColumn("check", check)
-        .withColumn("receipt_full", receipt_full)
-        .withColumn("check_full", check_full)
+        df.withColumn("receipt", _receipt_simple_from(rf))
+        .withColumn("check", _check_simple_from(cf))
+        .withColumn("receipt_full", _receipt_full_from(rf))
+        .withColumn("check_full", _check_full_from(cf))
         .withColumn(
             "schema_used",
             F.when(
@@ -366,4 +405,4 @@ def route_and_extract(
                 F.lit(None).cast("double")
             )
         ),
-    ).drop(_clean)
+    ).drop(_clean, *hidden)
