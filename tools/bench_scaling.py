@@ -315,7 +315,11 @@ def main() -> None:
     # (~0.5 s job scheduling in a warm session) inflates the 4N time
     # relatively more, so shorter passes BIAS THE MEASURED EFFICIENCY
     # DOWN (~2-3% at these durations) — conservative, never flattering.
-    replicate = int(os.environ.get("SPARK_GRAFT_SCALE", "150"))
+    # x300 from run 11: the OCR-stage rewrite (commit 8ab3035) doubled
+    # docs/sec, so x300 restores the same ~50 s N / ~15 s 4N pass
+    # lengths the gates were calibrated on. Duration knob only — job,
+    # metric, and validity criteria unchanged.
+    replicate = int(os.environ.get("SPARK_GRAFT_SCALE", "300"))
     lo_cores = int(os.environ.get("SCALING_N", "4"))
     hi_cores = lo_cores * 4
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -554,6 +558,14 @@ scheduling) inflates the 4N time relatively more, biasing measured
 efficiency DOWN ~2-3% — conservative, never flattering. v4.1 keeps
 both.
 
+From run 11 (2026-08-18, post-commit 8ab3035) the default corpus is
+x300: the OCR-stage rewrite roughly doubled docs/sec, and x300
+restores the pre-registered ~50 s N / ~15 s 4N pass lengths the
+validity gates were calibrated on. Corpus size tunes pass DURATION
+only; the job, the metric, and the validity criteria (a bracket /
+b probes / c steal) are unchanged, so runs pool in the same v3+
+family, and each run now records the code rev it measured.
+
 | pair | t_N before (s) | steal@N | t_4N={hi_cores}c (s) | steal@4N | t_N after (s) | steal@N' | probes N/4N/N' (M/s) | canary spin N/4N/N' (M/s) | canary mem N/4N/N' (copies/s) | efficiency | valid |
 |---|---|---|---|---|---|---|---|---|---|---|---|
 """ + "\n".join(
@@ -591,6 +603,10 @@ single host, {time.strftime('%Y-%m-%d')}.
         f.write(json.dumps({
             "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
             "protocol": "v4.1-canary-recorded",
+            "rev": subprocess.run(
+                ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True,
+            ).stdout.strip(),
             "replicate": replicate, "n_docs": n_docs,
             "canary_ok_lo": ok_can_lo, "canary_ok_hi": ok_can_hi,
             "median_efficiency": med_eff, "pair_eff": pair_eff,
