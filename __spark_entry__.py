@@ -400,6 +400,9 @@ def _q_union_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   families each keep a checked representative.
 _REDUNDANT_TAIL = (
     # demoted r3 (all r2-driver-green; family rep stays checked)
+    "value_quantiles",  # approx-quantile boundaries now exercised by the
+    # head length_curriculum (boundary-bin path); slot goes to the new
+    # kmeans_clusters iterative-trainer query
     "users_except",
     "event_rollup",
     "kmv_by_lang",

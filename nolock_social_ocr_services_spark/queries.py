@@ -1967,6 +1967,71 @@ def _sql_main_content() -> str:
     """
 
 
+# -- distributed k-means training loop (iterative, unrolled SQL oracle) -------
+#
+# The one algorithm class the registry lacked a HASH-checked row for:
+# an iterative, driver-coordinated training loop. kmeans_assignments
+# rounds every updated centroid to 6 decimals (see functions/
+# clustering.py for why that makes the loop cross-engine deterministic),
+# so the oracle can UNROLL the same two Lloyd iterations as a CTE chain
+# and match bit-for-bit on the integer (vec_id, cluster) output.
+
+_KM_K = 4
+_KM_ITERS = 2
+_KM_DIM = 64
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    from nolock_social_ocr_services_spark.functions import clustering
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return clustering.kmeans_assignments(emb, k=_KM_K, iters=_KM_ITERS)
+
+
+def _km_iter_sql(n: int, prev: str) -> str:
+    """One unrolled Lloyd round: assign under `prev`, mean-update, keep
+    the previous centroid for any emptied cluster (COALESCE)."""
+    return f"""
+a{n} AS (
+  SELECT v.vec_id, {prev}.cid,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY list_distance(v.v, {prev}.c),
+                                     {prev}.cid) AS rn
+  FROM v CROSS JOIN {prev}
+),
+s{n} AS (SELECT vec_id, cid AS cluster FROM a{n} WHERE rn = 1),
+m{n} AS (
+  SELECT cid, list(m ORDER BY i) AS c FROM (
+    SELECT s{n}.cluster AS cid, t.i AS i,
+           round(avg(v.v[t.i + 1]), 6) AS m
+    FROM s{n} JOIN v USING (vec_id) CROSS JOIN range({_KM_DIM}) t(i)
+    GROUP BY s{n}.cluster, t.i
+  ) GROUP BY cid
+),
+c{n} AS (SELECT {prev}.cid AS cid, COALESCE(m{n}.c, {prev}.c) AS c
+         FROM {prev} LEFT JOIN m{n} ON {prev}.cid = m{n}.cid)"""
+
+
+def _sql_kmeans_clusters() -> str:
+    iters = ",".join(
+        _km_iter_sql(n + 1, f"c{n}") for n in range(_KM_ITERS)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM v
+       WHERE vec_id < {_KM_K}),
+{iters},
+af AS (
+  SELECT v.vec_id, c{_KM_ITERS}.cid,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY list_distance(v.v, c{_KM_ITERS}.c),
+                                     c{_KM_ITERS}.cid) AS rn
+  FROM v CROSS JOIN c{_KM_ITERS}
+)
+SELECT vec_id, cid AS cluster FROM af WHERE rn = 1
+"""
+
+
 def extra_queries() -> dict[str, tuple]:
     """name -> (callable, oracle_sql | None)"""
     return {
@@ -2042,6 +2107,7 @@ def extra_queries() -> dict[str, tuple]:
         "kmv_by_lang": (q_kmv_by_lang, SQL_KMV_BY_LANG),
         "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
         "length_curriculum": (q_length_curriculum, SQL_LENGTH_CURRICULUM),
+        "kmeans_clusters": (q_kmeans_clusters, _sql_kmeans_clusters()),
         "length_curriculum_ntile": (
             q_length_curriculum_ntile,
             SQL_LENGTH_CURRICULUM_NTILE,
