@@ -52,6 +52,7 @@ pruning that makes Iceberg scans cheap on huge tables.
 from __future__ import annotations
 
 import glob
+import hashlib
 import json
 import os
 import re
@@ -68,6 +69,13 @@ _SNAP_RE = re.compile(r"snap-(\d{10})\.json$")
 # merge_upsert collects at most this many distinct incoming keys for
 # exact per-file pruning; beyond it the [min,max] envelope is used.
 _MERGE_KEYSET_LIMIT = 10_000
+
+# Per-file bloom filters (Iceberg/Parquet bloom metrics): bits per
+# column per file, and the number of probe hashes. 4096 bits at k=3
+# holds ~500 distinct keys under 1% false positives; a false positive
+# only costs an unnecessary file open (never correctness).
+_BLOOM_M = 4096
+_BLOOM_K = 3
 
 # A snapshot lists its files inline up to this many entries; beyond it
 # the list is split into SHARDED MANIFESTS (Iceberg's manifest-list ->
@@ -120,6 +128,62 @@ def _footer_stats(path: str, cols: set[str]) -> dict:
                 out[name] = [mn, mx]
     for name in bad:
         out.pop(name, None)
+    return out
+
+
+def _bloom_indexes(value) -> list[int]:
+    """Probe positions for one value: double hashing over a keyed
+    blake2b digest. Values canonicalize through ``str`` so the write
+    and probe sides agree for int/string keys (the only types blooms
+    are built for — see _file_blooms' type gate)."""
+    d = hashlib.blake2b(str(value).encode(), digest_size=16).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return [(h1 + i * h2) % _BLOOM_M for i in range(_BLOOM_K)]
+
+
+def _bloom_maybe_contains(hexbits: str, value) -> bool:
+    bits = int(hexbits, 16)
+    return all((bits >> ix) & 1 for ix in _bloom_indexes(value))
+
+
+def _file_blooms(path: str, cols: set[str]) -> dict[str, str]:
+    """Per-file bloom bitsets (hex) for point-lookup file skipping —
+    the Iceberg/Parquet bloom-filter metric. Built ONLY for integer and
+    string columns: a float's str() form ("5.0") would not match an
+    integer probe ("5"), and a miss there would UNSOUNDLY skip a file,
+    so non-exact types simply get no bloom (readers keep the file).
+
+    This harvest scans the key column of each new file at commit time.
+    At cluster scale the same bits come from the write job itself
+    (parquet's writer-level blooms via ``parquet.bloom.filter.enabled``
+    plus Iceberg metrics collection); the driver-side read here is the
+    sandbox stand-in, kept per-file and column-pruned."""
+    import pyarrow as pa
+
+    schema = pq.read_schema(path)
+    want = [
+        n
+        for n in schema.names
+        if n in cols
+        and (
+            pa.types.is_integer(schema.field(n).type)
+            or pa.types.is_string(schema.field(n).type)
+            or pa.types.is_large_string(schema.field(n).type)
+        )
+    ]
+    if not want:
+        return {}
+    tbl = pq.read_table(path, columns=want)
+    out: dict[str, str] = {}
+    for n in want:
+        bits = 0
+        for v in set(tbl.column(n).to_pylist()):
+            if v is None:
+                continue  # a point probe never matches NULL
+            for ix in _bloom_indexes(v):
+                bits |= 1 << ix
+        out[n] = format(bits, "x")
     return out
 
 
@@ -299,11 +363,14 @@ class SnapTable:
         df: DataFrame,
         partition_by: str | None,
         stats_cols: set[str] | None = None,
+        bloom_cols: set[str] | None = None,
     ) -> list[dict]:
         """Write df's rows as immutable files under a fresh tx dir and
         return their manifest entries. Not yet visible to any reader.
         ``stats_cols``: record per-file min/max bounds for these columns
-        in the manifest (Iceberg file-skipping stats)."""
+        in the manifest (Iceberg file-skipping stats). ``bloom_cols``:
+        additionally record per-file bloom bitsets for point-lookup
+        skipping (int/string columns only)."""
         txid = uuid.uuid4().hex[:12]
         tx_dir = os.path.join(self.data_dir, f"tx-{txid}")
         writer = df.write.mode("errorifexists")
@@ -325,6 +392,10 @@ class SnapTable:
             }
             if stats_cols:
                 entry["stats"] = _footer_stats(f, stats_cols)
+            if bloom_cols:
+                blooms = _file_blooms(f, bloom_cols)
+                if blooms:
+                    entry["bloom"] = blooms
             entries.append(entry)
         return entries
 
@@ -429,6 +500,7 @@ class SnapTable:
         cluster_by: str | None = None,
         stats_cols: list[str] | None = None,
         cluster_files: int | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> int:
         """``cluster_by``: range-partition + sort rows by that column
         before writing, so each file covers a TIGHT, mostly-disjoint
@@ -438,7 +510,10 @@ class SnapTable:
         ``cluster_files``: explicit file count — an unsized range
         shuffle lets AQE coalesce to byte-sized partitions (right at
         scale); the explicit count pins small appends that AQE would
-        fold into one file."""
+        fold into one file. ``bloom_cols``: record per-file bloom
+        bitsets so ``read(point=...)`` and ``merge_upsert`` skip files
+        even when clustered value RANGES overlap (the case min/max
+        can't prune: interleaved keys)."""
         cols = set(stats_cols or [])
         if cluster_by:
             cols.add(cluster_by)
@@ -447,7 +522,12 @@ class SnapTable:
                 if cluster_files
                 else df.repartitionByRange(F.col(cluster_by))
             ).sortWithinPartitions(cluster_by)
-        added = self._write_tx(df, partition_by, stats_cols=cols or None)
+        added = self._write_tx(
+            df,
+            partition_by,
+            stats_cols=cols or None,
+            bloom_cols=set(bloom_cols) if bloom_cols else None,
+        )
         return self._commit(
             "append", added, lambda pf: pf, df.schema.json(),
             {"added_files": len(added)}, partition_by=partition_by,
@@ -551,7 +631,18 @@ class SnapTable:
             if not exact:
                 return True
             i = bisect.bisect_left(keys, b[0])
-            return i < len(keys) and keys[i] <= b[1]
+            j = bisect.bisect_right(keys, b[1])
+            if i >= j:
+                return False
+            # bounds say some incoming key falls INSIDE this file's
+            # range — when the file carries a bloom, probe those keys
+            # against it: interleaved key sets whose ranges overlap but
+            # whose values are disjoint stay untouched (a bloom false
+            # positive just rewrites one extra file).
+            bloom = (entry.get("bloom") or {}).get(key)
+            if bloom is None:
+                return True
+            return any(_bloom_maybe_contains(bloom, k) for k in keys[i:j])
 
         touched = [f for f in current if overlaps(f)]
         untouched = [f for f in current if not overlaps(f)]
@@ -575,7 +666,15 @@ class SnapTable:
             out = survivors.unionByName(df)
         else:
             out = df
-        added = self._write_tx(out, partition_by, stats_cols={key})
+        # a table written with key blooms keeps them through merges:
+        # rewritten files get fresh bitsets alongside their fresh bounds.
+        keep_blooms = any((f.get("bloom") or {}).get(key) for f in current)
+        added = self._write_tx(
+            out,
+            partition_by,
+            stats_cols={key},
+            bloom_cols={key} if keep_blooms else None,
+        )
         return self._commit(
             "merge",
             added,
@@ -628,10 +727,21 @@ class SnapTable:
         parts: list | None = None,
         partition_by: str | None = None,
         between: dict | None = None,
+        point: dict | None = None,
     ) -> tuple[list[dict], str | None]:
         """Manifest-side planning: the (files, schema_json) a read at
         this snapshot touches after partition pruning and min/max
-        file skipping — all from metadata, no data-dir access."""
+        file skipping — all from metadata, no data-dir access.
+        ``point`` = {col: value} prunes by recorded bounds AND by the
+        per-file bloom bitset when one was written (files without a
+        bloom are kept — conservative, never unsound)."""
+        if point:
+            # a point probe is a degenerate range for every envelope
+            # (shard + file min/max) check below; blooms refine after.
+            between = {
+                **(between or {}),
+                **{c: (v, v) for c, v in point.items()},
+            }
         sid = (
             self.current_snapshot_id() if snapshot_id is None else snapshot_id
         )
@@ -699,6 +809,18 @@ class SnapTable:
                 return True
 
             files = [f for f in files if survives(f)]
+        if point:
+            def bloom_survives(entry: dict) -> bool:
+                blooms = entry.get("bloom") or {}
+                for col, v in point.items():
+                    b = blooms.get(col)
+                    if b is None:
+                        continue  # no bloom recorded -> must keep
+                    if not _bloom_maybe_contains(b, v):
+                        return False
+                return True
+
+            files = [f for f in files if bloom_survives(f)]
         return files, schema_hint
 
     def read(
@@ -708,12 +830,19 @@ class SnapTable:
         parts: list | None = None,
         partition_by: str | None = None,
         between: dict | None = None,
+        point: dict | None = None,
     ) -> DataFrame:
         """Snapshot-isolated read. ``snapshot_id`` = time travel;
         ``parts`` prunes files by recorded partition value BEFORE Spark
         plans the scan; ``between`` = {col: (lo, hi)} skips files whose
         recorded min/max bounds miss the range (Iceberg file skipping)
         AND applies the residual row filter, so results are exact.
+        ``point`` = {col: value} additionally probes per-file bloom
+        bitsets (see ``append(bloom_cols=...)``): a point lookup against
+        a table whose key ranges interleave opens only the files that
+        may actually hold the key — bloom false positives cost one
+        extra file open, and the residual equality filter keeps the
+        result exact either way.
 
         ``partition_by`` defaults to the value recorded in the snapshot
         manifest at write time, so a partitioned table reads back with
@@ -728,7 +857,7 @@ class SnapTable:
             if sid:
                 partition_by = self._load(sid).get("partition_by")
         files, schema_hint = self.scan_files(
-            snapshot_id, parts, partition_by, between
+            snapshot_id, parts, partition_by, between, point
         )
         if not files:
             if schema_hint is None:
@@ -752,6 +881,9 @@ class SnapTable:
                     df = df.where(F.col(col) >= F.lit(lo))
                 if hi is not None:
                     df = df.where(F.col(col) <= F.lit(hi))
+        if point:
+            for col, v in point.items():
+                df = df.where(F.col(col) == F.lit(v))
         return df
 
     def read_incremental(

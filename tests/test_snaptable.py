@@ -674,3 +674,76 @@ def test_sharded_incremental_read_diffs_shards(spark, tmp_path, tiny_shards):
     t.append(_df(spark, 10, 15))
     inc = t.read_incremental(spark, from_snapshot_id=1)
     assert sorted(r.k for r in inc.collect()) == list(range(10, 15))
+
+
+# -- bloom-filter point-lookup skipping ---------------------------------------
+
+
+def _interleaved(spark, parity, n=50):
+    # evens vs odds over the SAME value range: min/max bounds of the two
+    # files fully overlap, so only a bloom can tell them apart.
+    return (
+        spark.range(n)
+        .select((F.col("id") * 2 + parity).alias("k"))
+        .withColumn("v", F.col("k") * 10)
+        .coalesce(1)
+    )
+
+
+def test_point_read_prunes_by_bloom(spark, tmp_path):
+    t = SnapTable(str(tmp_path / "t"))
+    t.append(_interleaved(spark, 0), stats_cols=["k"], bloom_cols=["k"])
+    t.append(_interleaved(spark, 1), stats_cols=["k"], bloom_cols=["k"])
+    all_files, _ = t.scan_files()
+    assert len(all_files) == 2
+    # k=40 is even: bounds overlap both files, bloom keeps only one
+    files, _ = t.scan_files(point={"k": 40})
+    assert len(files) == 1
+    got = t.read(spark, point={"k": 40}).collect()
+    assert [(r.k, r.v) for r in got] == [(40, 400)]
+    # absent key (beyond both ranges): bounds alone prune everything
+    files, _ = t.scan_files(point={"k": 1000})
+    assert files == []
+    assert t.read(spark, point={"k": 1000}).count() == 0
+
+
+def test_point_read_without_blooms_stays_exact(spark, tmp_path):
+    t = SnapTable(str(tmp_path / "t"))
+    t.append(_interleaved(spark, 0), stats_cols=["k"])
+    files, _ = t.scan_files(point={"k": 40})
+    assert len(files) == 1  # no bloom recorded -> kept, not skipped
+    assert t.read(spark, point={"k": 41}).count() == 0  # residual filter
+
+
+def test_bloom_skipped_for_float_columns(spark, tmp_path):
+    # float str() forms ("5.0") never match an int probe ("5"); building
+    # a bloom there would let a probe unsoundly skip the file, so the
+    # type gate must refuse.
+    t = SnapTable(str(tmp_path / "t"))
+    df = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 1.5).alias("f")
+    )
+    t.append(df, bloom_cols=["k", "f"])
+    files, _ = t.scan_files()
+    assert set(files[0].get("bloom", {})) == {"k"}
+
+
+def test_merge_upsert_bloom_prunes_interleaved_files(spark, tmp_path):
+    t = SnapTable(str(tmp_path / "t"))
+    t.append(_interleaved(spark, 0), stats_cols=["k"], bloom_cols=["k"])
+    t.append(_interleaved(spark, 1), stats_cols=["k"], bloom_cols=["k"])
+    # update one EVEN key: both files' [min,max] contain 40, but the
+    # odd file's bloom proves it never held the key -> untouched.
+    upd = spark.createDataFrame([Row(k=40, v=-1)])
+    t.merge_upsert(spark, upd, key="k")
+    summ = t.current_summary()
+    assert summ["rewritten_files"] == 1
+    assert summ["untouched_files"] == 1
+    rows = {r.k: r.v for r in t.read(spark).collect()}
+    assert rows[40] == -1 and rows[41] == 410 and len(rows) == 100
+    # rewritten files carry FRESH blooms: a second even-key merge still
+    # prunes the odd file.
+    t.merge_upsert(spark, spark.createDataFrame([Row(k=42, v=-2)]), key="k")
+    assert t.current_summary()["untouched_files"] >= 1
+    rows = {r.k: r.v for r in t.read(spark).collect()}
+    assert rows[42] == -2 and len(rows) == 100
