@@ -1010,17 +1010,30 @@ class SnapTable:
         The rewrite is planned against a pinned snapshot and the commit
         CAS-checks that parent (``expected_parent``): an append landing
         mid-compaction must fail the compaction, not vanish under its
-        replace-everything keep-filter."""
+        replace-everything keep-filter.
+
+        Pruning metadata SURVIVES compaction: whatever stat/bloom
+        columns the current files record are re-harvested for the
+        rewritten files (Iceberg's rewrite keeps collecting the same
+        metrics), so the maintenance job never silently downgrades
+        point lookups or range scans to full-table file lists."""
         base = self.current_snapshot_id()
+        cur, _ = self.scan_files(snapshot_id=base)
+        stats_cols = {c for f in cur for c in (f.get("stats") or {})}
+        bloom_cols = {c for f in cur for c in (f.get("bloom") or {})}
         df = self.read(spark, snapshot_id=base, partition_by=partition_by)
         if cluster_by:
+            stats_cols.add(cluster_by)
             df = df.repartitionByRange(
                 target_files, F.col(cluster_by)
             ).sortWithinPartitions(cluster_by)
         else:
             df = df.coalesce(target_files)
         added = self._write_tx(
-            df, partition_by, stats_cols={cluster_by} if cluster_by else None
+            df,
+            partition_by,
+            stats_cols=stats_cols or None,
+            bloom_cols=bloom_cols or None,
         )
         # protocol state (committed parts, epochs) survives automatically:
         # _commit folds the parent's protocol record forward.

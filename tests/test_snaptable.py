@@ -747,3 +747,17 @@ def test_merge_upsert_bloom_prunes_interleaved_files(spark, tmp_path):
     assert t.current_summary()["untouched_files"] >= 1
     rows = {r.k: r.v for r in t.read(spark).collect()}
     assert rows[42] == -2 and len(rows) == 100
+
+
+def test_compact_carries_stats_and_blooms_forward(spark, tmp_path):
+    t = SnapTable(str(tmp_path / "t"))
+    t.append(_interleaved(spark, 0), stats_cols=["k"], bloom_cols=["k"])
+    t.append(_interleaved(spark, 1), stats_cols=["k"], bloom_cols=["k"])
+    t.compact(spark, target_files=2)
+    files, _ = t.scan_files()
+    assert len(files) == 2
+    assert all("k" in (f.get("stats") or {}) for f in files)
+    assert all("k" in (f.get("bloom") or {}) for f in files)
+    # the compacted table still answers point probes exactly
+    got = t.read(spark, point={"k": 40}).collect()
+    assert [(r.k, r.v) for r in got] == [(40, 400)]
