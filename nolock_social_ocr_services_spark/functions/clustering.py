@@ -3,11 +3,15 @@
 Completes the ANN story started by ``similarity.ivf_topk`` (whose
 docstring defers centroid TRAINING to "k-means on a sample"): this is
 that trainer, written the way MLlib's is — per-iteration work is one
-broadcast join (assignment, map-side) plus one partially-aggregated
-shuffle (the mean update), and the only driver traffic is the k×dim
-centroid matrix each round (k rows — the same tiny collect MLlib's
-``treeAggregate`` does). Nothing O(N) ever reaches the driver, so the
-loop runs unchanged over 10^11 vectors on 1000 executors.
+scan with a PURE-PROJECTION assignment (the k×dim centroids inline as
+literals; argmin folds over them in codegen — no join, no shuffle)
+plus one partially-aggregated shuffle (the mean update), and the only
+driver traffic is the k×dim centroid matrix each round (the same tiny
+collect MLlib's ``treeAggregate`` does). Nothing O(N) ever reaches the
+driver, so the loop runs unchanged over 10^11 vectors on 1000
+executors. (For k×dim beyond plan-literal comfort, swap the literal
+array for a broadcast-join assignment — same semantics, one extra
+exchange for the window argmin.)
 
 Determinism: init is the first ``k`` vectors by id (a deterministic
 "sample"; at scale, any hash-sample works as long as it is pinned), and
@@ -25,7 +29,7 @@ centroid id, matching the oracle's ``ORDER BY dist, cid``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -38,19 +42,39 @@ def _sqdist(a: Column, b: Column) -> Column:
 
 
 def _assign(
-    vecs: DataFrame, cent: DataFrame, id_col: str = "id"
+    vecs: DataFrame, cent_rows: list[tuple[int, list[float]]]
 ) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the k-row centroid table,
-    argmin by (distance, cid). Map-side only — no shuffle of the data."""
-    scored = vecs.crossJoin(F.broadcast(cent)).withColumn(
-        "dist", _sqdist(F.col("v"), F.col("c"))
+    """Nearest-centroid assignment as a PURE PROJECTION: the centroids
+    are already driver-side (k tiny rows), so they inline as a literal
+    array<struct<cid,c>> and the argmin folds over it with
+    ``transform`` + ``aggregate`` — zero joins, zero exchanges, fully
+    codegen'd. (A broadcast-join + window argmin costs a shuffle of
+    every row for the row_number; this costs nothing but the scan.)
+    Ties break to the LOWEST cid: rows iterate in ascending-cid order
+    and only a strictly smaller distance replaces the running best."""
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+            )
+            for cid, c in sorted(cent_rows)
+        ]
     )
-    w = Window.partitionBy(id_col).orderBy("dist", "cid")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "v", F.col("cid").alias("cluster"))
+    dists = F.transform(
+        cent_arr,
+        lambda s: F.struct(
+            _sqdist(F.col("v"), s["c"]).alias("d"), s["cid"].alias("cid")
+        ),
     )
+    best = F.aggregate(
+        dists,
+        F.struct(
+            F.lit(float("inf")).alias("d"), F.lit(-1).alias("cid")
+        ),
+        lambda acc, s: F.when(s["d"] < acc["d"], s).otherwise(acc),
+    )
+    return vecs.withColumn("cluster", best["cid"])
 
 
 def kmeans_fit(
@@ -63,7 +87,6 @@ def kmeans_fit(
     """Run ``iters`` Lloyd rounds; return the final centroids as
     ``[(cid, vector), ...]`` (k rows — driver-side by design, exactly
     like MLlib's KMeansModel.clusterCenters)."""
-    spark = df.sparkSession
     vecs = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -74,8 +97,7 @@ def kmeans_fit(
     ]
     cent_rows = [(i, v) for i, (_, v) in enumerate(cent_rows)]
     for _ in range(iters):
-        cent = _centroid_df(spark, cent_rows)
-        assigned = _assign(vecs, cent)
+        assigned = _assign(vecs, cent_rows)
         # mean update: posexplode to (cluster, dim) cells -> partial-agg
         # shuffle keyed on k*dim tiny groups -> re-pack ordered arrays.
         means = (
@@ -98,14 +120,6 @@ def kmeans_fit(
     return cent_rows
 
 
-def _centroid_df(
-    spark: SparkSession, cent_rows: list[tuple[int, list[float]]]
-) -> DataFrame:
-    return spark.createDataFrame(
-        cent_rows, "cid int, c array<double>"
-    )
-
-
 def kmeans_assignments(
     df: DataFrame,
     k: int = 4,
@@ -121,9 +135,7 @@ def kmeans_assignments(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    cent = _centroid_df(
-        df.sparkSession, kmeans_fit(df, k, iters, id_col, vec_col)
-    )
-    return _assign(vecs, cent).select(
+    cent_rows = kmeans_fit(df, k, iters, id_col, vec_col)
+    return _assign(vecs, cent_rows).select(
         F.col("id").alias(id_col), "cluster"
     )
