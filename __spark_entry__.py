@@ -403,6 +403,9 @@ _REDUNDANT_TAIL = (
     "value_quantiles",  # approx-quantile boundaries now exercised by the
     # head length_curriculum (boundary-bin path); slot goes to the new
     # kmeans_clusters iterative-trainer query
+    "mixture_sample",  # r2-green; its hash-threshold primitive is the
+    # same one stratified_sample (head, first check this round) and
+    # hash_split (r2-green) exercise; slot goes to lm_perplexity
     "users_except",
     "event_rollup",
     "kmv_by_lang",

@@ -252,3 +252,74 @@ def mixture_sample(
     for src, pct in sorted(rates.items()):
         cond = cond | ((F.col(source_col) == src) & (b < pct))
     return df.filter(cond)
+
+
+def lm_perplexity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style LM quality scoring: train an add-one-smoothed bigram
+    model on the corpus itself, then score every document by average
+    negative log-probability (and its exp, the perplexity) — the
+    standard "how much does this look like the reference corpus" filter
+    for pretraining data.
+
+    p(w|u) = (C(u,w) + 1) / (Cctx(u) + V), with Cctx(u) = bigrams
+    starting at u and V = distinct corpus tokens. Per-bigram log-probs
+    round to 9 decimals and the per-doc average to 6 — the cross-engine
+    determinism contract (Spark and DuckDB sum floats in different
+    orders; both engines then exp/round bit-identical inputs).
+
+    Shape: two hash aggs build the count tables, one join scores the
+    exploded bigram stream, one agg folds per doc. The V scalar rides a
+    broadcast 1-row crossJoin. At 100 TB the model trains on a hash
+    SAMPLE of the corpus (CCNet trains on a Wikipedia-sized slice, not
+    the crawl) and the prob table broadcasts — the scoring pass is then
+    map-side; semantics identical, code path the same join.
+
+    Docs with < 2 tokens have no bigrams and produce no row."""
+    w = words(F.col(text_col))
+    toks = df.select(F.col(id_col), w.alias("ws")).filter(
+        F.size("ws") >= 2
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 1),
+        lambda i: F.struct(
+            F.element_at("ws", i).alias("u"),
+            F.element_at("ws", i + 1).alias("w"),
+        ),
+    )
+    big = toks.select(id_col, F.explode(pairs).alias("p")).select(
+        id_col, F.col("p.u").alias("u"), F.col("p.w").alias("w")
+    )
+    bigc = big.groupBy("u", "w").agg(F.count("*").alias("cuw"))
+    ctx = bigc.groupBy("u").agg(F.sum("cuw").alias("cu"))
+    vt = df.select(
+        F.explode(words(F.col(text_col))).alias("token")
+    ).agg(F.countDistinct("token").alias("v"))
+    probs = (
+        bigc.join(ctx, on="u")
+        .crossJoin(F.broadcast(vt))
+        .select(
+            "u",
+            "w",
+            F.round(
+                F.log((F.col("cuw") + F.lit(1.0)) / (F.col("cu") + F.col("v"))),
+                9,
+            ).alias("logp"),
+        )
+    )
+    scored = (
+        big.join(probs, on=["u", "w"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.avg("logp").alias("alp"),
+        )
+    )
+    anlp = F.round(-F.col("alp"), 6)
+    return scored.select(
+        id_col,
+        "n_bigrams",
+        anlp.alias("avg_neg_logp"),
+        F.round(F.exp(anlp), 4).alias("ppl"),
+    )

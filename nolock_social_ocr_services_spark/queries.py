@@ -1967,6 +1967,47 @@ def _sql_main_content() -> str:
     """
 
 
+# -- bigram-LM perplexity scoring (CCNet-style quality filter) ----------------
+
+
+def q_lm_perplexity(spark, sf_dir):
+    from nolock_social_ocr_services_spark.functions import corpus_ops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_ops.lm_perplexity(docs)
+
+
+SQL_LM_PERPLEXITY = r"""
+WITH ws AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS ws
+  FROM documents
+),
+big AS (
+  SELECT doc_id, ws[i] AS u, ws[i + 1] AS w
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM ws WHERE len(ws) >= 2)
+),
+vt AS (SELECT count(DISTINCT token) AS v
+       FROM (SELECT unnest(ws) AS token FROM ws)),
+bigc AS (SELECT u, w, count(*) AS cuw FROM big GROUP BY 1, 2),
+ctx AS (SELECT u, sum(cuw) AS cu FROM bigc GROUP BY 1),
+probs AS (
+  SELECT b.u, b.w, round(ln((b.cuw + 1.0) / (c.cu + vt.v)), 9) AS logp
+  FROM bigc b JOIN ctx c USING (u) CROSS JOIN vt
+),
+scored AS (
+  SELECT big.doc_id, count(*) AS n_bigrams, avg(p.logp) AS alp
+  FROM big JOIN probs p ON big.u = p.u AND big.w = p.w
+  GROUP BY 1
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       round(-alp, 6) AS avg_neg_logp,
+       round(exp(round(-alp, 6)), 4) AS ppl
+FROM scored
+"""
+
+
 # -- distributed k-means training loop (iterative, unrolled SQL oracle) -------
 #
 # The one algorithm class the registry lacked a HASH-checked row for:
@@ -2108,6 +2149,7 @@ def extra_queries() -> dict[str, tuple]:
         "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
         "length_curriculum": (q_length_curriculum, SQL_LENGTH_CURRICULUM),
         "kmeans_clusters": (q_kmeans_clusters, _sql_kmeans_clusters()),
+        "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
         "length_curriculum_ntile": (
             q_length_curriculum_ntile,
             SQL_LENGTH_CURRICULUM_NTILE,

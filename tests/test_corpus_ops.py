@@ -106,3 +106,29 @@ def test_mixture_sample_rates_and_subset(docs):
                  co.mixture_sample(docs, "source", {"src1": 5})
                  .select("doc_id").collect())
     assert narrow <= wide
+
+
+def test_lm_perplexity_matches_hand_model(spark):
+    # corpus: "a b a b", "a b c", "x" (no bigrams -> no row)
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in co.lm_perplexity(df).collect()}
+    assert set(got) == {1, 2}
+    import math
+
+    # bigram counts: (a,b)=3 (b,a)=1 (b,c)=1 ; ctx: a=3, b=2 ; V=4 (a b c x)
+    lp = {
+        ("a", "b"): round(math.log((3 + 1) / (3 + 4)), 9),
+        ("b", "a"): round(math.log((1 + 1) / (2 + 4)), 9),
+        ("b", "c"): round(math.log((1 + 1) / (2 + 4)), 9),
+    }
+    d1 = [lp[("a", "b")], lp[("b", "a")], lp[("a", "b")]]
+    d2 = [lp[("a", "b")], lp[("b", "c")]]
+    for doc_id, logs in ((1, d1), (2, d2)):
+        anlp = round(-sum(logs) / len(logs), 6)
+        assert got[doc_id].n_bigrams == len(logs)
+        assert got[doc_id].avg_neg_logp == pytest.approx(anlp, abs=1e-9)
+        assert got[doc_id].ppl == pytest.approx(round(math.exp(anlp), 4), abs=1e-6)
+    # likelier text scores lower: repeated common bigram beats rare ones
+    assert got[1].avg_neg_logp < got[2].avg_neg_logp
