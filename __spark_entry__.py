@@ -81,7 +81,7 @@ def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_extract_receipts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2-T8 receipt path: OCR -> ordered concat -> typed field parse."""
     flat = _extracted(spark, sf_dir)
-    return flat.filter(F.col("receipt").isNotNull()).select(
+    return pipeline.barrier_filter(flat, F.col("receipt").isNotNull()).select(
         "doc_id",
         "offset",
         F.col("receipt.merchant_name").alias("merchant_name"),
@@ -96,7 +96,7 @@ def _q_extract_receipts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_extract_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2-T8 check path."""
     flat = _extracted(spark, sf_dir)
-    return flat.filter(F.col("check").isNotNull()).select(
+    return pipeline.barrier_filter(flat, F.col("check").isNotNull()).select(
         "doc_id",
         "offset",
         F.col("check.check_number").alias("check_number"),
@@ -181,8 +181,8 @@ def _q_extract_receipts_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the simple model (schema_used='simple', full fields NULL)."""
     flat = _extracted(spark, sf_dir)
     rf = F.col("receipt_full")
-    return flat.filter(
-        F.col("receipt").isNotNull() | rf.isNotNull()
+    return pipeline.barrier_filter(
+        flat, F.col("receipt").isNotNull() | rf.isNotNull()
     ).select(
         "doc_id",
         "offset",
@@ -203,7 +203,7 @@ def _q_receipt_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per line item (ReceiptModels.cs:260-290)."""
     flat = _extracted(spark, sf_dir)
     rf = F.col("receipt_full")
-    exploded = flat.filter(rf.isNotNull()).select(
+    exploded = pipeline.barrier_filter(flat, rf.isNotNull()).select(
         "doc_id", "offset", F.posexplode(rf["items"])
     )
     return exploded.select(
@@ -223,8 +223,8 @@ def _q_extract_checks_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL full fields."""
     flat = _extracted(spark, sf_dir)
     cf = F.col("check_full")
-    return flat.filter(
-        F.col("check").isNotNull() | cf.isNotNull()
+    return pipeline.barrier_filter(
+        flat, F.col("check").isNotNull() | cf.isNotNull()
     ).select(
         "doc_id",
         "offset",

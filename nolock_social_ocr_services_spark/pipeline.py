@@ -46,6 +46,32 @@ FLAT_COLUMNS = (
 )
 
 
+def barrier_filter(df: DataFrame, cond) -> DataFrame:
+    """Filter on already-projected columns WITHOUT letting Catalyst
+    substitute the predicate below the projection.
+
+    PushPredicateThroughNonJoin only rewrites ``Filter(Project(...))``
+    when EVERY project expression is deterministic, so one throwaway
+    ``monotonically_increasing_id()`` column pins the filter above the
+    projection. The predicate must REFERENCE that column (OR'd with an
+    always-false test of it, inside one non-splittable disjunct) —
+    otherwise ColumnPruning deletes the unused nondeterministic field
+    first and the now-deterministic Project lets the filter through.
+    Why it matters here: a success filter like ``receipt.isNotNull()``
+    otherwise inlines the WHOLE extraction expression (the cleanup
+    regex chain per tested field) into a pre-projection predicate — the
+    plan then runs the regex battery once per field in the filter and
+    again in the projection. With the barrier the struct is computed
+    once and the filter tests its null bit. Costs one long column,
+    dropped immediately; row pruning still happens before any
+    downstream stage."""
+    return (
+        df.withColumn("__no_pushdown", F.monotonically_increasing_id())
+        .filter(cond | (F.col("__no_pushdown") < F.lit(0)))
+        .drop("__no_pushdown")
+    )
+
+
 def explode_spans(docs: DataFrame) -> DataFrame:
     """(doc_id, spans[]) -> one row per span. Catalyst prunes unselected
     nested fields out of the scan (check ReadSchema in .explain)."""

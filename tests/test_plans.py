@@ -52,6 +52,31 @@ def test_filtered_extract_single_ocr_stage(spark, corpus_path):
     assert batch_eval_count(filtered) == 0
 
 
+def test_barrier_filter_tests_null_bit_only(spark, corpus_path):
+    """pipeline.barrier_filter pins a success filter ABOVE the extraction
+    projection: the Filter node must test the struct's null bit, not an
+    inlined copy of the per-field regex battery. Guards the ColumnPruning
+    interaction — if the throwaway nondeterministic column stops being
+    referenced by the predicate, Catalyst prunes it and re-inlines the
+    whole extraction expression into a pre-projection Filter."""
+    docs = spark.read.parquet(corpus_path)
+    flat = pipeline.extract_spans(docs, salt_buckets=16)
+    filtered = pipeline.barrier_filter(flat, F.col("receipt").isNotNull()).select(
+        "doc_id", "offset", F.col("receipt.merchant_name").alias("m")
+    )
+    plan = explain_str(filtered)
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if "Filter" in ln and "regexp_extract" in ln
+    ]
+    assert not bad, f"filter re-inlined the extraction regexes: {bad[0][:200]}"
+    assert arrow_eval_count(filtered) == 1
+    # unfiltered pipeline carries <=12 regexp_replace; the barrier form
+    # must not add inlined copies
+    assert plan.count("regexp_replace") <= 12
+
+
 def test_cleanup_chain_materialized_once(spark, corpus_path):
     """The T5 cleanup regex chain is projected once, not re-inlined per
     extracted field: the bare pipeline plan carries a handful of
