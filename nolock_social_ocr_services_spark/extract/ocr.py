@@ -90,10 +90,16 @@ def _digit_matrix(h_list: "list[str] | np.ndarray") -> np.ndarray:
     n = len(h_list)
     if n == 0:
         return np.zeros((0, 20), dtype=np.uint8)
-    joined = "".join(h_list).encode("ascii")
-    if len(joined) != n * 32:  # not all md5 hex
+    try:
+        joined = "".join(h_list).encode("ascii")
+    except UnicodeEncodeError:
+        # arbitrary text reaches the public helper; non-ASCII chars are
+        # non-digits (the old regex stripped them) — take the ragged
+        # path with replacement, never abort the batch.
+        joined = None
+    if joined is None or len(joined) != n * 32:  # not all md5 hex
         lens = np.fromiter((len(s) for s in h_list), dtype=np.int64, count=n)
-        if bool(np.all((lens == 0) | (lens == 32))):
+        if joined is not None and bool(np.all((lens == 0) | (lens == 32))):
             # the _ocr_batch shape: md5 or '' (non-media row) — compute
             # the nonempty block and scatter (empty row -> all-'0' row,
             # matching the old strip+pad semantics)
@@ -104,7 +110,9 @@ def _digit_matrix(h_list: "list[str] | np.ndarray") -> np.ndarray:
             )
             return out
         rows = [  # fully ragged — per-row slow path
-            bytes(c for c in s.encode("ascii") if 48 <= c <= 57)[:20].ljust(20, b"0")
+            bytes(
+                c for c in s.encode("ascii", "replace") if 48 <= c <= 57
+            )[:20].ljust(20, b"0")
             for s in h_list
         ]
         return np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(n, 20) - ord("0")

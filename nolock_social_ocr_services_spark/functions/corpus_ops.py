@@ -278,9 +278,12 @@ def lm_perplexity(
 
     Docs with < 2 tokens have no bigrams and produce no row."""
     w = words(F.col(text_col))
-    toks = df.select(F.col(id_col), w.alias("ws")).filter(
-        F.size("ws") >= 2
-    )
+    # one tokenized projection feeds BOTH the bigram stream and the
+    # vocabulary count — tokenizing twice would add a whole extra
+    # scan+regex pass over the corpus (at the 100-TB target, persist
+    # this projection or train on the hash sample noted above).
+    tokd = df.select(F.col(id_col), w.alias("ws"))
+    toks = tokd.filter(F.size("ws") >= 2)
     pairs = F.transform(
         F.sequence(F.lit(1), F.size("ws") - 1),
         lambda i: F.struct(
@@ -293,9 +296,9 @@ def lm_perplexity(
     )
     bigc = big.groupBy("u", "w").agg(F.count("*").alias("cuw"))
     ctx = bigc.groupBy("u").agg(F.sum("cuw").alias("cu"))
-    vt = df.select(
-        F.explode(words(F.col(text_col))).alias("token")
-    ).agg(F.countDistinct("token").alias("v"))
+    vt = tokd.select(F.explode("ws").alias("token")).agg(
+        F.countDistinct("token").alias("v")
+    )
     probs = (
         bigc.join(ctx, on="u")
         .crossJoin(F.broadcast(vt))

@@ -131,12 +131,27 @@ def _footer_stats(path: str, cols: set[str]) -> dict:
     return out
 
 
+def _bloom_canon(value):
+    """Canonical probe form. Blooms are built only for int/string
+    columns (_file_blooms' type gate), so a numerically-equal probe of
+    another type — float 40.0, numpy scalar, bool — must collapse to
+    the int's str form before hashing, or the probe would miss bits an
+    integer wrote and UNSOUNDLY skip a file that holds the key."""
+    if isinstance(value, bool):
+        return int(value)
+    if isinstance(value, float) and value.is_integer():
+        return int(value)
+    return value
+
+
 def _bloom_indexes(value) -> list[int]:
     """Probe positions for one value: double hashing over a keyed
-    blake2b digest. Values canonicalize through ``str`` so the write
-    and probe sides agree for int/string keys (the only types blooms
-    are built for — see _file_blooms' type gate)."""
-    d = hashlib.blake2b(str(value).encode(), digest_size=16).digest()
+    blake2b digest. Values canonicalize through ``_bloom_canon`` + ``str``
+    so the write and probe sides agree for int/string keys (the only
+    types blooms are built for — see _file_blooms' type gate)."""
+    d = hashlib.blake2b(
+        str(_bloom_canon(value)).encode(), digest_size=16
+    ).digest()
     h1 = int.from_bytes(d[:8], "big")
     h2 = int.from_bytes(d[8:], "big") | 1
     return [(h1 + i * h2) % _BLOOM_M for i in range(_BLOOM_K)]
@@ -202,9 +217,13 @@ def _restore_partition_col(df: DataFrame, partition_by: str, schema: StructType)
     raw = F.regexp_extract(
         F.input_file_name(), re.escape(partition_by) + "=([^/]+)", 1
     )
+    # Spark/Hive escapePathName percent-encodes specials but never
+    # emits '+', so a literal '+' in a partition value reaches the path
+    # verbatim; url_decode would turn it into a space. Re-escape it
+    # first so only %XX sequences decode.
     decoded = F.when(
         raw == _HIVE_NULL, F.lit(None).cast("string")
-    ).otherwise(F.url_decode(raw))
+    ).otherwise(F.url_decode(F.regexp_replace(raw, r"\+", "%2B")))
     dtype = next(
         (f.dataType for f in schema.fields if f.name == partition_by), None
     )
@@ -606,6 +625,12 @@ class SnapTable:
             df.select(key).distinct().limit(_MERGE_KEYSET_LIMIT + 1).collect()
         )
         base = self.current_snapshot_id()
+        if partition_by is None:
+            # default to the partitioning recorded at write time:
+            # rewriting a partitioned table's files WITHOUT partitionBy
+            # would null the survivors' partition values (the column
+            # lives in the path, not the data files).
+            partition_by = self._recorded_partition_by(base)
         current, schema_hint = self.scan_files(snapshot_id=base)
         if not rows:  # empty incoming frame: nothing to do
             return self.current_snapshot_id()
@@ -721,6 +746,18 @@ class SnapTable:
     # ------------------------------------------------------------------
     # reads
     # ------------------------------------------------------------------
+    def _recorded_partition_by(self, snapshot_id: int | None = None) -> str | None:
+        """The partition column recorded at write time (None =
+        unpartitioned). The single resolution point every operation that
+        rewrites or restores rows must consult — compact/merge defaulting
+        to it is what keeps a partitioned table partitioned without the
+        caller re-specifying (and what keeps survivors out of the hive
+        null partition)."""
+        sid = (
+            self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        )
+        return self._load(sid).get("partition_by") if sid else None
+
     def scan_files(
         self,
         snapshot_id: int | None = None,
@@ -849,13 +886,7 @@ class SnapTable:
         its partition column restored (and cast to the declared type)
         without every caller re-specifying it."""
         if partition_by is None:
-            sid = (
-                self.current_snapshot_id()
-                if snapshot_id is None
-                else snapshot_id
-            )
-            if sid:
-                partition_by = self._load(sid).get("partition_by")
+            partition_by = self._recorded_partition_by(snapshot_id)
         files, schema_hint = self.scan_files(
             snapshot_id, parts, partition_by, between, point
         )
@@ -1018,6 +1049,13 @@ class SnapTable:
         metrics), so the maintenance job never silently downgrades
         point lookups or range scans to full-table file lists."""
         base = self.current_snapshot_id()
+        if partition_by is None:
+            # default to the recorded partitioning: compacting a
+            # partitioned table unpartitioned would strip the files'
+            # partition metadata while the snapshot still records
+            # partition_by, breaking partition-pruned reads,
+            # committed_values and overwrite_partitions' keep-filter.
+            partition_by = self._recorded_partition_by(base)
         cur, _ = self.scan_files(snapshot_id=base)
         stats_cols = {c for f in cur for c in (f.get("stats") or {})}
         bloom_cols = {c for f in cur for c in (f.get("bloom") or {})}
@@ -1043,11 +1081,30 @@ class SnapTable:
             expected_parent=base, partition_by=partition_by,
         )
 
-    def expire_snapshots(self, keep_last: int = 1) -> int:
+    def expire_snapshots(
+        self, keep_last: int = 1, orphan_grace_s: float = 600.0
+    ) -> int:
         """Drop old snapshot manifests, orphaned manifest SHARDS (from
         expired snapshots or lost commit races), and any tx dir no
         surviving snapshot references (Iceberg's expire_snapshots +
-        orphan-file cleanup). Returns number of tx dirs deleted."""
+        orphan-file cleanup). Returns number of tx dirs deleted.
+
+        ``orphan_grace_s``: shards/tx dirs younger than this survive the
+        sweep even when unreferenced — an IN-FLIGHT concurrent commit
+        writes its shards and data files BEFORE its CAS, so without the
+        grace window this sweep could delete files a commit that lands a
+        moment later points at (the age-threshold guard Iceberg's orphan
+        cleanup uses). Pass 0 only when no writer can be live."""
+        import time as _time
+
+        now = _time.time()
+
+        def aged(p: str) -> bool:
+            try:
+                return now - os.path.getmtime(p) >= orphan_grace_s
+            except OSError:
+                return False  # vanished mid-sweep: another cleaner won
+
         snaps = self._snapshot_files()
         survivors = snaps[-keep_last:] if keep_last else []
         live_tx: set[str] = set()
@@ -1062,11 +1119,11 @@ class SnapTable:
         for s in snaps[: len(snaps) - keep_last]:
             os.unlink(s)
         for man in glob.glob(os.path.join(self.meta_dir, "man-*.json")):
-            if os.path.basename(man) not in live_man:
+            if os.path.basename(man) not in live_man and aged(man):
                 os.unlink(man)
         removed = 0
         for tx in glob.glob(os.path.join(self.data_dir, "tx-*")):
-            if os.path.basename(tx) not in live_tx:
+            if os.path.basename(tx) not in live_tx and aged(tx):
                 shutil.rmtree(tx)
                 removed += 1
         return removed

@@ -109,3 +109,20 @@ def test_digit_str_blocks():
     # non-contiguous slice (the builders pass strided views)
     wide = np.arange(40, dtype=np.uint8).reshape(2, 20) % 10
     assert ocr._digit_str(wide[:, 3:6]).tolist() == ["345", "345"]
+
+
+def test_digit_matrix_non_ascii_degrades_not_crashes():
+    """Arbitrary text can reach the public helper: non-ASCII chars are
+    non-digits (the regex form stripped them) — one accented row must
+    not UnicodeEncodeError the whole Arrow batch."""
+
+    def ref_digits(s: str) -> list[int]:
+        d = [int(c) for c in s if c.isdigit() and c.isascii()][:20]
+        return d + [0] * (20 - len(d))
+
+    rows = ["café123", "", "résumé", "42", "é" * 32]
+    out = ocr._digit_matrix(rows)
+    assert out.tolist() == [ref_digits(s) for s in rows]
+    # and through the public Series API
+    d = ocr.digits_of(pd.Series(rows, dtype="string"))
+    assert d[0].startswith("123")

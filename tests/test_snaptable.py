@@ -149,7 +149,7 @@ def test_expire_snapshots_drops_orphans(spark, tmp_path):
         [d for d in os.listdir(t.data_dir) if d.startswith("tx-")]
     )
     assert tx_dirs() == 2
-    removed = t.expire_snapshots(keep_last=1)
+    removed = t.expire_snapshots(keep_last=1, orphan_grace_s=0)
     assert removed == 1  # snapshot-1's files are unreferenced
     assert tx_dirs() == 1
     assert sorted(r.k for r in t.read(spark).collect()) == [10, 11, 12]
@@ -227,7 +227,7 @@ def test_compact_rewrites_small_files(spark, tmp_path):
     assert sorted(r.k for r in post.collect()) == list(range(20))
     # time travel to the pre-compact snapshot still works until expiry
     assert sorted(r.k for r in t.read(spark, snapshot_id=pre_snapshot).collect()) == list(range(20))
-    t.expire_snapshots(keep_last=1)
+    t.expire_snapshots(keep_last=1, orphan_grace_s=0)
     assert len(t.read(spark).inputFiles()) == 1
 
 
@@ -662,7 +662,7 @@ def test_sharded_expire_drops_orphan_shards(spark, tmp_path, tiny_shards):
         g.glob(os.path.join(t.meta_dir, "man-*.json"))
     )
     before = all_man()
-    t.expire_snapshots(keep_last=1)
+    t.expire_snapshots(keep_last=1, orphan_grace_s=0)
     live = t._load(t.current_snapshot_id()).get("manifests", [])
     assert all_man() == len(live) <= before
     assert sorted(r.k for r in t.read(spark).collect()) == list(range(100, 110))
@@ -761,3 +761,95 @@ def test_compact_carries_stats_and_blooms_forward(spark, tmp_path):
     # the compacted table still answers point probes exactly
     got = t.read(spark, point={"k": 40}).collect()
     assert [(r.k, r.v) for r in got] == [(40, 400)]
+
+
+def test_compact_partitioned_defaults_to_recorded_partitioning(spark, tmp_path):
+    """compact() without partition_by must NOT de-partition a partitioned
+    table: previously the rewrite dropped the files' partition metadata
+    while the snapshot kept recording partition_by, so partition-pruned
+    reads returned 0 rows, committed_values() emptied, and a later
+    overwrite_partitions kept the stale compacted rows alongside the
+    replacements."""
+    t = SnapTable(str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [(k, k % 2, k * 10) for k in range(10)], "k long, p int, v long"
+    )
+    t.append(base.repartition(4), partition_by="p")
+    t.compact(spark, target_files=1)
+    # partition-pruned read still sees partition 1
+    assert sorted(r.k for r in t.read(spark, parts=[1]).collect()) == [
+        1, 3, 5, 7, 9,
+    ]
+    assert t.committed_values("p") == {"0", "1"}
+    # dynamic-partition overwrite replaces (not duplicates) partition 1
+    t.overwrite_partitions(
+        spark.createDataFrame([(100, 1, 0)], "k long, p int, v long"),
+        "p",
+        [1],
+    )
+    rows = sorted((r.k, r.p) for r in t.read(spark).collect())
+    assert rows == [(0, 0), (2, 0), (4, 0), (6, 0), (8, 0), (100, 1)]
+
+
+def test_merge_upsert_partitioned_defaults_to_recorded_partitioning(
+    spark, tmp_path
+):
+    """merge_upsert() without partition_by on a partitioned table must
+    restore survivors' partition values from the recorded partitioning
+    (previously they were rewritten with NULL p under the hive null
+    partition)."""
+    t = SnapTable(str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [(k, k % 2, k) for k in range(6)], "k long, p int, v long"
+    )
+    t.append(base, partition_by="p")
+    t.merge_upsert(
+        spark, spark.createDataFrame([(0, 0, -1)], "k long, p int, v long"),
+        key="k",
+    )
+    got = {r.k: (r.p, r.v) for r in t.read(spark).collect()}
+    assert got[0] == (0, -1)
+    assert all(p is not None for p, _ in got.values())
+    assert {p for p, _ in got.values()} == {0, 1}
+
+
+def test_partition_value_with_literal_plus_roundtrips(spark, tmp_path):
+    """Hive path escaping never encodes '+', so url_decode would read it
+    back as a space; the restore must only decode %XX escapes."""
+    t = SnapTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "a+b", "x"), (2, "c d", "y")], "k long, p string, v string"
+        ),
+        partition_by="p",
+    )
+    got = {r.k: r.p for r in t.read(spark).collect()}
+    assert got == {1: "a+b", 2: "c d"}
+    # pruning key and restored value agree
+    assert [r.k for r in t.read(spark, parts=["a+b"]).collect()] == [1]
+
+
+def test_bloom_probe_is_type_canonical(spark, tmp_path):
+    """A numerically-equal probe of a different runtime type (float 40.0
+    against an int-keyed bloom) must not skip the file holding the key —
+    a bloom miss is never allowed to be unsound."""
+    t = SnapTable(str(tmp_path / "t"))
+    t.append(_interleaved(spark, 0), stats_cols=["k"], bloom_cols=["k"])
+    t.append(_interleaved(spark, 1), stats_cols=["k"], bloom_cols=["k"])
+    got = t.read(spark, point={"k": 40.0}).collect()
+    assert [(r.k, r.v) for r in got] == [(40, 400)]
+    files, _ = t.scan_files(point={"k": 40.0})
+    assert len(files) == 1  # still prunes the odd-keys file
+
+
+def test_expire_grace_window_protects_fresh_orphans(spark, tmp_path):
+    """Unreferenced shards/tx dirs younger than orphan_grace_s survive
+    the sweep: an in-flight concurrent commit writes its files BEFORE
+    its CAS, and expire must not delete them out from under it."""
+    t = SnapTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 3))
+    t.overwrite(_df(spark, 10, 13))  # snapshot-1's tx is now orphaned
+    assert t.expire_snapshots(keep_last=1) == 0  # default grace: kept
+    tx_dirs = [d for d in os.listdir(t.data_dir) if d.startswith("tx-")]
+    assert len(tx_dirs) == 2
+    assert t.expire_snapshots(keep_last=1, orphan_grace_s=0) == 1

@@ -340,6 +340,9 @@ def main() -> None:
     os.makedirs(sync_dir, exist_ok=True)
 
     n_docs = None
+    canary_proc = None
+    windows: list[tuple] = []  # (cores, i, t_start, t_end) per pass
+    canary_path = os.path.join(sync_dir, "canary.log")
     lo_proc = start_child(lo_cores, corpus_path, warmups, pairs + 1, sync_dir)
     hi_proc = start_child(hi_cores, corpus_path, warmups, pairs, sync_dir)
     try:
@@ -349,8 +352,6 @@ def main() -> None:
         lo_times, hi_times, pair_eff = [], [], []
 
         lo_steal, hi_steal = [], []
-        windows: list[tuple] = []  # (cores, i, t_start, t_end) per pass
-        canary_path = os.path.join(sync_dir, "canary.log")
         canary_proc = start_canary(
             canary_path, multiprocessing.cpu_count()
         )
@@ -392,7 +393,11 @@ def main() -> None:
         for p in (lo_proc, hi_proc):
             if p.poll() is None:
                 p.kill()
-        stop_canary(canary_proc)
+        # canary_proc is assigned mid-try: a child that never came up
+        # raises before it exists, and an unguarded stop would mask the
+        # actionable TimeoutError with a NameError.
+        if canary_proc is not None:
+            stop_canary(canary_proc)
 
     # per-pass canary rates (recorded, NON-GATING under v3): in-pass
     # host work-rate on cores outside both task sets
