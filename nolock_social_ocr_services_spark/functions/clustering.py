@@ -74,7 +74,13 @@ def _assign(
         ),
         lambda acc, s: F.when(s["d"] < acc["d"], s).otherwise(acc),
     )
-    return vecs.withColumn("cluster", best["cid"])
+    # a NULL or wrong-length vector has NULL distance to every centroid
+    # (the fold keeps the -1 seed) — surface that as cluster=NULL, not a
+    # real-looking cluster id a downstream stratify would group on.
+    return vecs.withColumn(
+        "cluster",
+        F.when(best["cid"] >= 0, best["cid"]),
+    )
 
 
 def kmeans_fit(
@@ -101,7 +107,11 @@ def kmeans_fit(
         # mean update: posexplode to (cluster, dim) cells -> partial-agg
         # shuffle keyed on k*dim tiny groups -> re-pack ordered arrays.
         means = (
-            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            # NULL clusters (NULL / wrong-length vectors) contribute to
+            # no mean — they'd otherwise crash the int() below and drag
+            # centroids toward garbage.
+            assigned.filter(F.col("cluster").isNotNull())
+            .select("cluster", F.posexplode("v").alias("pos", "x"))
             .groupBy("cluster", "pos")
             .agg(F.round(F.avg("x"), 6).alias("m"))
             .groupBy("cluster")

@@ -141,9 +141,16 @@ def oov_rate(
     """Vocabulary coverage: one row with corpus token occurrences, the
     occurrences covered by the top-V vocab, and the OOV rate (exact
     rational rendered as a 6-dp double). The vocab side is tiny by
-    construction, so the join is a broadcast."""
+    construction, so the join is a broadcast. The vocab derives from
+    the SAME token_counts frame as the coverage side — calling vocab()
+    would rebuild the scan+tokenize+agg pass a second time, doubling
+    the most expensive stage at corpus scale."""
     counts = token_counts(df, text_col)
-    v = vocab(df, text_col, top_v).select("token")
+    v = (
+        counts.orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(top_v)
+        .select("token")
+    )
     joined = counts.join(F.broadcast(v).withColumn("_inv", F.lit(1)), "token", "left")
     return joined.agg(
         F.sum("n_occurrences").cast("long").alias("total_occurrences"),

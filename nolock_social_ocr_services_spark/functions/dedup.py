@@ -56,13 +56,25 @@ def exact_dedup(
 ) -> DataFrame:
     """Exact dedup: canonical row = min(id) per md5(text). Returns
     (id, text_hash, canonical_id, is_canonical). One hash-agg shuffle on
-    the digest (fixed-width key, immune to giant-document skew)."""
+    the digest (fixed-width key, immune to giant-document skew).
+
+    NULL text hashes to NULL, and equi-joins never match NULL keys — an
+    inner join would silently DROP every NULL-text row (neither
+    canonical nor duplicate). Left join + coalesce keeps each such row
+    as its own canonical: content-free docs have no content to dedup
+    on."""
     hashed = df.select(
         F.col(id_col), F.md5(F.col(text_col)).alias("text_hash")
     )
-    canon = hashed.groupBy("text_hash").agg(F.min(id_col).alias("canonical_id"))
-    return hashed.join(canon, on="text_hash").withColumn(
-        "is_canonical", F.col(id_col) == F.col("canonical_id")
+    canon = (
+        hashed.filter(F.col("text_hash").isNotNull())
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("canonical_id"))
+    )
+    return (
+        hashed.join(canon, on="text_hash", how="left")
+        .withColumn("canonical_id", F.coalesce("canonical_id", id_col))
+        .withColumn("is_canonical", F.col(id_col) == F.col("canonical_id"))
     )
 
 
@@ -144,20 +156,21 @@ def jaccard_pairs(
     )
 
 
-def simhash_table(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 4
+def _simhash_fold(
+    df: DataFrame, text_col: str, id_col: str, k: int, hash_expr: Column,
+    bits: int,
 ) -> DataFrame:
-    """63-bit SimHash per document (63 keeps the value a positive long).
-
-    Idiomatic-at-scale shape: explode shingles -> xxhash64 JVM-side ->
-    ONE groupBy(id) with 63 conditional sums. The per-bit sums are
-    partially aggregated map-side (hash-agg combine), so the shuffle
-    carries one 63-counter row per document, not per shingle. Compare
-    documents with ``hamming64``."""
+    """Shared SimHash body (one source of truth for the vote/fold/empty
+    rules both hash variants must agree on): explode shingles ->
+    ``hash_expr`` over the shingle column ``sh`` -> ONE groupBy(id)
+    with ``bits`` conditional vote sums (partially aggregated map-side,
+    so the shuffle carries one counter row per document, not per
+    shingle) -> fold the votes into a long; shingle-less docs get
+    NULL."""
     exploded = df.select(
         F.col(id_col).alias("id"),
         F.explode_outer(shingles(F.col(text_col), k=k)).alias("sh"),
-    ).withColumn("h", F.xxhash64("sh"))
+    ).withColumn("h", hash_expr)
     votes = [
         F.sum(
             F.when(F.col("sh").isNull(), F.lit(0)).otherwise(
@@ -166,10 +179,10 @@ def simhash_table(
                 ).otherwise(F.lit(-1))
             )
         ).alias(f"b{j}")
-        for j in range(63)
+        for j in range(bits)
     ]
     sim = F.lit(0).cast("long")
-    for j in range(63):
+    for j in range(bits):
         sim = sim + F.when(
             F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")
         ).otherwise(F.lit(0).cast("long"))
@@ -181,6 +194,15 @@ def simhash_table(
         .otherwise(sim)
         .alias("simhash"),
     )
+
+
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 4
+) -> DataFrame:
+    """63-bit SimHash per document (63 keeps the value a positive long),
+    xxhash64 shingle bits (JVM-side, fastest). Compare documents with
+    ``hamming64``. See :func:`_simhash_fold` for the scale shape."""
+    return _simhash_fold(df, text_col, id_col, k, F.xxhash64("sh"), 63)
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -198,39 +220,17 @@ def simhash_md5_table(
     twin of :func:`simhash_table` — DuckDB recomputes md5 exactly,
     whereas xxhash64 has no DuckDB equivalent).
 
-    Same scale shape as simhash_table: explode shingles, hash JVM-side
-    (``conv(md5 hex prefix) -> long``), ONE groupBy(id) whose 60
-    conditional sums partially aggregate map-side, so the shuffle
-    carries one counter row per document, not per shingle.
+    Same scale shape and vote/fold/empty rules as :func:`simhash_table`
+    via the shared :func:`_simhash_fold` body — only the per-shingle
+    hash expression and the bit count differ.
     """
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        F.explode_outer(shingles(F.col(text_col), k=k)).alias("sh"),
-    ).withColumn(
-        "h", F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
-    )
-    votes = [
-        F.sum(
-            F.when(F.col("sh").isNull(), F.lit(0)).otherwise(
-                F.when(
-                    F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) != 0, F.lit(1)
-                ).otherwise(F.lit(-1))
-            )
-        ).alias(f"b{j}")
-        for j in range(SIMHASH_MD5_BITS)
-    ]
-    sim = F.lit(0).cast("long")
-    for j in range(SIMHASH_MD5_BITS):
-        sim = sim + F.when(
-            F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    n_sh = F.sum(F.when(F.col("sh").isNull(), 0).otherwise(1))
-    counted = exploded.groupBy("id").agg(*votes, n_sh.alias("n_sh"))
-    return counted.select(
-        "id",
-        F.when(F.col("n_sh") == 0, F.lit(None).cast("long"))
-        .otherwise(sim)
-        .alias("simhash"),
+    return _simhash_fold(
+        df,
+        text_col,
+        id_col,
+        k,
+        F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long"),
+        SIMHASH_MD5_BITS,
     )
 
 

@@ -95,6 +95,10 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     plan is: hash-distinct (one shuffle of 8-byte digests), then
     ``sort.limit(k)`` which Spark compiles to TakeOrderedAndProject —
     per-partition k-row heaps, single k-row merge, never a global sort.
+    Fewer than k distinct values means the sketch holds ALL of them —
+    report the exact count (the estimator over a non-kth max hash would
+    grossly overestimate small cardinalities; same guard as
+    corpus_ops.kmv_by_group).
     """
     ks = (
         df.select(hash60(F.col(col)).alias("h"))
@@ -103,13 +107,17 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 64) -> DataFrame:
         .orderBy("h")
         .limit(k)
     )
-    return ks.agg(
-        F.count("*").alias("k"),
-        F.max("h").alias("kth_hash"),
-        F.floor(
-            F.lit(float(k - 1)) * F.lit(HASH_DOMAIN) / F.max("h").cast("double")
+    return ks.agg(F.count("*").alias("k"), F.max("h").alias("kth_hash")).select(
+        "k",
+        "kth_hash",
+        F.when(F.col("k") < k, F.col("k").cast("long"))
+        .otherwise(
+            F.floor(
+                F.lit(float(k - 1))
+                * F.lit(HASH_DOMAIN)
+                / F.col("kth_hash").cast("double")
+            ).cast("long")
         )
-        .cast("long")
         .alias("est_distinct"),
     )
 

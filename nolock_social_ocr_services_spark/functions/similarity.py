@@ -58,13 +58,20 @@ def cosine_topk(
 
     ``queries`` defaults to the whole table (all-pairs). Normalization
     happens once per side; the join computes a single dot product per
-    pair; ranking is a window over the query id."""
-    base = with_unit_vector(df, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("unit_n")
+    pair; ranking is a window over the query id. Zero-norm vectors have
+    no cosine direction (unit=NULL) and are excluded from BOTH sides —
+    otherwise they'd emit k NULL-sim rows per query and leak into other
+    queries' top-k."""
+    base = (
+        with_unit_vector(df, vec_col)
+        .filter(F.col("unit").isNotNull())
+        .select(F.col(id_col).alias("neighbor_id"), F.col("unit").alias("unit_n"))
     )
     qdf = queries if queries is not None else df
-    q = with_unit_vector(qdf, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("unit").alias("unit_q")
+    q = (
+        with_unit_vector(qdf, vec_col)
+        .filter(F.col("unit").isNotNull())
+        .select(F.col(id_col).alias("query_id"), F.col("unit").alias("unit_q"))
     )
     pairs = q.crossJoin(base).filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
@@ -136,10 +143,17 @@ def lsh_topk(
         )
     dim = int(dim)
     planes = random_hyperplanes(dim, bits, seed)
-    sig = with_unit_vector(df, vec_col).select(
-        F.col(id_col).alias("id"),
-        F.col("unit"),
-        srp_signature(F.col("unit"), planes).alias("bucket"),
+    # zero-norm vectors (unit=NULL) would all hash to bucket 0 (every
+    # when(proj > 0) false) and join NULL-sim pairs against real
+    # bucket-0 vectors — exclude them like cosine_topk does.
+    sig = (
+        with_unit_vector(df, vec_col)
+        .filter(F.col("unit").isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.col("unit"),
+            srp_signature(F.col("unit"), planes).alias("bucket"),
+        )
     )
     a = sig.select(
         F.col("id").alias("query_id"), F.col("unit").alias("unit_q"), "bucket"
@@ -186,8 +200,14 @@ def ivf_topk(
     Zero-norm vectors have no cosine direction and are excluded.
     """
     unit = with_unit_vector(df, vec_col).filter(F.col("unit").isNotNull())
-    cent = unit.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col("unit").alias("cunit")
+    # "first n_centroids by id" via TakeOrdered, not `id < n_centroids`:
+    # the predicate form is only correct for dense 0-based integer ids
+    # (1-based ids silently train n-1 centroids; string ids cast to
+    # NULL and select none, emptying the whole result).
+    cent = (
+        unit.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col("unit").alias("cunit"))
     )
     scored = unit.select(F.col(id_col).alias("id"), "unit").crossJoin(
         F.broadcast(cent)

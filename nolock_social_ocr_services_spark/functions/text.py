@@ -98,10 +98,12 @@ def dup_word_ratio(col: Column) -> Column:
     1 - distinct_words / total_words over whitespace tokens, lowercased.
     0.0 = no repetition; high values flag boilerplate/spam. NULL/empty
     text -> NULL. Pure built-ins, no explode — the token arrays live
-    inside one row."""
-    words = F.filter(
-        F.split(F.trim(F.lower(col)), r"\s+"), lambda w: w != F.lit("")
-    )
+    inside one row. Tokenization delegates to the shared
+    ``corpus_ops.words`` contract (lowercased input) so it cannot drift
+    from the cross-engine oracle tokenizer."""
+    from .corpus_ops import words as _words
+
+    words = _words(F.lower(col))
     n = F.size(words)
     return F.when(col.isNull() | (n == 0), F.lit(None).cast("double")).otherwise(
         1.0 - F.size(F.array_distinct(words)) / n

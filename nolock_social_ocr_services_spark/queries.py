@@ -168,9 +168,11 @@ def q_exact_dedup(spark, sf_dir):
 
 SQL_EXACT_DEDUP = """
 WITH hashed AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
-canon AS (SELECT text_hash, min(doc_id) AS canonical_id FROM hashed GROUP BY text_hash)
-SELECT h.doc_id, c.canonical_id, h.doc_id = c.canonical_id AS is_canonical
-FROM hashed h JOIN canon c USING (text_hash)
+canon AS (SELECT text_hash, min(doc_id) AS canonical_id FROM hashed
+          WHERE text_hash IS NOT NULL GROUP BY text_hash)
+SELECT h.doc_id, coalesce(c.canonical_id, h.doc_id) AS canonical_id,
+       h.doc_id = coalesce(c.canonical_id, h.doc_id) AS is_canonical
+FROM hashed h LEFT JOIN canon c USING (text_hash)
 """
 
 
@@ -261,10 +263,14 @@ def q_cosine_top3(spark, sf_dir):
 
 
 SQL_COSINE_TOP3 = """
-WITH scored AS (
+WITH nz AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE list_dot_product(embedding, embedding) > 0
+),
+scored AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          list_cosine_similarity(a.embedding, b.embedding) AS sim
-  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  FROM nz a JOIN nz b ON a.vec_id <> b.vec_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id,
@@ -1179,7 +1185,7 @@ WITH nz AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
   FROM embeddings WHERE list_dot_product(embedding, embedding) > 0
 ),
-cent AS (SELECT vec_id AS cid, emb AS cemb FROM nz WHERE vec_id < {_IVF_NC}),
+cent AS (SELECT vec_id AS cid, emb AS cemb FROM nz ORDER BY vec_id LIMIT {_IVF_NC}),
 assign AS (
   SELECT n.vec_id, c.cid,
          row_number() OVER (PARTITION BY n.vec_id
@@ -1460,8 +1466,10 @@ WITH words AS (
 ), ks AS (SELECT h FROM hs ORDER BY h LIMIT 64)
 SELECT CAST(count(*) AS BIGINT) AS k,
        CAST(max(h) AS BIGINT) AS kth_hash,
-       CAST(floor(63.0 * 1152921504606846976.0
-                  / CAST(max(h) AS DOUBLE)) AS BIGINT) AS est_distinct
+       CASE WHEN count(*) < 64 THEN CAST(count(*) AS BIGINT)
+            ELSE CAST(floor(63.0 * 1152921504606846976.0
+                            / CAST(max(h) AS DOUBLE)) AS BIGINT)
+       END AS est_distinct
 FROM ks
 """
 

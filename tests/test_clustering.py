@@ -85,3 +85,20 @@ def test_deterministic_across_runs(spark, emb):
         for r in clustering.kmeans_assignments(emb, k=4, iters=2).collect()
     )
     assert a == b
+
+
+def test_null_or_ragged_embedding_gets_null_cluster(spark):
+    """NULL / wrong-length vectors have NULL distance to every centroid;
+    they must surface as cluster=NULL, not a real-looking -1 a
+    downstream stratify would group on."""
+    ok = [(i, [float(i), 0.0]) for i in range(4)]
+    df = spark.createDataFrame(
+        ok + [(90, None), (91, [1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r.cluster
+        for r in clustering.kmeans_assignments(df, k=2, iters=1).collect()
+    }
+    assert got[90] is None and got[91] is None
+    assert all(v in (0, 1) for k, v in got.items() if k < 10)

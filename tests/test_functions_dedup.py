@@ -224,3 +224,34 @@ def test_canonical_survivors_counts(spark):
         for r in dd.canonical_survivors(docs, cc).collect()
     }
     assert got == {"d1": 3, "d4": 1, "d5": 2, "d7": 1}
+
+
+def test_exact_dedup_keeps_null_text_rows(spark):
+    """md5(NULL) is NULL and equi-joins never match NULL keys — an inner
+    join would silently drop every NULL-text doc. Each must survive as
+    its own canonical (no content to dedup on)."""
+    docs = spark.createDataFrame(
+        [("d1", "same"), ("d2", "same"), ("d3", None), ("d4", None)],
+        "doc_id string, text string",
+    )
+    got = {r.doc_id: (r.canonical_id, r.is_canonical)
+           for r in dd.exact_dedup(docs).collect()}
+    assert got == {
+        "d1": ("d1", True),
+        "d2": ("d1", False),
+        "d3": ("d3", True),
+        "d4": ("d4", True),
+    }
+
+
+def test_simhash_variants_share_fold_rules(spark):
+    """Both hash variants must agree on the vote/fold/empty rules (one
+    shared body): empty docs NULL, values in [0, 2^bits)."""
+    docs = spark.createDataFrame(
+        [("d1", "alpha beta gamma delta"), ("d2", ""), ("d3", None)],
+        "doc_id string, text string",
+    )
+    for fn, bits in ((dd.simhash_table, 63), (dd.simhash_md5_table, 60)):
+        got = {r.id: r.simhash for r in fn(docs).collect()}
+        assert got["d2"] is None and got["d3"] is None
+        assert got["d1"] is not None and 0 <= got["d1"] < (1 << bits)

@@ -236,3 +236,29 @@ def test_quantize_int8_bounds_and_zero_vectors(spark):
     assert got["c"] == {
         "vec_id": "c", "q_sum": 64, "q_min": -127, "q_max": 127, "n_sat": 2,
     }
+
+
+def test_zero_norm_vectors_excluded_everywhere(spark):
+    """A zero-norm vector has no cosine direction: it must appear in no
+    top-k output (as query or neighbor) for the exact, LSH, and IVF
+    paths — not emit NULL-sim rows or pile into SRP bucket 0."""
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    for out in (
+        sim.cosine_topk(df, k=2),
+        sim.lsh_topk(df, k=2, bits=2, dim=2),
+        sim.ivf_topk(df, k=2, n_centroids=2),
+    ):
+        got = out.collect()
+        ids = {r.query_id for r in got} | {r.neighbor_id for r in got}
+        assert 2 not in ids
+        assert all(r.sim is not None for r in got)
+
+
+def test_ivf_centroids_survive_non_dense_ids(spark):
+    """Centroid selection is 'first n by id', not 'id < n': shifted id
+    spaces must still train n_centroids and return neighbors."""
+    rows = [(1000 + i, [float(i % 3 + 1), float(i % 5 + 1)]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = sim.ivf_topk(df, k=1, n_centroids=2).collect()
+    assert len(out) > 0

@@ -45,7 +45,9 @@ def test_fake_decode_deterministic(payloads):
 
 
 def test_frame_sample_offsets(spark):
-    df = spark.createDataFrame([(3500,), (0,), (1000,)], "dur long")
+    df = spark.createDataFrame(
+        [(3500,), (0,), (1000,), (None,)], "dur long"
+    )
     got = [
         r.offs
         for r in df.select(
@@ -53,8 +55,11 @@ def test_frame_sample_offsets(spark):
         ).collect()
     ]
     assert got[0] == [0, 1000, 2000, 3000]
-    assert got[1] == [0]
+    # no frame exists in a zero-length or unknown-duration video —
+    # the plan must be empty, never a bogus offset 0
+    assert got[1] == []
     assert got[2] == [0]
+    assert got[3] == []
 
 
 def test_resize_dims_builtin(spark):

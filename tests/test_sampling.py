@@ -135,3 +135,13 @@ def test_shuffle_positions_stable_under_repartition(spark):
     }
     assert a == b
     assert a != c  # a new seed is a new permutation
+
+
+def test_kmv_small_cardinality_is_exact(spark):
+    """Fewer than k distinct values means the sketch holds all of them:
+    report the exact count, never the (grossly overestimating) k-th
+    order-statistic formula."""
+    vals = spark.createDataFrame([(f"w{i % 5}",) for i in range(100)], "word string")
+    row = sampling.kmv_distinct(vals, "word", k=64).collect()[0]
+    assert row["k"] == 5
+    assert row["est_distinct"] == 5
