@@ -399,6 +399,16 @@ def _q_union_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   top_parts/explode_tokens/repetition -> window/agg/explode/quality
 #   families each keep a checked representative.
 _REDUNDANT_TAIL = (
+    # demoted late-r3 for the three new corpus-curation queries
+    # (block_dedup, gopher_rep, semantic_dedup); each demotee is
+    # r2-driver-green and its family keeps a checked head rep:
+    "fingerprint",  # quality/text family keeps lang_id, pii_redact,
+    # doc_quality, lm_perplexity; the rolling-hash primitive is also
+    # inside the minhash/jaccard oracle chains
+    "customer_revenue",  # r1+r2 green twice; join+agg shape repped by
+    # lineitem_agg (agg) and asof_click_view_salted/jaccard_rerank
+    # (joins)
+    "ocr_result_meta",  # OCR family keeps ocr_text + ocr_page_regions
     # demoted r3 (all r2-driver-green; family rep stays checked)
     "value_quantiles",  # approx-quantile boundaries now exercised by the
     # head length_curriculum (boundary-bin path); slot goes to the new

@@ -333,3 +333,58 @@ def lm_perplexity(
         anlp.alias("avg_neg_logp"),
         F.round(F.exp(anlp), 4).alias("ppl"),
     )
+
+
+def top_ngram_char_frac(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher repetition filter (Rae et al. 2021, appendix A1.1):
+    per-document fraction of characters contained in occurrences of the
+    document's most frequent n-gram. High values flag template/boiler-
+    plate documents that token-level stats miss. Output: (id_col,
+    top_ngram, n_occ, char_frac) where char_frac = n_occ *
+    len(top_ngram) / len(space-joined token stream), rounded to 6dp;
+    ties on the count break to the lexicographically smallest n-gram so
+    the answer is deterministic across engines and cluster sizes.
+    Documents with fewer than ``n`` tokens have no n-gram and no row.
+
+    Scale (100 TB): n-grams materialize map-side on the per-row token
+    array (no corpus-position explosion beyond one row per gram
+    occurrence); ONE hash-agg on (doc, gram) with map-side partial
+    aggregation; the argmax window partitions by the document id, so
+    its partition size is bounded by one document's distinct grams —
+    never by the corpus.
+    """
+    w = words(F.col(text_col))
+    grams = F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        )
+    )
+    base = df.select(
+        F.col(id_col),
+        F.length(F.array_join(w, " ")).alias("_chars"),
+        F.explode(grams).alias("ngram"),
+    )
+    counted = base.groupBy(id_col, "_chars", "ngram").agg(
+        F.count("*").alias("n_occ")
+    )
+    win = Window.partitionBy(id_col).orderBy(
+        F.desc("n_occ"), F.asc("ngram")
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select(
+            id_col,
+            F.col("ngram").alias("top_ngram"),
+            "n_occ",
+            F.round(
+                F.col("n_occ") * F.length("ngram") / F.col("_chars"), 6
+            ).alias("char_frac"),
+        )
+    )

@@ -402,3 +402,65 @@ def canonical_survivors(
         .agg(F.count("*").alias("n_members"))
         .select(F.col("cluster_id").alias(id_col), "n_members")
     )
+
+
+def block_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block: int = 16,
+) -> DataFrame:
+    """Block-quantized exact substring dedup — the distributable form of
+    suffix-array substring dedup ("Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2022): cut each document's token
+    stream into consecutive ``block``-token blocks, hash each block's
+    exact text, and mark every block whose text occurred EARLIER in the
+    corpus (earlier = lexicographically smaller (doc, position)) as a
+    duplicate. Output per document: (id_col, n_blocks, n_dup_blocks,
+    dup_frac) — the strip/retain signal a pretraining pipeline feeds on.
+    Quantization trades the suffix array's arbitrary-offset matches for
+    a shape that needs no global suffix sort: matches are exact but
+    block-aligned. Tokenless documents yield no blocks and no row.
+
+    Scale (100 TB): block build is map-side (sequence/slice/md5 on the
+    per-row token array); ONE hash-agg on the 128-bit digest computes
+    the min owner, with map-side partial aggregation absorbing
+    corpus-dominant boilerplate blocks before the exchange; the
+    candidates->owner equi-join is on the same fixed-width digest (AQE
+    skew-join splits any residual hot hash); the final agg is keyed on
+    the document id. No window over a corpus-wide partition anywhere.
+    """
+    from .corpus_ops import words
+
+    w = words(F.col(text_col))
+    n_blocks = F.ceil(F.size(w) / F.lit(block)).cast("int")
+    hashes = F.when(
+        F.size(w) <= 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_blocks - 1),
+            lambda i: F.md5(
+                F.array_join(F.slice(w, i * block + 1, block), " ")
+            ),
+        )
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(hashes).alias("block_idx", "h")
+    )
+    owner = exploded.groupBy("h").agg(
+        F.min(F.struct(id_col, "block_idx")).alias("own")
+    )
+    flagged = exploded.join(owner, "h").withColumn(
+        "is_dup",
+        ~(
+            (F.col(id_col) == F.col("own")[id_col])
+            & (F.col("block_idx") == F.col("own")["block_idx"])
+        ),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_blocks"),
+        F.sum(F.col("is_dup").cast("int")).cast("long").alias("n_dup_blocks"),
+        F.round(
+            F.sum(F.col("is_dup").cast("int")) / F.count("*"), 6
+        ).alias("dup_frac"),
+    )

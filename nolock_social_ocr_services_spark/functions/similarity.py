@@ -398,3 +398,64 @@ def quantize_int8(
         F.array_max(q).alias("q_max"),
         F.size(F.filter(q, lambda v: F.abs(v) == 127)).alias("n_sat"),
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cluster
+    the embedding space, then within each cluster mark every vector
+    that has an EARLIER (smaller-id) cluster-mate with cosine >=
+    threshold as a semantic duplicate. The kept set (is_dup = false) is
+    the semantically-deduplicated corpus. Output: (id_col, cluster,
+    is_dup). Zero-norm / NULL / unassignable vectors have no cosine
+    direction (or no cluster) and are never marked duplicates.
+
+    Scale (100 TB): clustering via :func:`clustering.kmeans_assignments`
+    (broadcast centroids, partial-agg mean updates); the pair join is
+    restricted to WITHIN-cluster pairs, so the pair space is
+    sum-of-squared-cluster-sizes, not N^2. The join key is the cluster
+    id — its parallelism is k, so at scale k must grow with the corpus
+    (SemDeDup uses tens of thousands of clusters, keeping every cluster
+    a few thousand vectors); small k here is the test configuration,
+    not the deployment shape.
+    """
+    from .clustering import kmeans_assignments
+
+    assigned = kmeans_assignments(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    unit = with_unit_vector(df, vec_col=vec_col).select(
+        F.col(id_col).alias("id"), "unit"
+    )
+    lab = (
+        assigned.select(F.col(id_col).alias("id"), "cluster")
+        .join(unit, "id")
+        .filter(F.col("cluster").isNotNull() & F.col("unit").isNotNull())
+    )
+    a = lab.select(
+        F.col("id").alias("id_a"),
+        F.col("cluster").alias("ca"),
+        F.col("unit").alias("ua"),
+    )
+    b = lab.select(
+        F.col("id").alias("id_b"),
+        F.col("cluster").alias("cb"),
+        F.col("unit").alias("ub"),
+    )
+    dups = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("id_a") > F.col("id_b")))
+        .filter(_dot(F.col("ua"), F.col("ub")) >= threshold)
+        .select(F.col("id_a").alias("dup_id"))
+        .distinct()
+    )
+    return assigned.join(
+        dups, assigned[id_col] == dups["dup_id"], "left"
+    ).select(
+        F.col(id_col), "cluster", F.col("dup_id").isNotNull().alias("is_dup")
+    )

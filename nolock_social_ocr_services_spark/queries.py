@@ -2081,6 +2081,141 @@ SELECT vec_id, cid AS cluster FROM af WHERE rn = 1
 """
 
 
+# -- round-3 corpus-curation additions -----------------------------------------
+#
+# block_dedup: block-quantized exact substring dedup (Lee et al. 2022,
+# distributable form); gopher_rep: Gopher top-n-gram character-fraction
+# repetition filter (Rae et al. 2021); semantic_dedup: SemDeDup
+# (Abbas et al. 2023) composing the k-means trainer with a
+# within-cluster cosine dedup — the oracle re-unrolls the SAME Lloyd
+# CTE chain as kmeans_clusters, so the iterative trainer is
+# hash-checked twice, once bare and once inside a composition.
+
+_BLOCK_TOKENS = 16
+_SEM_THRESHOLD = 0.35  # same proven-ulp-safe margin as near_dup_pairs
+
+
+def q_block_dedup(spark, sf_dir):
+    from nolock_social_ocr_services_spark.functions import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.block_dedup(docs, block=_BLOCK_TOKENS)
+
+
+SQL_BLOCK_DEDUP = rf"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         CAST(unnest(range(CAST(ceil(len(ws) / {_BLOCK_TOKENS}.0) AS BIGINT)))
+              AS INT) AS block_idx,
+         ws
+  FROM w WHERE len(ws) > 0
+),
+h AS (
+  SELECT doc_id, block_idx,
+         md5(array_to_string(
+             ws[block_idx * {_BLOCK_TOKENS} + 1
+                : block_idx * {_BLOCK_TOKENS} + {_BLOCK_TOKENS}], ' ')) AS h
+  FROM b
+),
+r AS (
+  SELECT doc_id, block_idx,
+         row_number() OVER (PARTITION BY h
+                            ORDER BY doc_id, block_idx) AS rn
+  FROM h
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_blocks,
+       round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+           AS dup_frac
+FROM r GROUP BY doc_id
+"""
+
+
+def q_gopher_rep(spark, sf_dir):
+    from nolock_social_ocr_services_spark.functions import corpus_ops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_ops.top_ngram_char_frac(docs, n=2)
+
+
+SQL_GOPHER_REP = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, array_to_string(ws, ' ') AS joined,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS ngram
+  FROM w WHERE len(ws) >= 2
+),
+c AS (
+  SELECT doc_id, joined, ngram, count(*) AS n_occ
+  FROM g GROUP BY doc_id, joined, ngram
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY n_occ DESC, ngram ASC) AS rn
+  FROM c
+)
+SELECT doc_id, ngram AS top_ngram, CAST(n_occ AS BIGINT) AS n_occ,
+       round(n_occ * length(ngram) * 1.0 / length(joined), 6) AS char_frac
+FROM r WHERE rn = 1
+"""
+
+
+def q_semantic_dedup(spark, sf_dir):
+    from nolock_social_ocr_services_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.semantic_dedup(
+        emb, k=_KM_K, iters=_KM_ITERS, threshold=_SEM_THRESHOLD
+    )
+
+
+def _sql_semantic_dedup() -> str:
+    iters = ",".join(_km_iter_sql(n + 1, f"c{n}") for n in range(_KM_ITERS))
+    return f"""
+-- CAST to DOUBLE[]: list_cosine_similarity on FLOAT[] computes in
+-- float32, which diverges from Spark's double math near the threshold.
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM v
+       WHERE vec_id < {_KM_K}),
+{iters},
+af AS (
+  SELECT v.vec_id, c{_KM_ITERS}.cid,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY list_distance(v.v, c{_KM_ITERS}.c),
+                                     c{_KM_ITERS}.cid) AS rn
+  FROM v CROSS JOIN c{_KM_ITERS}
+),
+sel AS (SELECT vec_id, cid AS cluster FROM af WHERE rn = 1),
+nz AS (SELECT vec_id FROM v WHERE list_dot_product(v, v) > 0),
+dups AS (
+  SELECT DISTINCT a.vec_id
+  FROM sel a
+  JOIN sel b ON a.cluster = b.cluster AND a.vec_id > b.vec_id
+  JOIN nz na ON na.vec_id = a.vec_id
+  JOIN nz nb ON nb.vec_id = b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id
+  WHERE list_cosine_similarity(va.v, vb.v) >= {_SEM_THRESHOLD}
+)
+SELECT s.vec_id, s.cluster, d.vec_id IS NOT NULL AS is_dup
+FROM sel s LEFT JOIN dups d ON s.vec_id = d.vec_id
+"""
+
+
 def extra_queries() -> dict[str, tuple]:
     """name -> (callable, oracle_sql | None)"""
     return {
@@ -2158,6 +2293,9 @@ def extra_queries() -> dict[str, tuple]:
         "length_curriculum": (q_length_curriculum, SQL_LENGTH_CURRICULUM),
         "kmeans_clusters": (q_kmeans_clusters, _sql_kmeans_clusters()),
         "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
+        "block_dedup": (q_block_dedup, SQL_BLOCK_DEDUP),
+        "gopher_rep": (q_gopher_rep, SQL_GOPHER_REP),
+        "semantic_dedup": (q_semantic_dedup, _sql_semantic_dedup()),
         "length_curriculum_ntile": (
             q_length_curriculum_ntile,
             SQL_LENGTH_CURRICULUM_NTILE,

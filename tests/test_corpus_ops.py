@@ -132,3 +132,27 @@ def test_lm_perplexity_matches_hand_model(spark):
         assert got[doc_id].ppl == pytest.approx(round(math.exp(anlp), 4), abs=1e-6)
     # likelier text scores lower: repeated common bigram beats rare ones
     assert got[1].avg_neg_logp < got[2].avg_neg_logp
+
+
+def test_top_ngram_char_frac_golden(spark):
+    """Gopher top-2-gram character fraction: argmax with (count desc,
+    gram asc) tie-break; docs with < n tokens have no row."""
+    from nolock_social_ocr_services_spark.functions import corpus_ops
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "x y x y z"),  # "x y" x2; joined len 9 -> 2*3/9
+            ("d2", "p q r"),      # tie "p q"/"q r" x1 -> lexic. "p q"
+            ("d3", "solo"),       # 1 token -> no bigram -> no row
+            ("d4", None),
+        ],
+        "doc_id string, text string",
+    )
+    got = {
+        r.doc_id: (r.top_ngram, r.n_occ, r.char_frac)
+        for r in corpus_ops.top_ngram_char_frac(docs, n=2).collect()
+    }
+    assert got == {
+        "d1": ("x y", 2, round(6 / 9, 6)),
+        "d2": ("p q", 1, 0.6),
+    }

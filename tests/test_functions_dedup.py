@@ -255,3 +255,40 @@ def test_simhash_variants_share_fold_rules(spark):
         got = {r.id: r.simhash for r in fn(docs).collect()}
         assert got["d2"] is None and got["d3"] is None
         assert got["d1"] is not None and 0 <= got["d1"] < (1 << bits)
+
+
+def test_block_dedup_golden(spark):
+    """Block-quantized substring dedup: duplicate blocks are flagged on
+    every occurrence AFTER the lexicographically-first (doc, position);
+    tokenless docs yield no row."""
+    docs = spark.createDataFrame(
+        [
+            ("d1", "a b c d"),          # blocks: [a b], [c d] — both owned
+            ("d2", "a b x y"),          # [a b] dup of d1#0, [x y] owned
+            ("d3", "c d c d"),          # [c d] dup of d1#1, [c d] dup too
+            ("d4", ""),                 # tokenless -> no row
+            ("d5", None),               # NULL -> no row
+            ("d6", "e"),                # short last block, owned
+        ],
+        "doc_id string, text string",
+    )
+    got = {
+        r.doc_id: (r.n_blocks, r.n_dup_blocks, r.dup_frac)
+        for r in dd.block_dedup(docs, block=2).collect()
+    }
+    assert got == {
+        "d1": (2, 0, 0.0),
+        "d2": (2, 1, 0.5),
+        "d3": (2, 2, 1.0),
+        "d6": (1, 0, 0.0),
+    }
+
+
+def test_block_dedup_intra_doc_duplicates(spark):
+    """A block repeated INSIDE one document is a duplicate of its own
+    earlier position — the owner key is (doc, position), not doc."""
+    docs = spark.createDataFrame(
+        [("d1", "a b a b a b")], "doc_id string, text string"
+    )
+    row = dd.block_dedup(docs, block=2).collect()[0]
+    assert (row.n_blocks, row.n_dup_blocks) == (3, 2)

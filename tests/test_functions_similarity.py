@@ -262,3 +262,28 @@ def test_ivf_centroids_survive_non_dense_ids(spark):
     df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
     out = sim.ivf_topk(df, k=1, n_centroids=2).collect()
     assert len(out) > 0
+
+
+def test_semantic_dedup_flags_within_cluster_near_dups(spark):
+    """SemDeDup: a vector with an earlier same-cluster mate above the
+    cosine threshold is a duplicate; zero-norm vectors are never
+    flagged; the earliest vector of a dup group always survives."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.999, 0.01]),   # near-dup of 0
+        (3, [0.0, 0.0]),      # zero-norm: clustered but never a dup
+        (4, [0.01, 0.999]),   # near-dup of 1
+        (5, [0.7, 0.7]),      # diagonal: in some cluster, below 0.95
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = {
+        r.vec_id: r.is_dup
+        for r in sim.semantic_dedup(
+            df, k=2, iters=2, threshold=0.95
+        ).collect()
+    }
+    assert got[0] is False and got[1] is False
+    assert got[2] is True and got[4] is True
+    assert got[3] is False
+    assert len(got) == 6
