@@ -235,3 +235,29 @@ def test_length_curriculum_has_no_global_sort_ntile(spark, sf_dir):
     assert "Window" in plan and "HashAggregate" in plan
     after_window = plan[plan.rindex("Window"):]
     assert "HashAggregate" in after_window
+
+
+def test_block_dedup_plan_no_python_no_cartesian(spark, sf_dir):
+    """block_dedup's plan must be all-JVM (built-ins only) with the
+    owner resolution as a hash-agg + equi-join on the digest — never a
+    window over a corpus-wide partition, never a cartesian."""
+    from nolock_social_ocr_services_spark.queries import q_block_dedup
+
+    q = q_block_dedup(spark, sf_dir)
+    plan = explain_str(q)
+    assert batch_eval_count(q) == 0
+    assert arrow_eval_count(q) == 0
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_semantic_dedup_pair_join_is_equi_not_cartesian(spark, sf_dir):
+    """SemDeDup's pair stage must join on the cluster id (equi-join on
+    ca = cb with the id inequality as a residual), never degenerate to
+    a cartesian/broadcast-nested-loop over the corpus."""
+    from nolock_social_ocr_services_spark.queries import q_semantic_dedup
+
+    q = q_semantic_dedup(spark, sf_dir)
+    plan = explain_str(q)
+    assert "CartesianProduct" not in plan
+    assert batch_eval_count(q) == 0
