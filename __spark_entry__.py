@@ -409,6 +409,10 @@ _REDUNDANT_TAIL = (
     # lineitem_agg (agg) and asof_click_view_salted/jaccard_rerank
     # (joins)
     "ocr_result_meta",  # OCR family keeps ocr_text + ocr_page_regions
+    "ivf_top3_np2",  # nprobe=2 recall twin of the head ivf_top3 — same
+    # structure, second hash-checked setting of the recall/cost dial
+    "corpus_report",  # composition of three head-green components
+    # (exact_dedup + quality_score + token_count) — no new primitive
     # demoted r3 (all r2-driver-green; family rep stays checked)
     "value_quantiles",  # approx-quantile boundaries now exercised by the
     # head length_curriculum (boundary-bin path); slot goes to the new

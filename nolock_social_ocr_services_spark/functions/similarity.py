@@ -183,20 +183,27 @@ def ivf_topk(
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize each vector to its
-    nearest centroid, then exact-search only within the centroid's
-    inverted list (nprobe=1).
+    nearest centroid, then exact-search only within the inverted lists
+    of the query's ``nprobe`` nearest centroids.
 
     Centroids are the first ``n_centroids`` vectors by id — a
     deterministic "training sample" (at scale: k-means on a sample; the
     partition/search structure is identical). The centroid table is tiny
     and BROADCAST, so assignment is a map-side join: no shuffle until
-    the per-cluster self-join, whose key (cluster id) caps the pair
-    space at sum of squared cluster sizes instead of N^2.
+    the per-cluster join, whose key (cluster id) caps the pair
+    space at nprobe * sum-of-squared-cluster-sizes instead of N^2.
 
-    Approximate by construction (neighbors quantized to another cluster
-    are missed); recall vs :func:`cosine_topk` is pinned in tests.
+    ``nprobe`` is the standard IVF recall/cost dial: every vector lives
+    in exactly ONE inverted list (its nearest centroid), and each query
+    probes its ``nprobe`` nearest lists — nprobe=1 is the cheapest form,
+    higher values recover neighbors that quantized across a cluster
+    boundary at linearly higher candidate cost. A (query, neighbor)
+    pair can appear at most once because the probed clusters are
+    distinct and the neighbor belongs to one list. Recall vs
+    :func:`cosine_topk` is pinned in tests at both settings.
     Zero-norm vectors have no cosine direction and are excluded.
     """
     unit = with_unit_vector(df, vec_col).filter(F.col("unit").isNotNull())
@@ -217,12 +224,16 @@ def ivf_topk(
     w_assign = Window.partitionBy("id").orderBy(
         _dot(F.col("unit"), F.col("cunit")).desc(), F.col("cid")
     )
-    assigned = (
-        scored.withColumn("crank", F.row_number().over(w_assign))
-        .filter(F.col("crank") == 1)
-        .select("id", "unit", F.col("cid").alias("cluster"))
+    ranked_cent = scored.withColumn(
+        "crank", F.row_number().over(w_assign)
     )
-    a = assigned.select(
+    assigned = ranked_cent.filter(F.col("crank") == 1).select(
+        "id", "unit", F.col("cid").alias("cluster")
+    )
+    probes = ranked_cent.filter(F.col("crank") <= nprobe).select(
+        "id", "unit", F.col("cid").alias("cluster")
+    )
+    a = probes.select(
         F.col("id").alias("query_id"), F.col("unit").alias("unit_q"), "cluster"
     )
     b = assigned.select(

@@ -1211,6 +1211,50 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
 """
 
 
+def q_ivf_top3_np2(spark, sf_dir):
+    """nprobe=2 recall twin of ivf_top3: each query also searches its
+    second-nearest centroid's inverted list — the standard IVF
+    recall/cost dial, hash-checked at a second setting."""
+    from .functions import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sim.ivf_topk(emb, k=3, n_centroids=_IVF_NC, nprobe=2).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+SQL_IVF_TOP3_NP2 = f"""
+WITH nz AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE list_dot_product(embedding, embedding) > 0
+),
+cent AS (SELECT vec_id AS cid, emb AS cemb FROM nz ORDER BY vec_id LIMIT {_IVF_NC}),
+assign AS (
+  SELECT n.vec_id, c.cid,
+         row_number() OVER (PARTITION BY n.vec_id
+                            ORDER BY list_cosine_similarity(n.emb, c.cemb) DESC,
+                                     c.cid) AS rn
+  FROM nz n CROSS JOIN cent c
+),
+lists AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+probes AS (SELECT vec_id, cid FROM assign WHERE rn <= 2),
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         list_cosine_similarity(qe.emb, ne.emb) AS sim
+  FROM probes q JOIN lists n ON q.cid = n.cid AND q.vec_id <> n.vec_id
+  JOIN nz qe ON qe.vec_id = q.vec_id
+  JOIN nz ne ON ne.vec_id = n.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
+"""
+
+
 # -- multimodal decode metadata (mapInPandas over binary payloads) -------------
 
 
@@ -2174,6 +2218,71 @@ FROM r WHERE rn = 1
 """
 
 
+def q_corpus_report(spark, sf_dir):
+    """Corpus curation report — the per-language summary a training-data
+    release ships: document counts, exact-dedup survivor counts, token
+    totals and quality-pass counts, composed entirely from the
+    hash-checked building blocks (exact_dedup + quality_score +
+    token_count). One dedup hash-agg + one join + one per-lang agg; at
+    scale every stage is key-partitioned with map-side partials."""
+    from .functions import dedup as dd
+    from .functions import text as tx
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    canon = dd.exact_dedup(d).select("doc_id", "is_canonical")
+    base = d.join(canon, "doc_id")
+    q = tx.quality_score(F.col("text"))
+    return base.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("is_canonical").cast("int")).cast("long").alias("n_canonical"),
+        F.sum(tx.token_count(F.col("text"))).cast("long").alias("total_tokens"),
+        F.sum((q >= F.lit(0.6)).cast("int")).cast("long").alias("n_quality"),
+    )
+
+
+SQL_CORPUS_REPORT = r"""
+WITH hashed AS (
+  SELECT doc_id, lang, text, md5(text) AS text_hash FROM documents
+),
+canon AS (
+  SELECT text_hash, min(doc_id) AS canonical_id FROM hashed
+  WHERE text_hash IS NOT NULL GROUP BY text_hash
+),
+j AS (
+  SELECT h.doc_id, h.lang, h.text,
+         h.doc_id = coalesce(c.canonical_id, h.doc_id) AS is_canonical
+  FROM hashed h LEFT JOIN canon c USING (text_hash)
+),
+t AS (
+  SELECT lang, is_canonical, text IS NULL AS tnull,
+    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+    CASE WHEN text IS NULL THEN 0
+         ELSE len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) END AS en_hits,
+    CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
+         ELSE (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1.0
+              / length(text) END AS pr
+  FROM j
+),
+q AS (
+  SELECT lang, is_canonical, n_tokens,
+         CASE WHEN tnull THEN NULL ELSE
+             (CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN en_hits >= 2 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN pr <= 0.2 THEN 0.2 ELSE 0.0 END) >= 0.6
+         END AS iq
+  FROM t
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_canonical,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN iq THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+FROM q GROUP BY lang
+"""
+
+
 def q_semantic_dedup(spark, sf_dir):
     from nolock_social_ocr_services_spark.functions import similarity
 
@@ -2266,6 +2375,7 @@ def extra_queries() -> dict[str, tuple]:
         "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
         "session_window": (q_session_window, SQL_SESSION_WINDOW),
         "ivf_top3": (q_ivf_top3, SQL_IVF_TOP3),
+        "ivf_top3_np2": (q_ivf_top3_np2, SQL_IVF_TOP3_NP2),
         "decode_image_meta": (
             q_decode_image_meta,
             _sql_decode_image_meta().format(flat=_ORACLE_FLAT),
@@ -2296,6 +2406,7 @@ def extra_queries() -> dict[str, tuple]:
         "block_dedup": (q_block_dedup, SQL_BLOCK_DEDUP),
         "gopher_rep": (q_gopher_rep, SQL_GOPHER_REP),
         "semantic_dedup": (q_semantic_dedup, _sql_semantic_dedup()),
+        "corpus_report": (q_corpus_report, SQL_CORPUS_REPORT),
         "length_curriculum_ntile": (
             q_length_curriculum_ntile,
             SQL_LENGTH_CURRICULUM_NTILE,

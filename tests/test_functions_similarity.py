@@ -287,3 +287,24 @@ def test_semantic_dedup_flags_within_cluster_near_dups(spark):
     assert got[2] is True and got[4] is True
     assert got[3] is False
     assert len(got) == 6
+
+
+def test_ivf_nprobe_improves_recall_monotonically(spark, emb):
+    """nprobe is the IVF recall dial: probing a second inverted list
+    must never lose exact-top-k hits and each (query, neighbor) pair
+    must still appear at most once (lists are disjoint, probes
+    distinct)."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.cosine_topk(emb, k=3).collect()
+    }
+
+    def recall(nprobe):
+        rows = sim.ivf_topk(emb, k=3, n_centroids=8, nprobe=nprobe).collect()
+        pairs = [(r.query_id, r.neighbor_id) for r in rows]
+        assert len(pairs) == len(set(pairs))  # no duplicate candidates
+        return len(exact & set(pairs)) / len(exact)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1
+    assert r2 > 0.05
