@@ -413,6 +413,8 @@ _REDUNDANT_TAIL = (
     # structure, second hash-checked setting of the recall/cost dial
     "corpus_report",  # composition of three head-green components
     # (exact_dedup + quality_score + token_count) — no new primitive
+    "block_dedup_apply",  # apply-side twin of the head block_dedup —
+    # same digest stages, output is the rebuilt text
     # demoted r3 (all r2-driver-green; family rep stays checked)
     "value_quantiles",  # approx-quantile boundaries now exercised by the
     # head length_curriculum (boundary-bin path); slot goes to the new

@@ -430,37 +430,79 @@ def block_dedup(
     skew-join splits any residual hot hash); the final agg is keyed on
     the document id. No window over a corpus-wide partition anywhere.
     """
-    from .corpus_ops import words
-
-    w = words(F.col(text_col))
-    n_blocks = F.ceil(F.size(w) / F.lit(block)).cast("int")
-    hashes = F.when(
-        F.size(w) <= 0, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n_blocks - 1),
-            lambda i: F.md5(
-                F.array_join(F.slice(w, i * block + 1, block), " ")
-            ),
-        )
-    )
-    exploded = df.select(
-        F.col(id_col), F.posexplode(hashes).alias("block_idx", "h")
-    )
-    owner = exploded.groupBy("h").agg(
-        F.min(F.struct(id_col, "block_idx")).alias("own")
-    )
-    flagged = exploded.join(owner, "h").withColumn(
-        "is_dup",
-        ~(
-            (F.col(id_col) == F.col("own")[id_col])
-            & (F.col("block_idx") == F.col("own")["block_idx"])
-        ),
-    )
+    flagged = _block_flags(df, text_col, id_col, block)
     return flagged.groupBy(id_col).agg(
         F.count("*").alias("n_blocks"),
         F.sum(F.col("is_dup").cast("int")).cast("long").alias("n_dup_blocks"),
         F.round(
             F.sum(F.col("is_dup").cast("int")) / F.count("*"), 6
         ).alias("dup_frac"),
+    )
+
+
+def _block_flags(
+    df: DataFrame, text_col: str, id_col: str, block: int
+) -> DataFrame:
+    """Shared block builder for :func:`block_dedup` /
+    :func:`block_dedup_apply`: one row per ``block``-token block with
+    its text, digest, position, and the corpus-wide duplicate flag
+    (earlier = lexicographically smaller (doc, position) owns the
+    text). Carrying the block text costs nothing extra — the explode
+    materializes it either way and the owner agg/join stay keyed on
+    the fixed-width digest."""
+    from .corpus_ops import words
+
+    w = words(F.col(text_col))
+    n_blocks = F.ceil(F.size(w) / F.lit(block)).cast("int")
+    blocks = F.when(
+        F.size(w) <= 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_blocks - 1),
+            lambda i: F.array_join(F.slice(w, i * block + 1, block), " "),
+        )
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(blocks).alias("block_idx", "btext")
+    ).withColumn("h", F.md5("btext"))
+    owner = exploded.groupBy("h").agg(
+        F.min(F.struct(id_col, "block_idx")).alias("own")
+    )
+    return exploded.join(owner, "h").withColumn(
+        "is_dup",
+        ~(
+            (F.col(id_col) == F.col("own")[id_col])
+            & (F.col("block_idx") == F.col("own")["block_idx"])
+        ),
+    )
+
+
+def block_dedup_apply(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block: int = 16,
+) -> DataFrame:
+    """Apply the :func:`block_dedup` decision: rebuild each document's
+    text with every corpus-duplicate block REMOVED (the first occurrence
+    by (doc, position) is the one kept). Output: (id_col, clean_text,
+    n_kept); a document whose blocks are all duplicates comes back with
+    clean_text = '' and n_kept = 0, so downstream length filters drop it
+    explicitly rather than it vanishing silently. Tokenless documents
+    have no blocks and no row, as in block_dedup.
+
+    Scale (100 TB): identical digest-keyed stages as block_dedup; the
+    rebuild is one per-doc agg whose collect_list is bounded by a single
+    document's block count (never corpus-sized), sorted in-row by
+    position before joining."""
+    flagged = _block_flags(df, text_col, id_col, block)
+    kept = F.when(~F.col("is_dup"), F.struct("block_idx", "btext"))
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept)), lambda s: s["btext"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum((~F.col("is_dup")).cast("int")).cast("long").alias("n_kept"),
     )

@@ -2183,6 +2183,48 @@ FROM r GROUP BY doc_id
 """
 
 
+def q_block_dedup_apply(spark, sf_dir):
+    from nolock_social_ocr_services_spark.functions import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.block_dedup_apply(docs, block=_BLOCK_TOKENS)
+
+
+SQL_BLOCK_DEDUP_APPLY = rf"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         CAST(unnest(range(CAST(ceil(len(ws) / {_BLOCK_TOKENS}.0) AS BIGINT)))
+              AS INT) AS block_idx,
+         ws
+  FROM w WHERE len(ws) > 0
+),
+h AS (
+  SELECT doc_id, block_idx,
+         array_to_string(
+             ws[block_idx * {_BLOCK_TOKENS} + 1
+                : block_idx * {_BLOCK_TOKENS} + {_BLOCK_TOKENS}], ' ') AS btext
+  FROM b
+),
+r AS (
+  SELECT doc_id, block_idx, btext,
+         row_number() OVER (PARTITION BY md5(btext)
+                            ORDER BY doc_id, block_idx) AS rn
+  FROM h
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN btext END, ' '
+                           ORDER BY block_idx), '') AS clean_text,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM r GROUP BY doc_id
+"""
+
+
 def q_gopher_rep(spark, sf_dir):
     from nolock_social_ocr_services_spark.functions import corpus_ops
 
@@ -2404,6 +2446,7 @@ def extra_queries() -> dict[str, tuple]:
         "kmeans_clusters": (q_kmeans_clusters, _sql_kmeans_clusters()),
         "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
         "block_dedup": (q_block_dedup, SQL_BLOCK_DEDUP),
+        "block_dedup_apply": (q_block_dedup_apply, SQL_BLOCK_DEDUP_APPLY),
         "gopher_rep": (q_gopher_rep, SQL_GOPHER_REP),
         "semantic_dedup": (q_semantic_dedup, _sql_semantic_dedup()),
         "corpus_report": (q_corpus_report, SQL_CORPUS_REPORT),

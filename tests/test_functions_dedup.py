@@ -292,3 +292,26 @@ def test_block_dedup_intra_doc_duplicates(spark):
     )
     row = dd.block_dedup(docs, block=2).collect()[0]
     assert (row.n_blocks, row.n_dup_blocks) == (3, 2)
+
+
+def test_block_dedup_apply_rebuilds_text(spark):
+    """Applying the block decision rebuilds each doc's text from its
+    kept blocks in position order; an all-duplicate doc comes back
+    EMPTY (explicit), not absent."""
+    docs = spark.createDataFrame(
+        [
+            ("d1", "a b c d"),
+            ("d2", "a b x y"),   # first block stripped, keeps "x y"
+            ("d3", "c d"),       # entirely d1's second block -> ""
+        ],
+        "doc_id string, text string",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept)
+        for r in dd.block_dedup_apply(docs, block=2).collect()
+    }
+    assert got == {
+        "d1": ("a b c d", 2),
+        "d2": ("x y", 1),
+        "d3": ("", 0),
+    }
