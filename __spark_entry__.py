@@ -399,6 +399,11 @@ def _q_union_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   top_parts/explode_tokens/repetition -> window/agg/explode/quality
 #   families each keep a checked representative.
 _REDUNDANT_TAIL = (
+    # demoted late-r3 for the new decontaminate query (GPT-3-style
+    # 13-gram benchmark decontamination):
+    "extract_checks",  # r1+r2 green twice; the checks extraction path
+    # is isomorphic to receipts (SURVEY EP1) and stays head-checked
+    # through extract_checks_full (superset schema + fallback column)
     # demoted late-r3 for the three new corpus-curation queries
     # (block_dedup, gopher_rep, semantic_dedup); each demotee is
     # r2-driver-green and its family keeps a checked head rep:

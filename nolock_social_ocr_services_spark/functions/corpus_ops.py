@@ -388,3 +388,57 @@ def top_ngram_char_frac(
             ).alias("char_frac"),
         )
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: annotate every training document with
+    the number of distinct word ``n``-grams it shares with an eval
+    benchmark (GPT-3's appendix-C 13-gram rule; same shape as Dolma's
+    and The Pile's decontamination passes). Downstream either drops
+    flagged docs or excises the overlapping windows.
+
+    Scale (100 TB corpus, small benchmark — the real-world asymmetry):
+      * the benchmark side collapses to DISTINCT n-grams and rides a
+        BROADCAST hint, so the corpus-side probe is a map-side
+        broadcast hash join — the corpus itself NEVER shuffles;
+      * n-gram construction is ``transform(sequence(...))`` over each
+        row's token array (codegen'd, map-side, no Python);
+      * only the join survivors (matching (doc, ngram) pairs — tiny by
+        construction: eval sets are ~1e4 docs) reach the hash-agg
+        exchange, and the per-doc hit counts re-attach to the corpus
+        through a second broadcast join, so the full pipeline touches
+        the big table with zero wide shuffles of it.
+
+    Returns ``docs`` plus ``hit_ngrams`` (distinct shared n-grams, 0 if
+    clean) and ``contaminated`` (bool). Docs shorter than ``n`` tokens
+    carry no n-grams and are never flagged.
+    """
+    w = words(F.col(text_col))
+    grams = F.when(
+        F.size(w) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        )
+    )
+    bench_ngrams = (
+        benchmark.select(F.explode(grams).alias("ngram")).distinct()
+    )
+    hits = (
+        docs.select(F.col(id_col), F.explode(grams).alias("ngram"))
+        .join(F.broadcast(bench_ngrams), "ngram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("ngram").alias("hit_ngrams"))
+    )
+    return (
+        docs.join(F.broadcast(hits), id_col, "left")
+        .withColumn("hit_ngrams", F.coalesce("hit_ngrams", F.lit(0)))
+        .withColumn("contaminated", F.col("hit_ngrams") > 0)
+    )

@@ -2367,6 +2367,49 @@ FROM sel s LEFT JOIN dups d ON s.vec_id = d.vec_id
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix-C 13-gram rule): a
+    held-out benchmark slice (doc_id % 10 == 7 simulates the eval set)
+    is reduced to its distinct 13-grams and broadcast; every remaining
+    training doc is annotated with its distinct shared-n-gram count.
+    The corpus side never shuffles — both the probe and the flag
+    re-attach are broadcast hash joins."""
+    from nolock_social_ocr_services_spark.functions import corpus_ops
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    return corpus_ops.decontaminate(corpus, bench, n=13).select(
+        "doc_id", "hit_ngrams", "contaminated"
+    )
+
+
+SQL_DECONTAMINATE = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, array_to_string(list_slice(ws, i, i + 12), ' ') AS ngram
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 12)) AS i
+        FROM w WHERE len(ws) >= 13)
+),
+bench AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 10 = 7),
+h AS (
+  SELECT g.doc_id, count(DISTINCT g.ngram) AS hit_ngrams
+  FROM g JOIN bench USING (ngram)
+  WHERE g.doc_id % 10 <> 7
+  GROUP BY 1
+)
+SELECT d.doc_id, CAST(COALESCE(h.hit_ngrams, 0) AS BIGINT) AS hit_ngrams,
+       COALESCE(h.hit_ngrams, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN h USING (doc_id)
+WHERE d.doc_id % 10 <> 7
+"""
+
+
 def extra_queries() -> dict[str, tuple]:
     """name -> (callable, oracle_sql | None)"""
     return {
@@ -2448,6 +2491,7 @@ def extra_queries() -> dict[str, tuple]:
         "block_dedup": (q_block_dedup, SQL_BLOCK_DEDUP),
         "block_dedup_apply": (q_block_dedup_apply, SQL_BLOCK_DEDUP_APPLY),
         "gopher_rep": (q_gopher_rep, SQL_GOPHER_REP),
+        "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
         "semantic_dedup": (q_semantic_dedup, _sql_semantic_dedup()),
         "corpus_report": (q_corpus_report, SQL_CORPUS_REPORT),
         "length_curriculum_ntile": (

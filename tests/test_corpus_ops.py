@@ -156,3 +156,41 @@ def test_top_ngram_char_frac_golden(spark):
         "d1": ("x y", 2, round(6 / 9, 6)),
         "d2": ("p q", 1, 0.6),
     }
+
+
+def test_decontaminate_flags_shared_13grams(spark):
+    # bench doc: 14 tokens -> two 13-grams
+    bench_text = " ".join(f"t{i}" for i in range(14))
+    # x: exact copy (2 shared 13-grams); y: shares only a 12-token
+    # window (below n); z: disjoint; s: shorter than n (never flagged)
+    y_text = " ".join(f"t{i}" for i in range(12)) + " other tail words"
+    z_text = " ".join(f"z{i}" for i in range(20))
+    s_text = "t0 t1 t2"
+    corpus = spark.createDataFrame(
+        [(1, bench_text), (2, y_text), (3, z_text), (4, s_text)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(99, bench_text)], "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["hit_ngrams"], r["contaminated"])
+        for r in co.decontaminate(corpus, bench, n=13).collect()
+    }
+    assert out == {1: (2, True), 2: (0, False), 3: (0, False), 4: (0, False)}
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark, sf_dir):
+    from nolock_social_ocr_services_spark.plans.inspect import (
+        batch_eval_count,
+        explain_str,
+    )
+    from nolock_social_ocr_services_spark.queries import q_decontaminate
+
+    df = q_decontaminate(spark, sf_dir)
+    plan = explain_str(df)
+    # both the n-gram probe and the flag re-attach are broadcast hash
+    # joins: the corpus side must never sort-merge (no wide shuffle of
+    # the big table at 100 TB), and nothing here is Python
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert batch_eval_count(df) == 0
