@@ -404,6 +404,8 @@ _REDUNDANT_TAIL = (
     "extract_checks",  # r1+r2 green twice; the checks extraction path
     # is isomorphic to receipts (SURVEY EP1) and stays head-checked
     # through extract_checks_full (superset schema + fallback column)
+    "decontaminate_excise",  # apply-side twin of the head decontaminate
+    # — same broadcast probe stages, output is the excised rebuilt text
     # demoted late-r3 for the three new corpus-curation queries
     # (block_dedup, gopher_rep, semantic_dedup); each demotee is
     # r2-driver-green and its family keeps a checked head rep:

@@ -442,3 +442,78 @@ def decontaminate(
         .withColumn("hit_ngrams", F.coalesce("hit_ngrams", F.lit(0)))
         .withColumn("contaminated", F.col("hit_ngrams") > 0)
     )
+
+
+def decontaminate_excise(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply side of :func:`decontaminate`: instead of dropping flagged
+    docs, excise exactly the tokens covered by a shared ``n``-gram and
+    rebuild the remaining text (GPT-3 removes a window around each
+    collision rather than the whole document; this is the deterministic
+    token-exact version of that rule). Fully-contaminated docs come
+    back with EMPTY text, not absent — the row-count contract callers
+    audit removal rates against.
+
+    Same scale shape as ``decontaminate``: the benchmark collapses to
+    distinct n-grams and broadcasts, the corpus-side probe is a
+    map-side broadcast hash join, and the per-doc hit-position lists
+    (tiny: positions of matches only) re-attach through a second
+    broadcast join. The excision itself is pure higher-order functions
+    over each row's token array — no shuffle of the corpus, no Python.
+
+    Returns (id_col, clean_text, n_removed) with ``clean_text``
+    token-normalized (single-space joined, the same rebuild contract as
+    ``chunked`` / ``dedup.block_dedup_apply``).
+    """
+    w = words(F.col(text_col))
+    grams = F.when(
+        F.size(w) < n,
+        F.array().cast("array<struct<pos:int,ngram:string>>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.array_join(F.slice(w, i, n), " ").alias("ngram"),
+            ),
+        )
+    )
+    bench_ngrams = (
+        benchmark.select(
+            F.explode(grams).alias("g")
+        ).select(F.col("g.ngram").alias("ngram")).distinct()
+    )
+    hitpos = (
+        docs.select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(id_col, F.col("g.pos").alias("pos"), F.col("g.ngram").alias("ngram"))
+        .join(F.broadcast(bench_ngrams), "ngram")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("pos")).alias("hitpos"))
+    )
+    hp = F.coalesce(F.col("hitpos"), F.array().cast("array<int>"))
+    toks = F.filter(
+        F.transform(
+            w,
+            lambda tok, i: F.struct(
+                tok.alias("w"), (i + 1).alias("j")
+            ),
+        ),
+        lambda s: ~F.exists(
+            hp, lambda p: (p <= s["j"]) & (s["j"] < p + n)
+        ),
+    )
+    return (
+        docs.join(F.broadcast(hitpos), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform(toks, lambda s: s["w"]), " "
+            ).alias("clean_text"),
+            (F.size(w) - F.size(toks)).cast("long").alias("n_removed"),
+        )
+    )

@@ -2410,6 +2410,64 @@ WHERE d.doc_id % 10 <> 7
 """
 
 
+def q_decontaminate_excise(spark, sf_dir):
+    """Apply side of `decontaminate`: excise every token covered by a
+    13-gram shared with the benchmark slice and rebuild the text
+    (token-normalized). Exact duplicates of benchmark docs come back
+    EMPTY, clean docs come back verbatim."""
+    from nolock_social_ocr_services_spark.functions import corpus_ops
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    return corpus_ops.decontaminate_excise(corpus, bench, n=13)
+
+
+SQL_DECONTAMINATE_EXCISE = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i, array_to_string(list_slice(ws, i, i + 12), ' ') AS ngram
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 12)) AS i
+        FROM w WHERE len(ws) >= 13)
+),
+bench AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 10 = 7),
+hp AS (
+  SELECT g.doc_id, list_sort(list(DISTINCT g.i)) AS hitpos
+  FROM g JOIN bench USING (ngram)
+  WHERE g.doc_id % 10 <> 7
+  GROUP BY 1
+),
+tok AS (
+  SELECT w.doc_id, t.j, w.ws[t.j] AS tokw
+  FROM w, unnest(generate_series(1, len(w.ws))) AS t(j)
+  WHERE w.doc_id % 10 <> 7
+),
+kept AS (
+  SELECT t.doc_id, t.j, t.tokw
+  FROM tok t LEFT JOIN hp USING (doc_id)
+  WHERE hp.hitpos IS NULL
+     OR len(list_filter(hp.hitpos,
+                        p -> p <= t.j AND t.j < p + 13)) = 0
+),
+rebuilt AS (
+  SELECT doc_id,
+         array_to_string(list(tokw ORDER BY j), ' ') AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY 1
+)
+SELECT w.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(len(w.ws) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM w LEFT JOIN rebuilt r USING (doc_id)
+WHERE w.doc_id % 10 <> 7
+"""
+
+
 def extra_queries() -> dict[str, tuple]:
     """name -> (callable, oracle_sql | None)"""
     return {
@@ -2492,6 +2550,10 @@ def extra_queries() -> dict[str, tuple]:
         "block_dedup_apply": (q_block_dedup_apply, SQL_BLOCK_DEDUP_APPLY),
         "gopher_rep": (q_gopher_rep, SQL_GOPHER_REP),
         "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+        "decontaminate_excise": (
+            q_decontaminate_excise,
+            SQL_DECONTAMINATE_EXCISE,
+        ),
         "semantic_dedup": (q_semantic_dedup, _sql_semantic_dedup()),
         "corpus_report": (q_corpus_report, SQL_CORPUS_REPORT),
         "length_curriculum_ntile": (

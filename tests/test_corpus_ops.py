@@ -194,3 +194,26 @@ def test_decontaminate_plan_broadcasts_benchmark(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert batch_eval_count(df) == 0
+
+
+def test_decontaminate_excise_removes_exact_covered_tokens(spark):
+    # bench: tokens t0..t13 (two 13-grams). corpus doc 1 = exact copy
+    # -> every token covered -> empty rebuild, 14 removed. doc 2 has
+    # the full bench text embedded mid-doc: prefix/suffix survive and
+    # exactly the 14 embedded tokens go. doc 3 clean; doc 4 below n.
+    bench_text = " ".join(f"t{i}" for i in range(14))
+    embedded = "keep1 keep2 " + bench_text + " keep3"
+    corpus = spark.createDataFrame(
+        [(1, bench_text), (2, embedded), (3, "u v w x y z a b c d e f g h"),
+         (4, "t0 t1 t2")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(99, bench_text)], "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in co.decontaminate_excise(corpus, bench, n=13).collect()
+    }
+    assert out[1] == ("", 14)
+    assert out[2] == ("keep1 keep2 keep3", 14)
+    assert out[3] == ("u v w x y z a b c d e f g h", 0)
+    assert out[4] == ("t0 t1 t2", 0)
