@@ -399,6 +399,14 @@ def _q_union_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   top_parts/explode_tokens/repetition -> window/agg/explode/quality
 #   families each keep a checked representative.
 _REDUNDANT_TAIL = (
+    # demoted late-r3 for the two new curation queries (dsir_select —
+    # DSIR importance resampling, domain_cap — per-domain sqrt-quota
+    # caps); each demotee is r2-driver-green and its family keeps
+    # several checked head reps:
+    "doc_quality",  # quality family keeps text_stats, lang_id,
+    # lm_perplexity, gopher_rep in the head
+    "chunk_text",  # token-array map-side family keeps pack_sequences,
+    # vocab_oov, tfidf_top_term in the head
     # demoted late-r3 for the new decontaminate query (GPT-3-style
     # 13-gram benchmark decontamination):
     "extract_checks",  # r1+r2 green twice; the checks extraction path

@@ -517,3 +517,174 @@ def decontaminate_excise(
             (F.size(w) - F.size(toks)).cast("long").alias("n_removed"),
         )
     )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169):
+    score every document by how target-like its hashed n-gram profile
+    is, log w(x) = sum_b n_b(x) * log(p_target(b) / p_raw(b)), where
+    n_b counts the doc's unigrams+bigrams hashed into bucket b and the
+    two bucket distributions are add-one-smoothed from the target rows
+    (``is_target``) vs the raw rest. The paper hashes into 10k buckets;
+    ``n_buckets`` is the same machinery at a test-friendly size.
+
+    Shape: one tokenize+explode builds the (doc, bucket) gram stream;
+    ONE hash-agg over it yields both distributions (B rows — target
+    count and raw count per bucket via conditional sums); the log-ratio
+    table crossJoins the 1-row totals and BROADCASTS into the scoring
+    join, so the corpus-sized side never shuffles for the model — the
+    only corpus-keyed exchange is the per-doc partial-agg sum. At
+    100 TB the ratio table is still exactly B rows; the paper's 10k
+    buckets broadcast as trivially as 64.
+
+    Determinism contract (shared with lm_perplexity): per-bucket log
+    ratio rounds to 9 decimals, the per-doc sum to 6 — Spark and the
+    DuckDB oracle then compare bit-identical values. Docs with zero
+    tokens produce no row (they have no gram mass to weigh)."""
+    w = words(F.col(text_col))
+    toks = df.select(
+        F.col(id_col), is_target.cast("int").alias("is_t"), w.alias("ws")
+    ).filter(F.size("ws") >= 1)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("ws", i), F.element_at("ws", i + 1)
+        ),
+    )
+    grams = toks.select(
+        id_col,
+        "is_t",
+        F.explode(
+            F.when(F.size("ws") >= 2, F.concat("ws", bigrams)).otherwise(
+                F.col("ws")
+            )
+        ).alias("gram"),
+    ).select(id_col, "is_t", hash_bucket(F.col("gram"), n_buckets).alias("b"))
+    bstats = grams.groupBy("b").agg(
+        F.sum("is_t").alias("ct"),
+        F.sum(F.lit(1) - F.col("is_t")).alias("cr"),
+    )
+    tot = bstats.agg(
+        F.sum("ct").alias("tott"), F.sum("cr").alias("totr")
+    )
+    ratio = bstats.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("ct") + F.lit(1.0)) * (F.col("totr") + F.lit(float(n_buckets))))
+                / ((F.col("cr") + F.lit(1.0)) * (F.col("tott") + F.lit(float(n_buckets))))
+            ),
+            9,
+        ).alias("logr"),
+    )
+    return (
+        grams.join(F.broadcast(ratio), on="b")
+        .groupBy(id_col)
+        .agg(
+            F.first("is_t").alias("is_t"),
+            F.count("*").alias("n_grams"),
+            F.round(F.sum("logr"), 6).alias("log_w"),
+        )
+        .select(
+            id_col,
+            F.col("is_t").cast("int").alias("is_target"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            "log_w",
+        )
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    is_target: Column,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    gumbel_seed: int | None = None,
+) -> DataFrame:
+    """DSIR selection: the top-``k`` most target-like RAW documents by
+    importance weight (target rows define the distribution, only raw
+    rows compete for selection). With ``gumbel_seed`` the paper's
+    Gumbel-top-k resampling is applied DETERMINISTICALLY: u is the
+    document's 60-bit hash of (id, seed) mapped to (0,1) at 1e-6
+    granularity, g = -ln(-ln(u)) rounded to 6 decimals — reproducible
+    across runs, cluster sizes, and in the DuckDB oracle, unlike
+    ``rand()``. Plan: weights (see dsir_log_weights) then a top-k —
+    TakeOrderedAndProject, never a global sort."""
+    lw = dsir_log_weights(
+        df, is_target, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+    ).filter(F.col("is_target") == 0)
+    score = F.col("log_w")
+    if gumbel_seed is not None:
+        u = (
+            hash_bucket(
+                F.concat(F.col(id_col).cast("string"), F.lit(f"#g{gumbel_seed}")),
+                1_000_000,
+            ).cast("double")
+            + F.lit(0.5)
+        ) / F.lit(1_000_000.0)
+        score = score + F.round(-F.log(-F.log(u)), 6)
+    return (
+        lw.select(
+            id_col,
+            "n_grams",
+            "log_w",
+            F.round(score, 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def domain_cap(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    quota_scale: int = 8,
+) -> DataFrame:
+    """Per-domain quota subsampling (RefinedWeb-style domain caps,
+    Penedo et al. 2023; the sqrt quota is temperature-flattened mixing
+    a la Raffel et al. 2020): a domain with n docs keeps at most
+    quota = min(n, ceil(quota_scale * sqrt(n))) of them, so giant
+    domains are capped ~proportionally to sqrt(n) while small domains
+    pass through whole — no single crawl host dominates the corpus.
+
+    Determinism: membership is a hash-threshold per row — keep iff
+    hash_bucket(id, 1e6) < (quota * 1e6) DIV n — all-integer threshold
+    arithmetic (sqrt/ceil are correctly-rounded IEEE doubles in both
+    engines), so the kept set is identical across runs, cluster sizes,
+    and the DuckDB oracle. The kept count is hash-approximate (~quota,
+    not exactly quota), the standard trade for a map-only plan: the
+    alternative exact-quota form is a per-domain row_number window —
+    a per-domain sort a hot domain turns into a straggler.
+
+    Shape: ONE tiny hash-agg (domain counts), thresholds broadcast
+    back, then a map-side filter at scan speed. Adds ``cap_quota`` and
+    ``cap_threshold`` columns for audit; at 100 TB the domain table is
+    O(domains) rows and broadcasts."""
+    counts = df.groupBy(source_col).agg(F.count("*").alias("n_src"))
+    quotas = counts.select(
+        source_col,
+        "n_src",
+        F.least(
+            F.col("n_src"),
+            F.ceil(F.lit(float(quota_scale)) * F.sqrt(F.col("n_src"))).cast(
+                "long"
+            ),
+        ).alias("cap_quota"),
+    ).withColumn(
+        "cap_threshold", F.expr("(cap_quota * 1000000) DIV n_src")
+    )
+    return (
+        df.join(F.broadcast(quotas), on=source_col)
+        .filter(hash_bucket(F.col(id_col), 1_000_000) < F.col("cap_threshold"))
+        .drop("n_src")
+    )

@@ -2468,6 +2468,106 @@ WHERE w.doc_id % 10 <> 7
 """
 
 
+# -- DSIR importance resampling (Xie et al. 2023) ------------------------------
+
+_DSIR_K = 50
+_DSIR_B = 64
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR data selection: src0 documents play the target set (the
+    paper's Wikipedia); the top-50 most-target-like raw docs win by
+    hashed unigram+bigram importance weight. Scale shape: the bucket
+    log-ratio model is B=64 rows broadcast into a map-side scoring
+    join; only the per-doc sum shuffles."""
+    d = _docs(spark, sf_dir)
+    return co.dsir_select(
+        d, F.col("source") == "src0", k=_DSIR_K, n_buckets=_DSIR_B
+    )
+
+
+SQL_DSIR_SELECT = r"""
+WITH ws AS (
+  SELECT doc_id,
+         CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_t,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+g0 AS (
+  SELECT doc_id, is_t,
+         unnest(CASE WHEN len(ws) >= 2
+                     THEN list_concat(
+                       ws,
+                       list_transform(generate_series(1, len(ws) - 1),
+                                      i -> ws[i] || ' ' || ws[i + 1]))
+                     ELSE ws END) AS gram
+  FROM ws WHERE len(ws) >= 1
+),
+g AS (
+  SELECT doc_id, is_t,
+         ('0x' || substr(md5(gram), 1, 15))::UBIGINT % 64 AS b
+  FROM g0
+),
+bs AS (SELECT b, sum(is_t) AS ct, sum(1 - is_t) AS cr FROM g GROUP BY 1),
+tot AS (SELECT sum(ct) AS tott, sum(cr) AS totr FROM bs),
+ratio AS (
+  SELECT b, round(ln(((ct + 1.0) * (totr + 64.0))
+                     / ((cr + 1.0) * (tott + 64.0))), 9) AS logr
+  FROM bs CROSS JOIN tot
+),
+lw AS (
+  SELECT g.doc_id, min(is_t) AS is_target, count(*) AS n_grams,
+         round(sum(r.logr), 6) AS log_w
+  FROM g JOIN ratio r USING (b) GROUP BY 1
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, log_w,
+       log_w AS score
+FROM lw WHERE is_target = 0
+ORDER BY score DESC, doc_id
+LIMIT 50
+"""
+
+
+# -- per-domain quota subsampling (RefinedWeb-style caps) ----------------------
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-domain sqrt-quota caps: each source keeps at most
+    ceil(8*sqrt(n)) docs via an all-integer hash threshold; verified
+    by the per-source kept counts plus the quota/threshold audit
+    columns. One tiny agg + broadcast + map filter."""
+    d = _docs(spark, sf_dir)
+    kept = co.domain_cap(d, quota_scale=8)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.min("cap_quota").cast("long").alias("cap_quota"),
+        F.min("cap_threshold").cast("long").alias("cap_threshold"),
+    )
+
+
+SQL_DOMAIN_CAP = """
+WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+t AS (
+  SELECT source, n_src,
+         least(n_src, CAST(ceil(8.0 * sqrt(n_src)) AS BIGINT)) AS cap_quota
+  FROM c
+),
+thr AS (
+  SELECT source, n_src, cap_quota,
+         (cap_quota * 1000000) // n_src AS cap_threshold
+  FROM t
+)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(min(thr.cap_quota) AS BIGINT) AS cap_quota,
+       CAST(min(thr.cap_threshold) AS BIGINT) AS cap_threshold
+FROM documents d JOIN thr ON d.source = thr.source
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::UBIGINT
+      % 1000000 < thr.cap_threshold
+GROUP BY 1
+"""
+
+
 def extra_queries() -> dict[str, tuple]:
     """name -> (callable, oracle_sql | None)"""
     return {
@@ -2574,4 +2674,6 @@ def extra_queries() -> dict[str, tuple]:
             q_main_content,
             _sql_main_content().format(flat=_ORACLE_FLAT),
         ),
+        "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
+        "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
     }

@@ -217,3 +217,72 @@ def test_decontaminate_excise_removes_exact_covered_tokens(spark):
     assert out[2] == ("keep1 keep2 keep3", 14)
     assert out[3] == ("u v w x y z a b c d e f g h", 0)
     assert out[4] == ("t0 t1 t2", 0)
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    rows = [
+        # target docs (source t) define the distribution: fruit words
+        (1, "apple banana apple cherry banana", "t"),
+        (2, "banana cherry apple apple", "t"),
+        # raw doc 10 shares the target's vocabulary, 11 does not
+        (10, "apple banana cherry apple", "r"),
+        (11, "gearbox piston camshaft flywheel", "r"),
+        (12, "", "r"),  # empty: no gram mass -> no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["doc_id"]: r
+        for r in co.dsir_log_weights(df, F.col("source") == "t").collect()
+    }
+    assert 12 not in got
+    assert got[1]["is_target"] == 1 and got[10]["is_target"] == 0
+    # unigrams + bigrams: doc 10 has 4 tokens -> 4 + 3 = 7 grams
+    assert got[10]["n_grams"] == 7
+    assert got[10]["log_w"] > got[11]["log_w"]
+
+
+def test_dsir_select_topk_and_gumbel_determinism(docs):
+    tgt = F.col("source") == "src0"
+    base = co.dsir_select(docs, tgt, k=20)
+    a = base.collect()
+    assert len(a) == 20
+    # only raw docs compete; scores are sorted desc with doc_id tiebreak
+    src0_ids = {
+        r["doc_id"] for r in docs.filter(tgt).select("doc_id").collect()
+    }
+    assert not ({r["doc_id"] for r in a} & src0_ids)
+    scores = [(-(r["score"]), r["doc_id"]) for r in a]
+    assert scores == sorted(scores)
+    # deterministic Gumbel noise: same seed -> identical selection,
+    # and the noise actually perturbs the pure-weight ranking
+    g1 = co.dsir_select(docs, tgt, k=20, gumbel_seed=7).collect()
+    g2 = co.dsir_select(docs, tgt, k=20, gumbel_seed=7).collect()
+    assert g1 == g2
+    assert [r["doc_id"] for r in g1] != [r["doc_id"] for r in a]
+
+
+def test_domain_cap_quota_math_and_subset(spark):
+    rows = [(i, f"doc {i}", "big") for i in range(400)] + [
+        (1000 + i, f"doc {1000 + i}", "small") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = co.domain_cap(df, quota_scale=8).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["source"], []).append(r)
+    # small domain: quota = min(5, ceil(8*sqrt(5))=18) = 5 -> threshold
+    # 1e6 -> every row passes
+    assert len(by_src["small"]) == 5
+    assert all(r["cap_quota"] == 5 for r in by_src["small"])
+    # big domain: quota = min(400, ceil(8*20)) = 160 -> threshold
+    # 400000 -> ~40% kept (hash-approximate, never the full domain)
+    big = by_src["big"]
+    assert all(r["cap_quota"] == 160 and r["cap_threshold"] == 400000 for r in big)
+    assert 100 <= len(big) <= 220
+    # kept sets are a subset of the input and plan-independent
+    kept_ids = {r["doc_id"] for r in kept}
+    assert kept_ids <= {r[0] for r in rows}
+    again = {
+        r["doc_id"] for r in co.domain_cap(df.repartition(13), quota_scale=8).collect()
+    }
+    assert again == kept_ids
