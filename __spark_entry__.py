@@ -407,6 +407,9 @@ _REDUNDANT_TAIL = (
     # lm_perplexity, gopher_rep in the head
     "chunk_text",  # token-array map-side family keeps pack_sequences,
     # vocab_oov, tfidf_top_term in the head
+    "vocab_oov",  # r2-green; its top-V + broadcast-join mechanics stay
+    # repped by tfidf_top_term (head) — slot goes to bpe_segment (the
+    # second hash-checked iterative trainer)
     # demoted late-r3 for the new decontaminate query (GPT-3-style
     # 13-gram benchmark decontamination):
     "extract_checks",  # r1+r2 green twice; the checks extraction path

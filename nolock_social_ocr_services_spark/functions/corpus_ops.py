@@ -688,3 +688,112 @@ def domain_cap(
         .filter(hash_bucket(F.col(id_col), 1_000_000) < F.col("cap_threshold"))
         .drop("n_src")
     )
+
+
+def bpe_train(
+    df: DataFrame, text_col: str = "text", iters: int = 3
+) -> tuple[DataFrame, list[tuple]]:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units"):
+    learn ``iters`` merge rules over the corpus. Classic BPE trains on
+    the WORD-FREQUENCY table, not the raw token stream — the first agg
+    collapses a 100-TB corpus to O(vocabulary) rows, and every later
+    round runs over that small table. Each round: adjacent-symbol pairs
+    weighted by word frequency -> one hash-agg -> argmax via
+    TakeOrdered(1) (a single row to the driver, the same per-round
+    scalar kmeans_fit collects) -> the merge applied map-side with an
+    ``aggregate`` HOF (greedy left-to-right non-overlapping: a symbol
+    merges with the accumulator's LAST element iff that element is the
+    rule's left side — "aaa" under (a,a) becomes ["aa","a"]).
+
+    Deterministic by construction: counts are integers; the argmax
+    tie-break is (count DESC, left ASC, right ASC) in binary collation
+    — no float anywhere, so the DuckDB oracle unrolls the same rounds
+    and matches bit-for-bit. Returns (segmented_words, merges):
+    ``segmented_words`` = (word, freq, syms array) after all merges,
+    ``merges`` = [(iter, left, right, merged, pair_count)].
+
+    At 100 TB: persist the word-frequency table between rounds (the
+    lineage otherwise re-derives t nested HOF applications each round);
+    everything after the first agg is vocabulary-sized."""
+    wf = (
+        df.select(F.explode(words(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    cur = wf.select(
+        "word",
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(word)),"
+            " i -> substring(word, i, 1))"
+        ).alias("syms"),
+    )
+    merges: list[tuple] = []
+    for t in range(iters):
+        pairs = (
+            cur.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), i -> "
+                        "struct(element_at(syms, i) AS l,"
+                        " element_at(syms, i + 1) AS r))"
+                    )
+                ).alias("p"),
+            )
+            .select("freq", "p.l", "p.r")
+        )
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        b = best[0]
+        merged = b["l"] + b["r"]
+        merges.append((t + 1, b["l"], b["r"], merged, int(b["cnt"])))
+        l_lit, r_lit, m_lit = F.lit(b["l"]), F.lit(b["r"]), F.lit(merged)
+        cur = cur.withColumn(
+            "syms",
+            F.aggregate(
+                "syms",
+                F.expr("CAST(array() AS array<string>)"),
+                lambda out, x: F.when(
+                    (F.size(out) > 0)
+                    & (F.element_at(out, -1) == l_lit)
+                    & (x == r_lit),
+                    F.concat(
+                        F.slice(out, F.lit(1), F.size(out) - 1),
+                        F.array(m_lit),
+                    ),
+                ).otherwise(F.concat(out, F.array(x))),
+            ),
+        )
+    return cur, merges
+
+
+def bpe_segment(
+    df: DataFrame,
+    text_col: str = "text",
+    iters: int = 3,
+    top_words: int = 100,
+) -> DataFrame:
+    """The distributed face of bpe_train: the ``top_words``
+    highest-frequency words with their post-merge segmentation
+    (space-joined symbols). orderBy+limit compiles to
+    TakeOrderedAndProject — never a global sort."""
+    cur, _ = bpe_train(df, text_col=text_col, iters=iters)
+    return (
+        cur.select(
+            "word",
+            F.col("freq").cast("long").alias("freq"),
+            F.array_join("syms", " ").alias("seg"),
+        )
+        .orderBy(F.desc("freq"), "word")
+        .limit(top_words)
+    )

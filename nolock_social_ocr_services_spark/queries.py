@@ -2568,6 +2568,75 @@ GROUP BY 1
 """
 
 
+# -- BPE tokenizer training (Sennrich et al. 2016; iterative, unrolled) -------
+#
+# Second hash-checked iterative trainer (after kmeans_clusters): every
+# round's argmax pair is integer-count + binary-collation tie-break, so
+# the oracle UNROLLS the same rounds — pair count agg, argmax LIMIT 1,
+# and the greedy left-to-right merge APPLIED as a recursive CTE that
+# walks each word's symbols carrying the output list.
+
+_BPE_ITERS = 3
+_BPE_TOP = 100
+
+
+def q_bpe_segment(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return co.bpe_segment(d, iters=_BPE_ITERS, top_words=_BPE_TOP)
+
+
+def _bpe_round_sql(n: int, prev: str) -> str:
+    """One unrolled BPE round over symbol table ``prev``: weighted
+    adjacent-pair counts, argmax with (cnt DESC, l, r) tie-break, then
+    the same greedy last-element merge bpe_train's aggregate HOF does,
+    expressed as a per-word recursive walk."""
+    return f"""
+p{n} AS (
+  SELECT l, r, sum(freq) AS cnt FROM (
+    SELECT freq, syms[i] AS l, syms[i + 1] AS r
+    FROM (SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+          FROM {prev} WHERE len(syms) >= 2)
+  ) GROUP BY 1, 2
+),
+b{n} AS (SELECT l, r, l || r AS m FROM p{n} ORDER BY cnt DESC, l, r LIMIT 1),
+a{n} AS (
+  SELECT word, freq, syms, 1 AS i, CAST([] AS VARCHAR[]) AS out FROM {prev}
+  UNION ALL
+  SELECT a.word, a.freq, a.syms, a.i + 1,
+         CASE WHEN len(a.out) > 0 AND a.out[-1] = b.l AND a.syms[a.i] = b.r
+              THEN list_append(a.out[1:len(a.out) - 1], b.m)
+              ELSE list_append(a.out, a.syms[a.i]) END
+  FROM a{n} a, b{n} b WHERE a.i <= len(a.syms)
+),
+s{n} AS (SELECT word, freq, out AS syms FROM a{n} WHERE i = len(syms) + 1)"""
+
+
+SQL_BPE_SEGMENT = (
+    r"""
+WITH RECURSIVE wf AS (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x <> '')) AS word
+    FROM documents
+  ) GROUP BY 1
+),
+s0 AS (
+  SELECT word, freq,
+         list_transform(generate_series(1, length(word)), i -> word[i])
+             AS syms
+  FROM wf
+),"""
+    + ",".join(_bpe_round_sql(n + 1, f"s{n}") for n in range(_BPE_ITERS))
+    + f"""
+SELECT word, CAST(freq AS BIGINT) AS freq,
+       array_to_string(syms, ' ') AS seg
+FROM s{_BPE_ITERS}
+ORDER BY freq DESC, word
+LIMIT {_BPE_TOP}
+"""
+)
+
+
 def extra_queries() -> dict[str, tuple]:
     """name -> (callable, oracle_sql | None)"""
     return {
@@ -2676,4 +2745,5 @@ def extra_queries() -> dict[str, tuple]:
         ),
         "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
         "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
+        "bpe_segment": (q_bpe_segment, SQL_BPE_SEGMENT),
     }

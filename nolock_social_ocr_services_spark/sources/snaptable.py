@@ -4,8 +4,10 @@ The north rule targets Iceberg tables; this sandbox ships no Iceberg
 runtime jar (``pyspark/jars`` has no table-format jars and installs are
 not allowed), so this module re-implements the part of the Iceberg spec
 the pipeline depends on — atomic snapshot commits, snapshot-isolated
-reads, time travel, rollback, and partition-level overwrite — over plain
-parquet, from the published spec (https://iceberg.apache.org/spec/).
+reads, time travel, rollback, partition-level overwrite, and
+metadata-only schema evolution (``evolve_schema``: add/widen/drop with
+Iceberg's legal type promotions) — over plain parquet, from the
+published spec (https://iceberg.apache.org/spec/).
 
 On a real cluster this entire module is replaced by the Iceberg catalog:
 ``spark.read.table("docs")``, ``df.writeTo("docs").overwritePartitions()``,
@@ -62,9 +64,35 @@ import uuid
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 _SNAP_RE = re.compile(r"snap-(\d{10})\.json$")
+
+# Iceberg's allowed type promotions (spec §Schema Evolution): these are
+# the widenings that never lose information AND that the parquet reader
+# can apply to existing files in place (no rewrite). Keys/values are
+# Spark typeName() strings; decimals are handled separately (precision
+# may grow, scale must not change).
+_SAFE_WIDENINGS = {
+    ("int", "bigint"),
+    ("float", "double"),
+}
+_DECIMAL_RE = re.compile(r"^decimal\((\d+),(\d+)\)$")
+
+
+def _widens_to(src, dst) -> bool:
+    """True iff ``src`` -> ``dst`` is an Iceberg-legal type promotion."""
+    s, d = src.simpleString(), dst.simpleString()
+    if s == d:
+        return True
+    if (s, d) in _SAFE_WIDENINGS:
+        return True
+    ms, md = _DECIMAL_RE.match(s), _DECIMAL_RE.match(d)
+    if ms and md:
+        return int(md.group(2)) == int(ms.group(2)) and int(
+            md.group(1)
+        ) >= int(ms.group(1))
+    return False
 
 # merge_upsert collects at most this many distinct incoming keys for
 # exact per-file pruning; beyond it the [min,max] envelope is used.
@@ -448,6 +476,7 @@ class SnapTable:
         expected_parent: int | None = None,
         partition_by: str | None = None,
         protocol: dict | None = None,
+        dropped: list | None = None,
     ) -> int:
         """keep_parent_files: callable(parent_files) -> surviving subset.
         Appends rebase on conflict; anything that removes files raises
@@ -485,8 +514,17 @@ class SnapTable:
                 ),
                 "summary": summary,
                 "protocol": {**parent.get("protocol", {}), **(protocol or {})},
+                # dropped-column tombstones fold forward like protocol
+                # state: a name that ever held data in surviving files
+                # stays unavailable for re-add (no field ids -> a
+                # re-added name would resurrect old values on read)
+                "dropped": (
+                    sorted(dropped)
+                    if dropped is not None
+                    else parent.get("dropped", [])
+                ),
             }
-            if operation == "append" and "manifests" in parent:
+            if operation in ("append", "evolve") and "manifests" in parent:
                 # manifest REUSE: an append never rewrites (or even
                 # reads) the parent's shards — commit cost is O(added),
                 # the property that keeps appends cheap on a 10^12-row
@@ -505,7 +543,7 @@ class SnapTable:
                     snap["manifests"] = self._write_manifest_shards(files)
             if self._try_commit(snap):
                 return snap["snapshot_id"]
-            if operation != "append":
+            if operation not in ("append", "evolve"):
                 raise CommitConflict(
                     f"{operation} lost the race at snapshot {parent_id + 1}"
                 )
@@ -520,8 +558,15 @@ class SnapTable:
         stats_cols: list[str] | None = None,
         cluster_files: int | None = None,
         bloom_cols: list[str] | None = None,
+        merge_schema: bool = False,
     ) -> int:
-        """``cluster_by``: range-partition + sort rows by that column
+        """``merge_schema``: Iceberg's opt-in mergeSchema write — new
+        writer columns auto-ADD (optional) and legally-wider writer
+        types auto-WIDEN the table schema in this commit; the default
+        rejects them (writers conform, changes go through
+        evolve_schema).
+
+        ``cluster_by``: range-partition + sort rows by that column
         before writing, so each file covers a TIGHT, mostly-disjoint
         value range and the recorded bounds actually skip files
         (Iceberg's sort-order / 1-D clustering). ``stats_cols``: extra
@@ -541,6 +586,8 @@ class SnapTable:
                 if cluster_files
                 else df.repartitionByRange(F.col(cluster_by))
             ).sortWithinPartitions(cluster_by)
+        # validate (or merge) the schema BEFORE any data I/O
+        schema_json = self._write_schema_json(df, merge=merge_schema)
         added = self._write_tx(
             df,
             partition_by,
@@ -548,15 +595,166 @@ class SnapTable:
             bloom_cols=set(bloom_cols) if bloom_cols else None,
         )
         return self._commit(
-            "append", added, lambda pf: pf, df.schema.json(),
+            "append", added, lambda pf: pf, schema_json,
             {"added_files": len(added)}, partition_by=partition_by,
         )
 
     def overwrite(self, df: DataFrame, partition_by: str | None = None) -> int:
+        # a full overwrite may legitimately redefine the schema (no old
+        # file survives to disagree), and clears the dropped-name
+        # tombstones for the same reason
         added = self._write_tx(df, partition_by)
         return self._commit(
             "overwrite", added, lambda pf: [], df.schema.json(),
             {"added_files": len(added)}, partition_by=partition_by,
+            dropped=[],
+        )
+
+    def _write_schema_json(self, df: DataFrame, merge: bool = False) -> str:
+        """Validate a writer's schema against the table's and return the
+        schema JSON the commit must record (Iceberg: writers conform to
+        the TABLE schema; schema changes go through evolve_schema).
+
+        A writer may omit table columns (they read back NULL — Iceberg
+        optional columns) and may write a NARROWER type the table has
+        since widened (the reader promotes it), but an unknown column,
+        an incompatible type, or a tombstoned (dropped) name is an
+        error — silently recording the writer's schema would regress an
+        evolved table or resurrect dropped values.
+
+        ``merge`` (Iceberg's opt-in mergeSchema write mode): instead of
+        rejecting them, unknown columns are APPENDED as optional fields
+        and legally-WIDER writer types widen the table column — the
+        same changes evolve_schema would make, folded into this commit.
+        Tombstoned names and illegal promotions stay errors."""
+        sid = self.current_snapshot_id()
+        if not sid:
+            return df.schema.json()
+        snap = self._load(sid)
+        table = StructType.fromJson(json.loads(snap["schema"]))
+        tcols = {f.name: f for f in table.fields}
+        dropped = set(snap.get("dropped", []))
+        merged = list(table.fields)
+        for f in df.schema.fields:
+            if f.name in dropped:
+                raise ValueError(
+                    f"{self.path}: column {f.name!r} was dropped; re-adding "
+                    "it would resurrect old values from surviving files "
+                    "(no field ids) — overwrite() the table to reuse the name"
+                )
+            tf = tcols.get(f.name)
+            if tf is None:
+                if not merge:
+                    raise ValueError(
+                        f"{self.path}: column {f.name!r} is not in the "
+                        "table schema — evolve_schema(add=[...]) or "
+                        "append(..., merge_schema=True)"
+                    )
+                merged.append(StructField(f.name, f.dataType, True))
+                continue
+            if _widens_to(f.dataType, tf.dataType):
+                continue
+            if merge and _widens_to(tf.dataType, f.dataType):
+                merged = [
+                    StructField(m.name, f.dataType, m.nullable)
+                    if m.name == f.name
+                    else m
+                    for m in merged
+                ]
+                continue
+            raise ValueError(
+                f"{self.path}: column {f.name!r} is "
+                f"{f.dataType.simpleString()} but the table declares "
+                f"{tf.dataType.simpleString()} (not a legal promotion)"
+            )
+        if merge:
+            return StructType(merged).json()
+        return snap["schema"]
+
+    def evolve_schema(
+        self,
+        add: list | None = None,
+        widen: dict | None = None,
+        drop: list | None = None,
+    ) -> int:
+        """Iceberg-style METADATA-ONLY schema evolution: no data file is
+        read or rewritten; one new snapshot records the changed schema
+        and every existing file reads back under it.
+
+        ``add``: new ``StructField``s, appended as optional (nullable is
+        forced True — existing files lack the column and read back
+        NULL). ``widen``: {column: DataType} restricted to Iceberg's
+        legal promotions (int->long, float->double, decimal precision
+        growth at fixed scale) — the parquet reader applies them to old
+        files in place. ``drop``: removes columns from the schema (old
+        files keep the bytes; readers prune them) and TOMBSTONES the
+        name: without Iceberg's field ids, re-adding a dropped name
+        would resurrect the old values, so it is rejected until a full
+        overwrite. The partition column can be widened but not dropped.
+
+        Scale: the commit reuses the parent's manifest shards by
+        reference — O(1) metadata, never O(files) — and CAS-races like
+        an append (a concurrent writer landing first raises
+        CommitConflict rather than silently clobbering its schema)."""
+        sid = self.current_snapshot_id()
+        if not sid:
+            raise ValueError(f"{self.path}: empty table, nothing to evolve")
+        snap = self._load(sid)
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+        dropped = set(snap.get("dropped", []))
+        part = snap.get("partition_by")
+        fields = list(schema.fields)
+        names = {f.name for f in fields}
+        changes: list[str] = []
+        for col in drop or []:
+            if col == part:
+                raise ValueError(f"cannot drop partition column {col!r}")
+            if col not in names:
+                raise ValueError(f"cannot drop unknown column {col!r}")
+            fields = [f for f in fields if f.name != col]
+            names.discard(col)
+            dropped.add(col)
+            changes.append(f"drop {col}")
+        for col, new_t in (widen or {}).items():
+            if col not in names:
+                raise ValueError(f"cannot widen unknown column {col!r}")
+            old = next(f for f in fields if f.name == col)
+            if old.dataType == new_t:
+                continue
+            if not _widens_to(old.dataType, new_t):
+                raise ValueError(
+                    f"{old.dataType.simpleString()} -> "
+                    f"{new_t.simpleString()} is not a legal promotion "
+                    f"for column {col!r}"
+                )
+            fields = [
+                StructField(f.name, new_t, f.nullable)
+                if f.name == col
+                else f
+                for f in fields
+            ]
+            changes.append(
+                f"widen {col} to {new_t.simpleString()}"
+            )
+        for f in add or []:
+            if f.name in dropped:
+                raise ValueError(
+                    f"column {f.name!r} was dropped; re-adding it would "
+                    "resurrect old values (no field ids)"
+                )
+            if f.name in names:
+                raise ValueError(f"column {f.name!r} already exists")
+            fields.append(StructField(f.name, f.dataType, True))
+            names.add(f.name)
+            changes.append(f"add {f.name} {f.dataType.simpleString()}")
+        return self._commit(
+            "evolve",
+            [],
+            lambda pf: pf,
+            StructType(fields).json(),
+            {"changes": changes},
+            expected_parent=sid,
+            dropped=sorted(dropped),
         )
 
     def overwrite_partitions(
@@ -576,6 +774,7 @@ class SnapTable:
         ``protocol`` field, which EVERY subsequent commit folds forward
         — a plain append or compact by another job cannot erase it."""
         vals = {str(v) for v in values}
+        schema_json = self._write_schema_json(df)  # validate BEFORE I/O
         added = self._write_tx(df, partition_by)
 
         def keep(parent_files):
@@ -590,7 +789,7 @@ class SnapTable:
 
         summary = {"replaced": sorted(vals), "added_files": len(added)}
         return self._commit(
-            "overwrite_partitions", added, keep, df.schema.json(), summary,
+            "overwrite_partitions", added, keep, schema_json, summary,
             partition_by=partition_by, protocol=extra_summary,
         )
 
@@ -619,6 +818,7 @@ class SnapTable:
         key sets degrade to the [min, max] envelope, still sound.
         Removing rows means losing a concurrent race must raise, and it
         does (non-append commit)."""
+        schema_json = self._write_schema_json(df)  # validate BEFORE I/O
         import bisect
 
         rows = (
@@ -688,7 +888,11 @@ class SnapTable:
             survivors = old.join(
                 df.select(key).distinct(), on=key, how="left_anti"
             )
-            out = survivors.unionByName(df)
+            # allowMissingColumns: after evolve_schema(add=...) a writer
+            # may omit the new column — survivors carry it, incoming
+            # rows null-fill (and the union widens any legally-narrower
+            # incoming type to the table's)
+            out = survivors.unionByName(df, allowMissingColumns=True)
         else:
             out = df
         # a table written with key blooms keeps them through merges:
@@ -706,7 +910,7 @@ class SnapTable:
             lambda pf: [
                 f for f in pf if f["path"] in {u["path"] for u in untouched}
             ],
-            df.schema.json(),
+            schema_json,
             {
                 "merge_key": key,
                 "rewritten_files": len(touched),
@@ -954,7 +1158,9 @@ class SnapTable:
         for sid in range(from_snapshot_id + 1, to_id + 1):
             snap = self._load(sid)
             schema_hint = snap["schema"]
-            if snap["operation"] == "compact":
+            if snap["operation"] in ("compact", "evolve"):
+                # neither adds logical rows: a compact rewrites them, an
+                # evolve touches only metadata — nothing to re-emit
                 continue
             if snap["operation"] != "append":
                 raise ValueError(

@@ -286,3 +286,28 @@ def test_domain_cap_quota_math_and_subset(spark):
         r["doc_id"] for r in co.domain_cap(df.repartition(13), quota_scale=8).collect()
     }
     assert again == kept_ids
+
+
+def test_bpe_train_golden_merges_and_greedy_overlap(spark):
+    # classic BPE example (Sennrich et al. 2016): hand-computed rounds
+    text = " ".join(["low"] * 3 + ["lower"] * 2 + ["newest"] * 4 + ["widest"])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    seg_df, merges = co.bpe_train(df, iters=3)
+    # r1: 'we' (6 = 2 in lower-family + 4 in newest); r2: 'lo' wins the
+    # 5-5 tie with 'st' on left-symbol order; r3: 'st' (5)
+    assert merges == [
+        (1, "w", "e", "we", 6),
+        (2, "l", "o", "lo", 5),
+        (3, "s", "t", "st", 5),
+    ]
+    seg = {r["word"]: r["syms"] for r in seg_df.collect()}
+    assert seg["low"] == ["lo", "w"]
+    assert seg["lower"] == ["lo", "we", "r"]
+    assert seg["newest"] == ["n", "e", "we", "st"]
+    assert seg["widest"] == ["w", "i", "d", "e", "st"]
+    # greedy left-to-right non-overlap: "aaa" under (a,a) -> ["aa","a"],
+    # then (aa,a) -> ["aaa"], then NO pairs remain -> early stop
+    df2 = spark.createDataFrame([(1, "aaa aaa")], "doc_id long, text string")
+    seg2_df, merges2 = co.bpe_train(df2, iters=3)
+    assert [(m[1], m[2]) for m in merges2] == [("a", "a"), ("aa", "a")]
+    assert seg2_df.collect()[0]["syms"] == ["aaa"]

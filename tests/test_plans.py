@@ -261,3 +261,32 @@ def test_semantic_dedup_pair_join_is_equi_not_cartesian(spark, sf_dir):
     plan = explain_str(q)
     assert "CartesianProduct" not in plan
     assert batch_eval_count(q) == 0
+
+
+def test_dsir_plan_broadcast_model_topk_no_sort_merge(spark, sf_dir):
+    """DSIR's scale claim: the bucket log-ratio model reaches the
+    corpus-sized gram stream as a BROADCAST join (never a SortMergeJoin
+    shuffle of the corpus against a 64-row table), selection is a top-k
+    (TakeOrderedAndProject, no global Sort), and no row-Python exists."""
+    from nolock_social_ocr_services_spark.functions import corpus_ops as co
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sel = co.dsir_select(docs, F.col("source") == "src0", k=50)
+    plan = explain_str(sel)
+    assert has_broadcast_join(sel)
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert batch_eval_count(sel) == 0
+
+
+def test_domain_cap_plan_broadcast_thresholds(spark, sf_dir):
+    """domain_cap: the quota table joins back as a broadcast (the corpus
+    never shuffles for the cap) and the filter is pure codegen."""
+    from nolock_social_ocr_services_spark.functions import corpus_ops as co
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    capped = co.domain_cap(docs)
+    plan = explain_str(capped)
+    assert has_broadcast_join(capped)
+    assert "SortMergeJoin" not in plan
+    assert batch_eval_count(capped) == 0

@@ -299,13 +299,18 @@ def test_exactly_once_sink_through_restarted_stream(spark, tmp_path):
 
 
 def test_schema_evolution_old_files_null_fill(spark, tmp_path):
-    """Iceberg-style schema evolution: append with a superset schema;
-    reads resolve ALL files against the CURRENT snapshot's schema, so
-    pre-evolution files surface the new column as NULL, and time travel
-    still reads the old snapshot with the old schema."""
+    """Iceberg-style schema evolution: append with a superset schema
+    under the opt-in mergeSchema mode; reads resolve ALL files against
+    the CURRENT snapshot's schema, so pre-evolution files surface the
+    new column as NULL, and time travel still reads the old snapshot
+    with the old schema. (Without merge_schema=True, the unknown column
+    is rejected — see test_evolve_drop_tombstones_name.)"""
     t = SnapTable(str(tmp_path / "t"))
     t.append(_df(spark, 0, 3))
-    t.append(_df(spark, 3, 5).withColumn("w", F.col("k") * 100))
+    t.append(
+        _df(spark, 3, 5).withColumn("w", F.col("k") * 100),
+        merge_schema=True,
+    )
     got = {r.k: r.asDict() for r in t.read(spark).collect()}
     assert set(got) == {0, 1, 2, 3, 4}
     assert got[0]["w"] is None and got[4]["w"] == 400
@@ -853,3 +858,127 @@ def test_expire_grace_window_protects_fresh_orphans(spark, tmp_path):
     tx_dirs = [d for d in os.listdir(t.data_dir) if d.startswith("tx-")]
     assert len(tx_dirs) == 2
     assert t.expire_snapshots(keep_last=1, orphan_grace_s=0) == 1
+
+
+# -- schema evolution (Iceberg spec: add / widen / drop, metadata-only) -------
+
+
+def test_evolve_add_column_nullfills_old_files(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    t = SnapTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))
+    sid = t.evolve_schema(add=[StructField("tag", StringType())])
+    assert t.snapshots()[-1]["operation"] == "evolve"
+    # old rows read back with the new column as NULL
+    rows = t.read(spark).collect()
+    assert len(rows) == 5 and all(r.tag is None for r in rows)
+    # a writer that knows the new column appends it; one that doesn't
+    # may still omit it (optional column)
+    t.append(
+        spark.createDataFrame(
+            [(100, 1000, "x")], "k long, v long, tag string"
+        )
+    )
+    t.append(_df(spark, 200, 201))
+    got = {r.k: r.tag for r in t.read(spark).collect()}
+    assert got[100] == "x" and got[200] is None and got[0] is None
+    # time travel predating the evolve has no tag column
+    assert "tag" not in t.read(spark, snapshot_id=sid - 1).columns
+
+
+def test_evolve_widen_int_to_long_reads_old_files(spark, tmp_path):
+    from pyspark.sql.types import DoubleType, LongType
+
+    t = SnapTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(1, 1.5), (2, 2.5)], "k int, x float")
+    )
+    t.evolve_schema(widen={"k": LongType(), "x": DoubleType()})
+    df = t.read(spark)
+    assert dict(df.dtypes) == {"k": "bigint", "x": "double"}
+    got = {r.k: r.x for r in df.collect()}
+    assert got[1] == pytest.approx(1.5) and got[2] == pytest.approx(2.5)
+    # writers may still produce the NARROWER type (legal promotion)
+    t.append(spark.createDataFrame([(3, 3.5)], "k int, x float"))
+    assert t.read(spark).count() == 3
+    # but an illegal promotion is rejected up front
+    with pytest.raises(ValueError, match="not a legal promotion"):
+        t.append(spark.createDataFrame([("s", 1.0)], "k string, x double"))
+
+
+def test_evolve_drop_tombstones_name(spark, tmp_path):
+    from pyspark.sql.types import LongType, StructField
+
+    t = SnapTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 3))
+    t.evolve_schema(drop=["v"])
+    assert t.read(spark).columns == ["k"]
+    # the dropped name cannot come back — old files still hold values
+    with pytest.raises(ValueError, match="dropped"):
+        t.evolve_schema(add=[StructField("v", LongType())])
+    with pytest.raises(ValueError, match="dropped"):
+        t.append(_df(spark, 3, 4))  # writer still carrying v
+    # unknown columns are rejected too (must evolve first)
+    with pytest.raises(ValueError, match="not in the table"):
+        t.append(
+            spark.createDataFrame([(9, 9)], "k long, brand_new long")
+        )
+    # a full overwrite redefines the table and clears the tombstone
+    t.overwrite(_df(spark, 10, 12))
+    assert sorted(t.read(spark).columns) == ["k", "v"]
+
+
+def test_evolve_is_metadata_only_and_guards_partition_col(spark, tmp_path):
+    from pyspark.sql.types import LongType, StructField
+
+    t = SnapTable(str(tmp_path / "t"))
+    t.append(
+        _df(spark, 0, 6).withColumn("p", F.col("k") % 2),
+        partition_by="p",
+    )
+    import glob as _glob
+
+    files_before = sorted(
+        _glob.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"),
+                   recursive=True)
+    )
+    t.evolve_schema(add=[StructField("note", LongType())])
+    files_after = sorted(
+        _glob.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"),
+                   recursive=True)
+    )
+    assert files_before == files_after  # no data file touched
+    with pytest.raises(ValueError, match="partition column"):
+        t.evolve_schema(drop=["p"])
+    # partitioned read still restores p, with the new column null
+    rows = t.read(spark).collect()
+    assert {r.p for r in rows} == {0, 1}
+    assert all(r.note is None for r in rows)
+
+
+def test_merge_upsert_after_evolve_nullfills_new_column(spark, tmp_path):
+    from pyspark.sql.types import StringType, StructField
+
+    t = SnapTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 4), cluster_by="k")
+    t.evolve_schema(add=[StructField("tag", StringType())])
+    # incoming rows omit tag: survivors keep theirs (NULL), incoming
+    # rows null-fill — and the merge still prunes/rewrites correctly
+    t.merge_upsert(spark, _df(spark, 2, 5), key="k")
+    got = {r.k: (r.v, r.tag) for r in t.read(spark).collect()}
+    assert got == {0: (0, None), 1: (10, None), 2: (20, None),
+                   3: (30, None), 4: (40, None)}
+
+
+def test_read_incremental_across_evolve(spark, tmp_path):
+    from pyspark.sql.types import StringType, StructField
+
+    t = SnapTable(str(tmp_path / "t"))
+    s1 = t.append(_df(spark, 0, 3))
+    t.evolve_schema(add=[StructField("tag", StringType())])
+    t.append(_df(spark, 3, 5))
+    inc = t.read_incremental(spark, from_snapshot_id=s1)
+    # the delta is only the post-evolve append, under the NEW schema
+    assert sorted(r.k for r in inc.collect()) == [3, 4]
+    assert "tag" in inc.columns
