@@ -311,3 +311,58 @@ def test_bpe_train_golden_merges_and_greedy_overlap(spark):
     seg2_df, merges2 = co.bpe_train(df2, iters=3)
     assert [(m[1], m[2]) for m in merges2] == [("a", "a"), ("aa", "a")]
     assert seg2_df.collect()[0]["syms"] == ["aaa"]
+
+
+def _ref_bpe(word_freqs, iters):
+    """Pure-python BPE reference: same spec as corpus_ops.bpe_train —
+    pair counts weighted by word freq, argmax tie-break (count DESC,
+    left ASC, right ASC), greedy left-to-right non-overlapping apply."""
+    syms = {w: list(w) for w in word_freqs}
+    merges = []
+    for t in range(iters):
+        counts = {}
+        for w, f in word_freqs.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        (l, r), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((t + 1, l, r, l + r, c))
+        for w, s in syms.items():
+            out = []
+            for x in s:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            syms[w] = out
+    return merges, syms
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_bpe_train_matches_pure_python_reference(spark, seed):
+    """Randomized cross-check: a seeded corpus over a 3-letter alphabet
+    (maximal pair collisions, repeats like 'aaa' stressing the greedy
+    non-overlap rule) must produce the exact merge table and the exact
+    segmentation of every word that the pure-python reference does."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [
+        "".join(rng.choice("abc") for _ in range(rng.randint(1, 7)))
+        for _ in range(25)
+    ]
+    freqs = {w: rng.randint(1, 9) for w in set(vocab)}
+    text_words = [w for w, f in sorted(freqs.items()) for _ in range(f)]
+    rng.shuffle(text_words)
+    df = spark.createDataFrame(
+        [(1, " ".join(text_words))], "doc_id long, text string"
+    )
+    seg_df, merges = co.bpe_train(df, iters=4)
+    ref_merges, ref_syms = _ref_bpe(freqs, iters=4)
+    assert merges == ref_merges
+    got = {r["word"]: r["syms"] for r in seg_df.collect()}
+    assert got == ref_syms
