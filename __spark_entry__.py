@@ -410,6 +410,9 @@ _REDUNDANT_TAIL = (
     "vocab_oov",  # r2-green; its top-V + broadcast-join mechanics stay
     # repped by tfidf_top_term (head) — slot goes to bpe_segment (the
     # second hash-checked iterative trainer)
+    "stream_dedup_hashes",  # r2-green; streaming keeps a checked head
+    # rep (stream_running_counts), the dedup mechanics are head-repped
+    # by exact_dedup — slot goes to char_entropy
     # demoted late-r3 for the new decontaminate query (GPT-3-style
     # 13-gram benchmark decontamination):
     "extract_checks",  # r1+r2 green twice; the checks extraction path

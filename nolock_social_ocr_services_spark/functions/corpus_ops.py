@@ -797,3 +797,52 @@ def bpe_segment(
         .orderBy(F.desc("freq"), "word")
         .limit(top_words)
     )
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char) — the
+    classic gibberish/low-diversity signal: keyboard mash and repeated
+    filler score far below natural text (~3.5-4.5 bits/char for
+    English), binary-ish blobs score near log2(alphabet).
+
+    Computed entirely PER ROW with higher-order functions — H =
+    log2(N) - (1/N) * sum_c count(c) * log2(count(c)) over the row's
+    characters — so the plan is map-only at scan speed: zero shuffles,
+    zero Python, nothing leaves the row. Cost is O(distinct_chars *
+    len) per row (alphabet is small; len bounded by the doc).
+
+    Determinism contract: each distinct-char term rounds to 9 decimals,
+    the per-doc entropy to 6 (the lm_perplexity contract — both engines
+    then round bit-identical inputs). Empty/NULL docs produce no row."""
+    chars = F.filter(
+        F.split(F.col(text_col), ""), lambda c: c != F.lit("")
+    )
+    d = df.select(F.col(id_col), chars.alias("cs")).filter(
+        F.size("cs") >= 1
+    )
+    # sorted distinct chars: the float terms then sum in the SAME order
+    # in Spark and the DuckDB oracle (binary collation both sides), so
+    # the 6-decimal round sees bit-identical input
+    terms = F.transform(
+        F.array_sort(F.array_distinct("cs")),
+        lambda c: F.round(
+            F.size(F.filter("cs", lambda x: x == c))
+            * F.log2(F.size(F.filter("cs", lambda x: x == c))),
+            9,
+        ),
+    )
+    n = F.size("cs")
+    return d.select(
+        id_col,
+        n.cast("long").alias("n_chars"),
+        F.round(
+            F.log2(n)
+            - F.aggregate(
+                terms, F.lit(0.0), lambda acc, t: acc + t
+            )
+            / n,
+            6,
+        ).alias("entropy_bits"),
+    )

@@ -2637,6 +2637,31 @@ LIMIT {_BPE_TOP}
 )
 
 
+def q_char_entropy(spark, sf_dir):
+    """Character-entropy gibberish signal: per-row HOF arithmetic only
+    — zero shuffles, zero Python, scan-speed at any corpus size."""
+    d = _docs(spark, sf_dir)
+    return co.char_entropy(d)
+
+
+SQL_CHAR_ENTROPY = """
+WITH cs AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, length(text)), i -> text[i])
+             AS cs
+  FROM documents WHERE text IS NOT NULL AND length(text) >= 1
+)
+SELECT doc_id, CAST(len(cs) AS BIGINT) AS n_chars,
+       round(log2(len(cs)) -
+             list_sum(list_transform(
+               list_sort(list_distinct(cs)),
+               c -> round(len(list_filter(cs, x -> x = c))
+                          * log2(len(list_filter(cs, x -> x = c))), 9)))
+             / len(cs), 6) AS entropy_bits
+FROM cs
+"""
+
+
 def extra_queries() -> dict[str, tuple]:
     """name -> (callable, oracle_sql | None)"""
     return {
@@ -2746,4 +2771,5 @@ def extra_queries() -> dict[str, tuple]:
         "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
         "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
         "bpe_segment": (q_bpe_segment, SQL_BPE_SEGMENT),
+        "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
     }

@@ -366,3 +366,35 @@ def test_bpe_train_matches_pure_python_reference(spark, seed):
     assert merges == ref_merges
     got = {r["word"]: r["syms"] for r in seg_df.collect()}
     assert got == ref_syms
+
+
+def test_char_entropy_golden_and_map_only(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa"),        # one symbol -> 0 bits
+            (2, "abab"),        # uniform over 2 -> 1 bit
+            (3, "abcd"),        # uniform over 4 -> 2 bits
+            (4, "aab"),         # 2/3,1/3 -> ~0.918296
+            (5, ""),            # empty -> no row
+            (6, None),          # null -> no row
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in co.char_entropy(df).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1]["entropy_bits"] == 0.0
+    assert got[2]["entropy_bits"] == 1.0
+    assert got[3]["entropy_bits"] == 2.0
+    h = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert got[4]["entropy_bits"] == pytest.approx(h, abs=1e-5)
+    assert got[4]["n_chars"] == 3
+    # map-only: no shuffle, no Python stage anywhere in the plan
+    from nolock_social_ocr_services_spark.plans.inspect import (
+        batch_eval_count,
+        exchange_count,
+    )
+
+    assert exchange_count(co.char_entropy(df)) == 0
+    assert batch_eval_count(co.char_entropy(df)) == 0
