@@ -4,9 +4,10 @@ The north rule targets Iceberg tables; this sandbox ships no Iceberg
 runtime jar (``pyspark/jars`` has no table-format jars and installs are
 not allowed), so this module re-implements the part of the Iceberg spec
 the pipeline depends on — atomic snapshot commits, snapshot-isolated
-reads, time travel, rollback, partition-level overwrite, and
-metadata-only schema evolution (``evolve_schema``: add/widen/drop with
-Iceberg's legal type promotions) — over plain parquet, from the
+reads, time travel, rollback, partition-level overwrite, metadata-only
+schema evolution (``evolve_schema``: add/widen/drop with Iceberg's
+legal type promotions), and named snapshot refs (``tag``/``drop_tag``,
+retention-protected from expiry) — over plain parquet, from the
 published spec (https://iceberg.apache.org/spec/).
 
 On a real cluster this entire module is replaced by the Iceberg catalog:
@@ -477,6 +478,7 @@ class SnapTable:
         partition_by: str | None = None,
         protocol: dict | None = None,
         dropped: list | None = None,
+        refs: dict | None = None,
     ) -> int:
         """keep_parent_files: callable(parent_files) -> surviving subset.
         Appends rebase on conflict; anything that removes files raises
@@ -523,8 +525,11 @@ class SnapTable:
                     if dropped is not None
                     else parent.get("dropped", [])
                 ),
+                # named snapshot refs (Iceberg tags): fold forward so an
+                # interleaved append/compact never drops a tag
+                "refs": refs if refs is not None else parent.get("refs", {}),
             }
-            if operation in ("append", "evolve") and "manifests" in parent:
+            if operation in ("append", "evolve", "tag") and "manifests" in parent:
                 # manifest REUSE: an append never rewrites (or even
                 # reads) the parent's shards — commit cost is O(added),
                 # the property that keeps appends cheap on a 10^12-row
@@ -543,7 +548,7 @@ class SnapTable:
                     snap["manifests"] = self._write_manifest_shards(files)
             if self._try_commit(snap):
                 return snap["snapshot_id"]
-            if operation not in ("append", "evolve"):
+            if operation not in ("append", "evolve", "tag"):
                 raise CommitConflict(
                     f"{operation} lost the race at snapshot {parent_id + 1}"
                 )
@@ -755,6 +760,55 @@ class SnapTable:
             {"changes": changes},
             expected_parent=sid,
             dropped=sorted(dropped),
+        )
+
+    def refs(self) -> dict:
+        """Current named snapshot refs (Iceberg tags): name ->
+        snapshot_id. Folded forward by every commit."""
+        sid = self.current_snapshot_id()
+        return dict(self._load(sid).get("refs", {})) if sid else {}
+
+    def tag(
+        self, name: str, snapshot_id: int | None = None, replace: bool = False
+    ) -> int:
+        """Iceberg snapshot tag: pin ``name`` to ``snapshot_id``
+        (default: the current snapshot). METADATA-ONLY commit (parent
+        manifests reused by reference); a tagged snapshot and the data
+        files it references are PROTECTED from expire_snapshots until
+        the tag is dropped — the retention contract tags exist for
+        (audited releases, reproducible training-set versions)."""
+        cur = self.current_snapshot_id()
+        if not cur:
+            raise ValueError(f"{self.path}: empty table, nothing to tag")
+        target = cur if snapshot_id is None else snapshot_id
+        if not 1 <= target <= cur:
+            raise ValueError(f"snapshot {target} does not exist (1..{cur})")
+        refs = self.refs()
+        if name in refs and not replace:
+            raise ValueError(
+                f"tag {name!r} already points at snapshot {refs[name]}; "
+                "pass replace=True to move it"
+            )
+        refs[name] = target
+        return self._commit(
+            "tag", [], lambda pf: pf,
+            self._load(cur)["schema"],
+            {"tag": name, "target": target},
+            expected_parent=cur, refs=refs,
+        )
+
+    def drop_tag(self, name: str) -> int:
+        """Remove a tag; its snapshot becomes expirable again."""
+        cur = self.current_snapshot_id()
+        refs = self.refs()
+        if name not in refs:
+            raise ValueError(f"{self.path}: no tag {name!r}")
+        del refs[name]
+        return self._commit(
+            "tag", [], lambda pf: pf,
+            self._load(cur)["schema"],
+            {"drop_tag": name},
+            expected_parent=cur, refs=refs,
         )
 
     def overwrite_partitions(
@@ -1072,8 +1126,12 @@ class SnapTable:
         partition_by: str | None = None,
         between: dict | None = None,
         point: dict | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Snapshot-isolated read. ``snapshot_id`` = time travel;
+        ``tag`` = time travel by name (``VERSION AS OF 'tag'``) — the
+        ref resolves to its pinned snapshot, read under THAT snapshot's
+        schema;
         ``parts`` prunes files by recorded partition value BEFORE Spark
         plans the scan; ``between`` = {col: (lo, hi)} skips files whose
         recorded min/max bounds miss the range (Iceberg file skipping)
@@ -1089,6 +1147,13 @@ class SnapTable:
         manifest at write time, so a partitioned table reads back with
         its partition column restored (and cast to the declared type)
         without every caller re-specifying it."""
+        if tag is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or tag, not both")
+            refs = self.refs()
+            if tag not in refs:
+                raise ValueError(f"{self.path}: no tag {tag!r}")
+            snapshot_id = refs[tag]
         if partition_by is None:
             partition_by = self._recorded_partition_by(snapshot_id)
         files, schema_hint = self.scan_files(
@@ -1158,9 +1223,9 @@ class SnapTable:
         for sid in range(from_snapshot_id + 1, to_id + 1):
             snap = self._load(sid)
             schema_hint = snap["schema"]
-            if snap["operation"] in ("compact", "evolve"):
-                # neither adds logical rows: a compact rewrites them, an
-                # evolve touches only metadata — nothing to re-emit
+            if snap["operation"] in ("compact", "evolve", "tag"):
+                # none adds logical rows: a compact rewrites them, an
+                # evolve/tag touches only metadata — nothing to re-emit
                 continue
             if snap["operation"] != "append":
                 raise ValueError(
@@ -1312,7 +1377,14 @@ class SnapTable:
                 return False  # vanished mid-sweep: another cleaner won
 
         snaps = self._snapshot_files()
-        survivors = snaps[-keep_last:] if keep_last else []
+        survivors = set(snaps[-keep_last:] if keep_last else [])
+        # tagged snapshots (Iceberg refs) are retention-protected: the
+        # tag exists to make that snapshot reproducible, so neither its
+        # manifest nor the files it references may be swept
+        for sid in self.refs().values():
+            p = os.path.join(self.meta_dir, f"snap-{sid:010d}.json")
+            if os.path.exists(p):
+                survivors.add(p)
         live_tx: set[str] = set()
         live_man: set[str] = set()
         for s in survivors:
@@ -1322,8 +1394,9 @@ class SnapTable:
                 live_man.add(os.path.basename(m["path"]))
             for f in self._snap_files(snap):
                 live_tx.add(f["path"].split(os.sep)[1])
-        for s in snaps[: len(snaps) - keep_last]:
-            os.unlink(s)
+        for s in snaps:
+            if s not in survivors:
+                os.unlink(s)
         for man in glob.glob(os.path.join(self.meta_dir, "man-*.json")):
             if os.path.basename(man) not in live_man and aged(man):
                 os.unlink(man)

@@ -982,3 +982,50 @@ def test_read_incremental_across_evolve(spark, tmp_path):
     # the delta is only the post-evolve append, under the NEW schema
     assert sorted(r.k for r in inc.collect()) == [3, 4]
     assert "tag" in inc.columns
+
+
+# -- snapshot tags (Iceberg named refs + retention protection) ----------------
+
+
+def test_tag_read_by_name_and_fold_forward(spark, tmp_path):
+    t = SnapTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 3))
+    t.tag("v1")  # pins snapshot 1
+    t.append(_df(spark, 3, 6))
+    # the ref survives the interleaved append and resolves to the old rows
+    assert t.refs() == {"v1": 1}
+    assert sorted(r.k for r in t.read(spark, tag="v1").collect()) == [0, 1, 2]
+    assert t.read(spark).count() == 6
+    # duplicate tag rejected unless replaced; unknown tag read rejected
+    with pytest.raises(ValueError, match="already points"):
+        t.tag("v1")
+    t.tag("v1", replace=True)  # moves to current
+    assert t.read(spark, tag="v1").count() == 6
+    with pytest.raises(ValueError, match="no tag"):
+        t.read(spark, tag="nope")
+    with pytest.raises(ValueError, match="does not exist"):
+        t.tag("v9", snapshot_id=99)
+
+
+def test_tagged_snapshot_survives_expiry(spark, tmp_path):
+    t = SnapTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 3))   # snap 1
+    t.tag("release")             # snap 2 (tag commit), pins 1
+    t.overwrite(_df(spark, 10, 12))  # snap 3: logically removes old rows
+    t.expire_snapshots(keep_last=1, orphan_grace_s=0)
+    # current read sees the overwrite; the tagged snapshot AND its data
+    # files survived the sweep
+    assert sorted(r.k for r in t.read(spark).collect()) == [10, 11]
+    assert sorted(r.k for r in t.read(spark, tag="release").collect()) == [
+        0, 1, 2,
+    ]
+    # dropping the tag makes it expirable: the old files then go away
+    t.drop_tag("release")
+    t.expire_snapshots(keep_last=1, orphan_grace_s=0)
+    with pytest.raises(Exception):
+        t.read(spark, tag="release")
+    assert sorted(r.k for r in t.read(spark).collect()) == [10, 11]
+    # read_incremental skips the metadata-only tag commits
+    t.append(_df(spark, 20, 21))
+    inc = t.read_incremental(spark, from_snapshot_id=t.current_snapshot_id() - 1)
+    assert [r.k for r in inc.collect()] == [20]
