@@ -413,6 +413,9 @@ _REDUNDANT_TAIL = (
     "stream_dedup_hashes",  # r2-green; streaming keeps a checked head
     # rep (stream_running_counts), the dedup mechanics are head-repped
     # by exact_dedup — slot goes to char_entropy
+    "lineitem_agg",  # r1+r2 green twice; its pushdown/hash-agg evidence
+    # is pinned by PLANS.md + tests/test_plans.py, agg family keeps
+    # extraction_stats/batch_stats — slot goes to weighted_sample
     # demoted late-r3 for the new decontaminate query (GPT-3-style
     # 13-gram benchmark decontamination):
     "extract_checks",  # r1+r2 green twice; the checks extraction path

@@ -204,3 +204,48 @@ def shuffle_positions(
         )
         .drop("_sh_key", "_sh_b", "_sh_r", "_sh_off")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 7,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Weighted reservoir sampling (Efraimidis & Spirakis 2006, A-Res):
+    each row gets key u^(1/w); the k largest keys are a weighted sample
+    without replacement. Computed in the equivalent -ln(u)/w form (k
+    SMALLEST win) with u derived DETERMINISTICALLY from the row's
+    60-bit hash of (id, seed) at 1e-6 granularity — reproducible across
+    runs, cluster sizes, and the DuckDB oracle, unlike ``rand()``.
+
+    Rows with non-positive weight are excluded (zero weight = never
+    sampled, exactly the A-Res limit). ``score`` rounds to 9 decimals,
+    ties break on id — the cross-engine determinism contract.
+
+    Plan: map-side score projection, then TakeOrderedAndProject for the
+    global form (never a full sort); with ``group_col`` a per-group
+    row_number window (one shuffle on the group key — per-group state
+    is a sort of that group's rows only, the standard top-k-per-key
+    shape)."""
+    u = (
+        hash_bucket(
+            F.concat(F.col(id_col).cast("string"), F.lit(f"#w{seed}")),
+            1_000_000,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    scored = df.filter(F.col(weight_col) > 0).withColumn(
+        "score",
+        F.round(-F.log(u) / F.col(weight_col).cast("double"), 9),
+    )
+    if group_col is None:
+        return scored.orderBy("score", id_col).limit(k)
+    w = Window.partitionBy(group_col).orderBy("score", id_col)
+    return (
+        scored.withColumn("_ws_rn", F.row_number().over(w))
+        .filter(F.col("_ws_rn") <= k)
+        .drop("_ws_rn")
+    )

@@ -2662,6 +2662,28 @@ FROM cs
 """
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sample: 40 documents drawn without
+    replacement with probability proportional to length — longer docs
+    win more slots, deterministically. Map-side score + TakeOrdered."""
+    d = _docs(spark, sf_dir)
+    return sampling.weighted_sample(d, "n_chars", k=40).select(
+        "doc_id", "n_chars", "score"
+    )
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id, n_chars,
+       round(-ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#w7'),
+                                   1, 15))::UBIGINT % 1000000)::DOUBLE
+                  + 0.5) / 1000000.0)
+             / CAST(n_chars AS DOUBLE), 9) AS score
+FROM documents WHERE n_chars > 0
+ORDER BY score, doc_id
+LIMIT 40
+"""
+
+
 def extra_queries() -> dict[str, tuple]:
     """name -> (callable, oracle_sql | None)"""
     return {
@@ -2772,4 +2794,5 @@ def extra_queries() -> dict[str, tuple]:
         "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
         "bpe_segment": (q_bpe_segment, SQL_BPE_SEGMENT),
         "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
+        "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     }

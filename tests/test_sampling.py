@@ -145,3 +145,43 @@ def test_kmv_small_cardinality_is_exact(spark):
     row = sampling.kmv_distinct(vals, "word", k=64).collect()[0]
     assert row["k"] == 5
     assert row["est_distinct"] == 5
+
+
+def test_weighted_sample_determinism_and_weight_bias(spark):
+    from nolock_social_ocr_services_spark.functions import sampling
+
+    rows = [(i, 1000 if i < 20 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = sampling.weighted_sample(df, "w", k=10, seed=3).collect()
+    assert len(got) == 10
+    # weight bias: the 20 heavy rows (1000x weight) should dominate the
+    # sample of 10 drawn from 200 rows
+    heavy = sum(1 for r in got if r["doc_id"] < 20)
+    assert heavy >= 8
+    # plan-independent and deterministic
+    again = sampling.weighted_sample(
+        df.repartition(7), "w", k=10, seed=3
+    ).collect()
+    assert [r["doc_id"] for r in again] == [r["doc_id"] for r in got]
+    # different seed -> different sample; zero-weight rows never sampled
+    other = sampling.weighted_sample(df, "w", k=10, seed=4).collect()
+    assert [r["doc_id"] for r in other] != [r["doc_id"] for r in got]
+    dfz = spark.createDataFrame(
+        [(1, 0), (2, 5), (3, 0), (4, 5)], "doc_id long, w long"
+    )
+    ids = {r["doc_id"] for r in
+           sampling.weighted_sample(dfz, "w", k=4).collect()}
+    assert ids == {2, 4}
+
+
+def test_weighted_sample_per_group_topk(spark):
+    from nolock_social_ocr_services_spark.functions import sampling
+
+    rows = [(i, "g" + str(i % 3), 1 + i % 5) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w long")
+    got = sampling.weighted_sample(df, "w", k=4, group_col="g").collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["g"], []).append(r["doc_id"])
+    assert set(per) == {"g0", "g1", "g2"}
+    assert all(len(v) == 4 for v in per.values())
