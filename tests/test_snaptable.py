@@ -1029,3 +1029,48 @@ def test_tagged_snapshot_survives_expiry(spark, tmp_path):
     t.append(_df(spark, 20, 21))
     inc = t.read_incremental(spark, from_snapshot_id=t.current_snapshot_id() - 1)
     assert [r.k for r in inc.collect()] == [20]
+
+
+def test_evolve_conflicts_with_concurrent_commit(spark, tmp_path):
+    """evolve_schema is planned against a specific parent: a writer
+    landing between plan and commit must raise CommitConflict, never
+    silently clobber (or be clobbered by) the interleaved commit."""
+    from pyspark.sql.types import LongType, StructField
+
+    path = str(tmp_path / "t")
+    t1, t2 = SnapTable(path), SnapTable(path)
+    t1.append(_df(spark, 0, 3))
+    orig = t1.current_snapshot_id
+    fired = {"n": 0}
+
+    def race():
+        sid = orig()
+        if fired["n"] == 0:
+            fired["n"] += 1
+            t2.append(_df(spark, 3, 5))  # lands between plan and CAS
+        return sid
+
+    t1.current_snapshot_id = race
+    with pytest.raises(CommitConflict):
+        t1.evolve_schema(add=[StructField("extra", LongType())])
+    # the interleaved append survived untouched; no evolve landed
+    t1.current_snapshot_id = orig
+    assert t1.read(spark).count() == 5
+    assert "extra" not in t1.read(spark).columns
+
+
+def test_tagged_snapshot_survives_compaction_and_expiry(spark, tmp_path):
+    """The full retention chain: tag -> more appends -> compact (which
+    rewrites the CURRENT rows into new files and orphans the old ones)
+    -> expire. The tagged snapshot's original files must survive the
+    sweep and read back exactly."""
+    t = SnapTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 3))
+    t.tag("v1")  # pins snapshot 1 (3 rows)
+    t.append(_df(spark, 3, 6))
+    t.compact(spark, target_files=1)
+    t.expire_snapshots(keep_last=1, orphan_grace_s=0)
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(6))
+    assert sorted(r.k for r in t.read(spark, tag="v1").collect()) == [0, 1, 2]
+    # tag still listed, and refs survived the compact commit
+    assert t.refs() == {"v1": 1}
