@@ -399,6 +399,9 @@ def _q_union_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   top_parts/explode_tokens/repetition -> window/agg/explode/quality
 #   families each keep a checked representative.
 _REDUNDANT_TAIL = (
+    "bpe_tokens",  # apply-side twin of the head bpe_segment (same
+    # learned merges; broadcast-encode output) — apply sides live in
+    # the tail like block_dedup_apply / decontaminate_excise
     # demoted late-r3 for the two new curation queries (dsir_select —
     # DSIR importance resampling, domain_cap — per-domain sqrt-quota
     # caps); each demotee is r2-driver-green and its family keeps

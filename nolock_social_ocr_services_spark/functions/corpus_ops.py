@@ -846,3 +846,25 @@ def char_entropy(
             6,
         ).alias("entropy_bits"),
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    iters: int = 3,
+) -> DataFrame:
+    """Tokenize the corpus with the learned BPE merges — the apply side
+    of bpe_train, in the shape real 100-TB tokenization takes: the
+    word -> segmentation table is VOCABULARY-sized and BROADCASTS, the
+    corpus explodes its words map-side and picks up each word's subword
+    array from the broadcast, so the corpus never shuffles to be
+    tokenized (the only exchanges are inside training itself). Returns
+    the (doc, subword) stream in document word order."""
+    seg, _ = bpe_train(df, text_col=text_col, iters=iters)
+    wtoks = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("word")
+    )
+    return wtoks.join(
+        F.broadcast(seg.select("word", "syms")), on="word"
+    ).select(id_col, F.explode("syms").alias("subword"))

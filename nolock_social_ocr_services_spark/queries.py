@@ -2662,6 +2662,45 @@ FROM cs
 """
 
 
+def q_bpe_tokens(spark, sf_dir):
+    """Apply side of the BPE trainer: tokenize the corpus with the
+    learned merges (vocabulary-sized segmentation table BROADCAST into
+    the exploded word stream — the corpus never shuffles to be
+    tokenized) and report the top-20 subwords by frequency."""
+    d = _docs(spark, sf_dir)
+    return (
+        co.bpe_encode(d, iters=_BPE_ITERS)
+        .groupBy("subword")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "subword")
+        .limit(20)
+    )
+
+
+SQL_BPE_TOKENS = (
+    r"""
+WITH RECURSIVE wf AS (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x <> '')) AS word
+    FROM documents
+  ) GROUP BY 1
+),
+s0 AS (
+  SELECT word, freq,
+         list_transform(generate_series(1, length(word)), i -> word[i])
+             AS syms
+  FROM wf
+),"""
+    + ",".join(_bpe_round_sql(n + 1, f"s{n}") for n in range(_BPE_ITERS))
+    + f"""
+SELECT subword, CAST(sum(freq) AS BIGINT) AS n
+FROM (SELECT freq, unnest(syms) AS subword FROM s{_BPE_ITERS})
+GROUP BY 1 ORDER BY n DESC, subword LIMIT 20
+"""
+)
+
+
 def q_weighted_sample(spark, sf_dir):
     """Efraimidis-Spirakis weighted sample: 40 documents drawn without
     replacement with probability proportional to length — longer docs
@@ -2795,4 +2834,5 @@ def extra_queries() -> dict[str, tuple]:
         "bpe_segment": (q_bpe_segment, SQL_BPE_SEGMENT),
         "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
         "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+        "bpe_tokens": (q_bpe_tokens, SQL_BPE_TOKENS),
     }

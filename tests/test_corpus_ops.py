@@ -398,3 +398,35 @@ def test_char_entropy_golden_and_map_only(spark):
 
     assert exchange_count(co.char_entropy(df)) == 0
     assert batch_eval_count(co.char_entropy(df)) == 0
+
+
+def test_bpe_encode_broadcasts_vocab_and_matches_segmentation(spark):
+    from nolock_social_ocr_services_spark.plans.inspect import (
+        batch_eval_count,
+        explain_str,
+        has_broadcast_join,
+    )
+
+    text = " ".join(["low"] * 3 + ["newest"] * 2)
+    df = spark.createDataFrame(
+        [(1, text), (2, "low widest")], "doc_id long, text string"
+    )
+    enc = co.bpe_encode(df, iters=2)
+    # freq-weighted rounds: r1 merges (l,o)->'lo' (4 'low's dominate),
+    # r2 merges (lo,w)->'low' — so every 'low' token encodes to itself
+    rows = enc.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["subword"])
+    assert by_doc[2].count("low") == 1  # 'low' fully merged after r2
+    # doc-level stream length = sum of per-word subword counts
+    seg = {
+        r["word"]: r["syms"] for r in co.bpe_train(df, iters=2)[0].collect()
+    }
+    want1 = seg["low"] * 3 + seg["newest"] * 2
+    assert sorted(by_doc[1]) == sorted(want1)
+    # the encode join is a broadcast (vocab side), never a shuffle join
+    plan = explain_str(enc)
+    assert has_broadcast_join(enc)
+    assert "SortMergeJoin" not in plan
+    assert batch_eval_count(enc) == 0
