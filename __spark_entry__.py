@@ -399,6 +399,10 @@ def _q_union_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   top_parts/explode_tokens/repetition -> window/agg/explode/quality
 #   families each keep a checked representative.
 _REDUNDANT_TAIL = (
+    "jaccard_rerank",  # r2-green; demoted for the new bm25_topk
+    # (sparse-retrieval stage) — the candidate-only rerank mechanics
+    # stay head-repped by near_dup_srp (same bucketed-verify shape) and
+    # the dedup family keeps exact_dedup/simhash_near_dup/dedup_clusters
     "bpe_tokens",  # apply-side twin of the head bpe_segment (same
     # learned merges; broadcast-encode output) — apply sides live in
     # the tail like block_dedup_apply / decontaminate_excise

@@ -2723,6 +2723,88 @@ LIMIT 40
 """
 
 
+# -- BM25 sparse retrieval ----------------------------------------------------
+# The retrieval stage of retrieval-based decontamination / hard-negative
+# mining: Okapi BM25 (Lucene idf form) over the whitespace-token corpus.
+# Spark side: functions/retrieval.py — ONE stats agg (N, sum_dl, per-term
+# df via array_contains, no explode), then a map-side scoring scan and a
+# TakeOrderedAndProject top-k per query. Oracle: the same arithmetic with
+# every float derived from the same exact integers, idf and per-term
+# scores rounded to 9 dp, terms summed in sorted order, score to 6 dp,
+# ranking by (rounded score DESC, doc_id).
+
+_BM25_QUERIES = {
+    "q1": ["hash", "spark", "window"],
+    "q2": ["merge", "vector"],
+}
+_BM25_K = 10
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-10 docs per query. Stats = one agg row; scoring is
+    whole-stage-codegen per-row HOF arithmetic; top-k = per-partition
+    heaps (TakeOrderedAndProject), never a window on query_id."""
+    from .functions import retrieval
+
+    d = _docs(spark, sf_dir)
+    return retrieval.bm25_topk(d, _BM25_QUERIES, k=_BM25_K)
+
+
+def _bm25_term_sql(term: str) -> str:
+    """One term's score contribution — the exact double-arithmetic
+    shape of retrieval._term_score (pre-folded k1/b constants, dl/avgdl
+    as dl*N/sum_dl)."""
+    t = term.replace("'", "''")
+    tf = f"len(list_filter(t, x -> x = '{t}'))::DOUBLE"
+    idf = (
+        f"round(ln(((n - df_{term})::DOUBLE + 0.5) / "
+        f"(df_{term}::DOUBLE + 0.5) + 1.0), 9)"
+    )
+    return (
+        f"round({idf} * (2.2::DOUBLE * {tf}) / ({tf} + 0.3::DOUBLE + "
+        f"0.9::DOUBLE * dl * nd / sumdl), 9)"
+    )
+
+
+def _sql_bm25_topk() -> str:
+    all_terms = sorted({t for ts in _BM25_QUERIES.values() for t in ts})
+    dfs = ",\n         ".join(
+        f"sum(CASE WHEN list_contains(t, '{t}') THEN 1 ELSE 0 END)"
+        f" AS df_{t}"
+        for t in all_terms
+    )
+    branches = []
+    for qid in sorted(_BM25_QUERIES):
+        score = " + ".join(
+            _bm25_term_sql(t) for t in sorted(set(_BM25_QUERIES[qid]))
+        )
+        branches.append(
+            f"""SELECT * FROM (
+  SELECT '{qid}' AS query_id, doc_id, score FROM (
+    SELECT doc_id, round({score}, 6) AS score
+    FROM toks, stats
+  ) WHERE score > 0 ORDER BY score DESC, doc_id LIMIT {_BM25_K}
+)"""
+        )
+    return (
+        r"""WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS t,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> ''))::DOUBLE AS dl
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS n, count(*)::DOUBLE AS nd,
+         sum(len(t))::DOUBLE AS sumdl,
+         """
+        + dfs
+        + "\n  FROM toks\n)\n"
+        + "\nUNION ALL\n".join(branches)
+    )
+
+
 def extra_queries() -> dict[str, tuple]:
     """name -> (callable, oracle_sql | None)"""
     return {
@@ -2835,4 +2917,5 @@ def extra_queries() -> dict[str, tuple]:
         "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
         "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
         "bpe_tokens": (q_bpe_tokens, SQL_BPE_TOKENS),
+        "bm25_topk": (q_bm25_topk, _sql_bm25_topk()),
     }
