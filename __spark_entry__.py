@@ -399,6 +399,10 @@ def _q_union_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   top_parts/explode_tokens/repetition -> window/agg/explode/quality
 #   families each keep a checked representative.
 _REDUNDANT_TAIL = (
+    "classify_strict",  # r2-green; demoted for the new url_filter —
+    # strict-vs-lenient trie tables stay head-repped by classify_spans
+    # (same compiled trie, lenient mode) and pinned by the golden-vector
+    # trie tests; url string-curation now has its own head rep
     "jaccard_rerank",  # r2-green; demoted for the new bm25_topk
     # (sparse-retrieval stage) — the candidate-only rerank mechanics
     # stay head-repped by near_dup_srp (same bucketed-verify shape) and

@@ -2805,6 +2805,86 @@ stats AS (
     )
 
 
+# -- URL canonicalization + blocklist filter ----------------------------------
+# RefinedWeb/CCNet stage-1: canonicalize the URL (lowercase scheme+host,
+# strip default port / fragment / tracking params), extract the
+# registered domain, drop blocklisted domains via a BROADCAST left-anti
+# join. URLs are synthesized deterministically from doc_id (the
+# mime_from_url pattern) so every rule fires: mixed-case hosts, both
+# default ports, utm/fbclid params in first/middle/only positions,
+# fragments.
+
+_MESSY_URL_EXPR = (
+    "concat("
+    "CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END, "
+    "'WWW.Site.Example', CAST(doc_id % 7 AS STRING), '.COM', "
+    "CASE WHEN doc_id % 5 = 2 THEN "
+    "(CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END) "
+    "ELSE '' END, "
+    "'/p/', CAST(doc_id AS STRING), "
+    "CASE WHEN doc_id % 4 = 1 THEN "
+    "concat('?utm_source=x&id=', CAST(doc_id AS STRING)) "
+    "WHEN doc_id % 4 = 2 THEN "
+    "concat('?id=', CAST(doc_id AS STRING), '&utm_campaign=y') "
+    "WHEN doc_id % 4 = 3 THEN '?utm_medium=z' ELSE '' END, "
+    "CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END)"
+)
+
+_BLOCKED_DOMAINS = ("example2.com", "example5.com")
+
+
+def q_url_filter(spark, sf_dir):
+    """URL blocklist filter: canonicalize -> registered domain ->
+    broadcast left-anti against the blocklist. Corpus-side work is one
+    codegen'd expression chain; the corpus never shuffles."""
+    from .functions import urls
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_MESSY_URL_EXPR).alias("url")
+    )
+    blocked = spark.createDataFrame(
+        [(b,) for b in _BLOCKED_DOMAINS], "domain string"
+    )
+    out = urls.url_filter(d, blocked)
+    return out.select("doc_id", "url", "canon_url", "domain")
+
+
+SQL_URL_FILTER = f"""
+WITH u AS (
+  SELECT doc_id, {_MESSY_URL_EXPR.replace("AS STRING", "AS VARCHAR")} AS url
+  FROM documents
+),
+c AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) AS head0,
+         regexp_replace(regexp_replace(regexp_replace(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+             '#.*$', ''),
+             '(utm_[a-z0-9_]*|fbclid|gclid|ref)=[^&#]*&?', '', 'g')
+             AS rest2
+  FROM u
+),
+k AS (
+  SELECT doc_id, url,
+         (CASE WHEN head0 LIKE 'http://%' THEN
+                 regexp_replace(head0, ':80$', '')
+               WHEN head0 LIKE 'https://%' THEN
+                 regexp_replace(head0, ':443$', '')
+               ELSE head0 END)
+         || regexp_replace(rest2, '[?&]$', '') AS canon_url
+  FROM c
+)
+SELECT doc_id, url, canon_url,
+       regexp_extract(regexp_extract(canon_url,
+           '^https?://([^/?#:]*)', 1), '([^.]+[.][^.]+)$', 1) AS domain
+FROM k
+WHERE regexp_extract(regexp_extract(canon_url,
+          '^https?://([^/?#:]*)', 1), '([^.]+[.][^.]+)$', 1)
+      NOT IN {_BLOCKED_DOMAINS!r}
+"""
+
+
 def extra_queries() -> dict[str, tuple]:
     """name -> (callable, oracle_sql | None)"""
     return {
@@ -2918,4 +2998,5 @@ def extra_queries() -> dict[str, tuple]:
         "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
         "bpe_tokens": (q_bpe_tokens, SQL_BPE_TOKENS),
         "bm25_topk": (q_bm25_topk, _sql_bm25_topk()),
+        "url_filter": (q_url_filter, SQL_URL_FILTER),
     }
