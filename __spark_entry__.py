@@ -399,6 +399,9 @@ def _q_union_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   top_parts/explode_tokens/repetition -> window/agg/explode/quality
 #   families each keep a checked representative.
 _REDUNDANT_TAIL = (
+    "html_strip",  # r2-green; demoted for the new token_budget —
+    # the DOM-heuristic boilerplate strip stays head-repped by
+    # main_content (same stripper composed with the routing filter)
     "classify_strict",  # r2-green; demoted for the new url_filter —
     # strict-vs-lenient trie tables stay head-repped by classify_spans
     # (same compiled trie, lenient mode) and pinned by the golden-vector

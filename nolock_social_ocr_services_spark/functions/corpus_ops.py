@@ -848,6 +848,78 @@ def char_entropy(
     )
 
 
+def token_budget_plan(
+    df: DataFrame,
+    weights: dict[str, int],
+    budget_tokens: int,
+    max_epochs_milli: int = 4000,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Data-recipe planner: per-source epoch/repeat factors for a token
+    budget (the Llama/DoReMi mixture-table computation).
+
+    Given integer mixture weights (parts of ``sum(weights)``), a total
+    token budget, and a repeat ceiling in milli-epochs (4000 = each
+    source may be seen at most 4x), emits one row per weighted source:
+
+      have_tokens   tokens available in the corpus
+      need_tokens   budget * weight / total_weight   (floor)
+      epochs_milli  ceil(1000 * need / have), capped at the ceiling
+      planned_tokens min(need, have * ceiling / 1000)
+      deficit_tokens need - planned  (unfillable without more data)
+
+    ALL-INTEGER arithmetic — the plan is bit-identical across engines
+    and cluster sizes. Cost at 100 TB: one hash-agg over the corpus
+    (partial agg absorbs everything map-side; #sources rows cross the
+    wire), then a BROADCAST join against the recipe table and scalar
+    math on the agg result. Weighted sources absent from the corpus
+    leave their budget share unallocated, faithfully to the recipe.
+    """
+    w_total = sum(weights.values())
+    wdf = df.sparkSession.createDataFrame(
+        [(s, int(w)) for s, w in sorted(weights.items())],
+        "source string, weight long",
+    ).withColumnRenamed("source", source_col)
+    have = df.groupBy(source_col).agg(
+        F.sum(F.size(words(F.col(text_col)))).alias("have_tokens")
+    )
+    j = have.join(F.broadcast(wdf), on=source_col, how="inner")
+    need = F.expr(f"({budget_tokens} * weight) DIV {w_total}")
+    j = j.withColumn("need_tokens", need)
+    epochs = F.least(
+        F.lit(max_epochs_milli).cast("long"),
+        F.expr("(1000 * need_tokens + have_tokens - 1) DIV have_tokens"),
+    )
+    j = j.withColumn(
+        "epochs_milli",
+        F.when(F.col("have_tokens") == 0, F.lit(0).cast("long")).otherwise(
+            epochs
+        ),
+    )
+    planned = F.least(
+        F.col("need_tokens"),
+        F.expr(f"(have_tokens * {max_epochs_milli}) DIV 1000"),
+    )
+    j = j.withColumn(
+        "planned_tokens",
+        F.when(F.col("have_tokens") == 0, F.lit(0).cast("long")).otherwise(
+            planned
+        ),
+    )
+    return j.select(
+        source_col,
+        "have_tokens",
+        "weight",
+        "need_tokens",
+        "epochs_milli",
+        "planned_tokens",
+        (F.col("need_tokens") - F.col("planned_tokens")).alias(
+            "deficit_tokens"
+        ),
+    )
+
+
 def bpe_encode(
     df: DataFrame,
     text_col: str = "text",

@@ -2805,6 +2805,69 @@ stats AS (
     )
 
 
+# -- token-budget mixture planner ----------------------------------------------
+# The Llama/DoReMi data-recipe table: per-source epoch/repeat factors
+# for a token budget, all-integer (floor-div + ceil-div + caps) so the
+# plan hashes identically across engines. One corpus agg + broadcast
+# recipe join.
+
+_BUDGET_WEIGHTS = {
+    "src0": 300,
+    "src1": 200,
+    "src2": 200,
+    "src3": 150,
+    "src4": 150,
+}
+_BUDGET_TOKENS = 40_000
+_BUDGET_MAX_EPOCHS_MILLI = 4000
+
+
+def q_token_budget(spark, sf_dir):
+    """Token-budget mixture plan over the 5-source recipe: some sources
+    hit the 4-epoch repeat ceiling (deficit > 0), others fit."""
+    d = _docs(spark, sf_dir)
+    return co.token_budget_plan(
+        d,
+        _BUDGET_WEIGHTS,
+        budget_tokens=_BUDGET_TOKENS,
+        max_epochs_milli=_BUDGET_MAX_EPOCHS_MILLI,
+    )
+
+
+def _sql_token_budget() -> str:
+    wtot = sum(_BUDGET_WEIGHTS.values())
+    vals = ", ".join(
+        f"('{s}', {w})" for s, w in sorted(_BUDGET_WEIGHTS.items())
+    )
+    b, m = _BUDGET_TOKENS, _BUDGET_MAX_EPOCHS_MILLI
+    return rf"""
+WITH have AS (
+  SELECT source,
+         CAST(sum(len(list_filter(regexp_split_to_array(trim(text),
+              '\s+'), x -> x <> ''))) AS BIGINT) AS have_tokens
+  FROM documents GROUP BY source
+),
+w(source, weight) AS (VALUES {vals}),
+j AS (
+  SELECT h.source, h.have_tokens, CAST(w.weight AS BIGINT) AS weight,
+         CAST(({b} * w.weight) // {wtot} AS BIGINT) AS need_tokens
+  FROM have h JOIN w USING (source)
+)
+SELECT source, have_tokens, weight, need_tokens,
+       CAST(CASE WHEN have_tokens = 0 THEN 0
+            ELSE least({m}, (1000 * need_tokens + have_tokens - 1)
+                            // have_tokens) END AS BIGINT)
+           AS epochs_milli,
+       CAST(CASE WHEN have_tokens = 0 THEN 0
+            ELSE least(need_tokens, (have_tokens * {m}) // 1000) END
+           AS BIGINT) AS planned_tokens,
+       CAST(need_tokens - (CASE WHEN have_tokens = 0 THEN 0
+            ELSE least(need_tokens, (have_tokens * {m}) // 1000) END)
+           AS BIGINT) AS deficit_tokens
+FROM j
+"""
+
+
 # -- URL canonicalization + blocklist filter ----------------------------------
 # RefinedWeb/CCNet stage-1: canonicalize the URL (lowercase scheme+host,
 # strip default port / fragment / tracking params), extract the
@@ -2999,4 +3062,5 @@ def extra_queries() -> dict[str, tuple]:
         "bpe_tokens": (q_bpe_tokens, SQL_BPE_TOKENS),
         "bm25_topk": (q_bm25_topk, _sql_bm25_topk()),
         "url_filter": (q_url_filter, SQL_URL_FILTER),
+        "token_budget": (q_token_budget, _sql_token_budget()),
     }

@@ -430,3 +430,65 @@ def test_bpe_encode_broadcasts_vocab_and_matches_segmentation(spark):
     assert has_broadcast_join(enc)
     assert "SortMergeJoin" not in plan
     assert batch_eval_count(enc) == 0
+
+
+def test_token_budget_plan_integer_math_and_caps(spark):
+    from nolock_social_ocr_services_spark.plans.inspect import (
+        batch_eval_count,
+        explain_str,
+        has_broadcast_join,
+    )
+
+    # srcA: 10 tokens, srcB: 4 tokens, srcC weighted but absent
+    df = spark.createDataFrame(
+        [
+            (1, "w " * 10, "srcA"),
+            (2, "w w w w", "srcB"),
+            (3, "ignored tokens here", "unweighted"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = co.token_budget_plan(
+        df,
+        {"srcA": 500, "srcB": 300, "srcC": 200},
+        budget_tokens=100,
+        max_epochs_milli=4000,
+    )
+    rows = {r["source"]: r.asDict() for r in out.collect()}
+    # unweighted source excluded; absent weighted source yields no row
+    assert set(rows) == {"srcA", "srcB"}
+    a, b = rows["srcA"], rows["srcB"]
+    # need = floor(budget * w / 1000)
+    assert (a["need_tokens"], b["need_tokens"]) == (50, 30)
+    # srcA: ceil(1000*50/10) = 5000 -> capped at 4000 milli-epochs,
+    # planned = min(50, 10*4) = 40, deficit 10
+    assert (a["epochs_milli"], a["planned_tokens"], a["deficit_tokens"]) == (
+        4000,
+        40,
+        10,
+    )
+    # srcB: ceil(1000*30/4) = 7500 -> capped, planned = min(30, 16) = 16
+    assert (b["epochs_milli"], b["planned_tokens"], b["deficit_tokens"]) == (
+        4000,
+        16,
+        14,
+    )
+    # recipe join broadcasts; no Python anywhere
+    assert has_broadcast_join(out)
+    assert "SortMergeJoin" not in explain_str(out)
+    assert batch_eval_count(out) == 0
+
+
+def test_token_budget_plan_uncapped_fit(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j", "s")], "doc_id long, text string, source string"
+    )
+    r = co.token_budget_plan(
+        df, {"s": 1000}, budget_tokens=20, max_epochs_milli=4000
+    ).first()
+    # need 20, have 10 -> 2.0 epochs exactly, no deficit
+    assert (r["epochs_milli"], r["planned_tokens"], r["deficit_tokens"]) == (
+        2000,
+        20,
+        0,
+    )
