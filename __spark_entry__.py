@@ -399,6 +399,9 @@ def _q_union_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   top_parts/explode_tokens/repetition -> window/agg/explode/quality
 #   families each keep a checked representative.
 _REDUNDANT_TAIL = (
+    "batch_stats",  # r2-green; demoted for the new normalize_text —
+    # the success/error/confidence agg family stays head-repped by
+    # extraction_stats (same counters at per-mime grain)
     "html_strip",  # r2-green; demoted for the new token_budget —
     # the DOM-heuristic boilerplate strip stays head-repped by
     # main_content (same stripper composed with the routing filter)

@@ -136,3 +136,55 @@ def pii_counts(col: Column) -> Column:
             F.regexp_extract_all(no_email, F.lit(PHONE_RE), F.lit(0))
         ).alias("n_phones"),
     )
+
+
+# -- normalization (ftfy-lite) -------------------------------------------------
+# The cleanup pass a web pipeline runs before any hashing or scoring:
+# mojibake repair (the frequent UTF-8-decoded-as-cp1252 digraphs), NBSP
+# -> space, newline unification, control-char strip, whitespace-run
+# collapse. Pure literal-replace + regexp chain: codegen'd, scan-speed,
+# and reproducible verbatim in the DuckDB oracle (queries.py generates
+# the oracle's replace chain from the SAME table below).
+
+#: (broken, fixed) pairs applied IN ORDER, each a global literal
+#: replace — the usual UTF-8-bytes-decoded-as-cp1252 victims: accented
+#: Latin letters (2-char sequences led by U+00C3) and cp1252 smart
+#: punctuation (3-char sequences led by U+00E2 U+20AC). Escaped so the
+#: source file stays ASCII.
+MOJIBAKE_TABLE: tuple[tuple[str, str], ...] = (
+    ("Ã©", "é"),  # e-acute
+    ("Ã¨", "è"),  # e-grave
+    ("Ã¤", "ä"),  # a-umlaut
+    ("Ã¶", "ö"),  # o-umlaut
+    ("Ã¼", "ü"),  # u-umlaut
+    ("Ã±", "ñ"),  # n-tilde
+    ("Ã§", "ç"),  # c-cedilla
+    ("â€™", "’"),  # right single quote
+    ("â€œ", "“"),  # left double quote
+    ("â€", "”"),  # right double quote
+    ("â€“", "–"),  # en dash
+    ("â€”", "—"),  # em dash
+    ("â€¦", "…"),  # ellipsis
+)
+
+#: control chars stripped (keeps tab and LF; CR is unified to LF
+#: first). Escaped-hex pattern text so the SAME string parses in Java
+#: regex (Spark) and RE2 (DuckDB).
+CONTROL_RE = r"[\x00-\x08\x0B-\x1F\x7F]"
+
+
+def normalize_text(col: Column) -> Column:
+    """ftfy-lite normalization: mojibake table, NBSP -> space,
+    CRLF/CR -> LF, control-char strip, [ \\t]+ collapse, space-around-
+    newline strip, outer trim. Deterministic literal order — the
+    DuckDB oracle replays the identical chain from the same table."""
+    out = col
+    for broken, fixed in MOJIBAKE_TABLE:
+        out = F.replace(out, F.lit(broken), F.lit(fixed))
+    out = F.replace(out, F.lit(" "), F.lit(" "))
+    out = F.replace(out, F.lit("\r\n"), F.lit("\n"))
+    out = F.replace(out, F.lit("\r"), F.lit("\n"))
+    out = F.regexp_replace(out, CONTROL_RE, "")
+    out = F.regexp_replace(out, r"[ \t]+", " ")
+    out = F.regexp_replace(out, r" *\n *", "\n")
+    return F.trim(out)

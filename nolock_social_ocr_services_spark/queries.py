@@ -2805,6 +2805,67 @@ stats AS (
     )
 
 
+# -- text normalization (ftfy-lite) --------------------------------------------
+# Mojibake repair + NBSP/newline/control/whitespace cleanup. Messy text
+# is synthesized deterministically from doc_id on top of the real text
+# (mojibake digraphs, a BEL control, CRLF + runs of spaces, an NBSP) so
+# every rule fires; the oracle replays the IDENTICAL replace chain,
+# generated from text.MOJIBAKE_TABLE rather than transcribed by hand.
+
+_MESSY_TEXT_EXPR = (
+    "concat("
+    "CASE WHEN doc_id % 3 = 0 THEN 'CafÃ©  ' ELSE '' END, "
+    "CASE WHEN doc_id % 4 = 1 THEN concat('ctl', chr(7), ' ') "
+    "ELSE '' END, "
+    "text, "
+    "CASE WHEN doc_id % 5 = 2 THEN "
+    "concat('  ', chr(13), chr(10), '  tailâ€™s') "
+    "ELSE '' END, "
+    "CASE WHEN doc_id % 2 = 0 THEN concat(chr(160), 'nb') ELSE '' END"
+    ")"
+)
+
+
+def q_normalize_text(spark, sf_dir):
+    """ftfy-lite normalization over doc_id-synthesized messy text:
+    literal-replace + regexp chain, scan-speed, zero Python."""
+    from .functions import text as text_fns
+
+    d = _docs(spark, sf_dir)
+    messy = F.expr(_MESSY_TEXT_EXPR)
+    return d.select(
+        "doc_id",
+        text_fns.normalize_text(messy).alias("norm_text"),
+        (text_fns.normalize_text(messy) != messy).alias("changed"),
+    )
+
+
+def _sql_normalize_text() -> str:
+    from .functions import text as text_fns
+
+    out = "messy"
+    for broken, fixed in text_fns.MOJIBAKE_TABLE:
+        out = f"replace({out}, '{broken}', '{fixed}')"
+    out = f"replace({out}, chr(160), ' ')"
+    out = f"replace({out}, chr(13) || chr(10), chr(10))"
+    out = f"replace({out}, chr(13), chr(10))"
+    out = (
+        f"regexp_replace({out}, "
+        r"'[\x00-\x08\x0B-\x1F\x7F]', '', 'g')"
+    )
+    out = rf"regexp_replace({out}, '[ \t]+', ' ', 'g')"
+    out = rf"regexp_replace({out}, ' *\n *', chr(10), 'g')"
+    out = f"trim({out})"
+    return f"""
+WITH m AS (
+  SELECT doc_id, {_MESSY_TEXT_EXPR} AS messy FROM documents
+)
+SELECT doc_id, {out} AS norm_text,
+       ({out} <> messy) AS changed
+FROM m
+"""
+
+
 # -- token-budget mixture planner ----------------------------------------------
 # The Llama/DoReMi data-recipe table: per-source epoch/repeat factors
 # for a token budget, all-integer (floor-div + ceil-div + caps) so the
@@ -3063,4 +3124,5 @@ def extra_queries() -> dict[str, tuple]:
         "bm25_topk": (q_bm25_topk, _sql_bm25_topk()),
         "url_filter": (q_url_filter, SQL_URL_FILTER),
         "token_budget": (q_token_budget, _sql_token_budget()),
+        "normalize_text": (q_normalize_text, _sql_normalize_text()),
     }
