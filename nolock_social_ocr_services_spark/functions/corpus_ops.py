@@ -822,29 +822,100 @@ def char_entropy(
     d = df.select(F.col(id_col), chars.alias("cs")).filter(
         F.size("cs") >= 1
     )
+    return d.select(
+        id_col,
+        F.size("cs").cast("long").alias("n_chars"),
+        _entropy_bits_of_chars(F.col("cs")).alias("entropy_bits"),
+    )
+
+
+def _entropy_bits_of_chars(cs: Column) -> Column:
+    """Shannon bits/char of a non-empty char array (the char_entropy
+    formula as a reusable Column — see char_entropy for the contract).
+    Caller guarantees size >= 1."""
     # sorted distinct chars: the float terms then sum in the SAME order
     # in Spark and the DuckDB oracle (binary collation both sides), so
     # the 6-decimal round sees bit-identical input
     terms = F.transform(
-        F.array_sort(F.array_distinct("cs")),
+        F.array_sort(F.array_distinct(cs)),
         lambda c: F.round(
-            F.size(F.filter("cs", lambda x: x == c))
-            * F.log2(F.size(F.filter("cs", lambda x: x == c))),
+            F.size(F.filter(cs, lambda x: x == c))
+            * F.log2(F.size(F.filter(cs, lambda x: x == c))),
             9,
         ),
     )
-    n = F.size("cs")
-    return d.select(
-        id_col,
-        n.cast("long").alias("n_chars"),
-        F.round(
-            F.log2(n)
-            - F.aggregate(
-                terms, F.lit(0.0), lambda acc, t: acc + t
+    n = F.size(cs)
+    return F.round(
+        F.log2(n)
+        - F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t) / n,
+        6,
+    )
+
+
+def curate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    min_entropy_bits: float = 2.0,
+    max_dup_token_pct: int = 80,
+) -> DataFrame:
+    """The end-to-end curation verdict pass — the single call a corpus
+    release runs, composing the individually-verified gates in the
+    standard cheap-to-expensive order:
+
+      too_short    n_tokens < min_tokens
+      low_entropy  char entropy (bits/char) < min_entropy_bits
+      repetitive   duplicate-token fraction > max_dup_token_pct %
+                   (all-integer compare: 100*(n - distinct) > pct*n)
+      dup          not the min-doc_id owner of the text's md5 digest
+      kept         everything else
+
+    One verdict per document (first failing rule wins — rule order is
+    the contract). Scale shape: every gate except ``dup`` is per-row
+    HOF arithmetic computed in ONE map-side projection; the dedup rank
+    then shuffles only (id, digest, n_tokens, flags) — the text itself
+    NEVER crosses the exchange, so the shuffle is ~tens of bytes/row at
+    any corpus size. Rows failing a map-side gate still flow through
+    the rank, which is semantically free: identical digests imply
+    identical text, hence identical map-side verdicts for the whole
+    group. Window partitions are bounded by duplicate-group size.
+    """
+    toks = words(F.col(text_col))
+    n_tokens = F.size(toks)
+    flags = df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("digest"),
+        n_tokens.cast("long").alias("n_tokens"),
+        (n_tokens < min_tokens).alias("f_short"),
+        F.when(
+            n_tokens < min_tokens, F.lit(False)
+        ).otherwise(
+            _entropy_bits_of_chars(
+                F.filter(
+                    F.split(F.col(text_col), ""),
+                    lambda c: c != F.lit(""),
+                )
             )
-            / n,
-            6,
-        ).alias("entropy_bits"),
+            < min_entropy_bits
+        ).alias("f_entropy"),
+        (
+            100 * (n_tokens - F.size(F.array_distinct(toks)))
+            > max_dup_token_pct * n_tokens
+        ).alias("f_rep"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("digest").orderBy(id_col)
+    )
+    return flags.withColumn("rk", rk).select(
+        id_col,
+        "n_tokens",
+        F.when(F.col("f_short"), F.lit("too_short"))
+        .when(F.col("f_entropy"), F.lit("low_entropy"))
+        .when(F.col("f_rep"), F.lit("repetitive"))
+        .when(F.col("rk") > 1, F.lit("dup"))
+        .otherwise(F.lit("kept"))
+        .alias("verdict"),
     )
 
 

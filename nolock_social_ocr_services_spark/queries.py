@@ -2805,6 +2805,73 @@ stats AS (
     )
 
 
+# -- end-to-end curation verdict pass ------------------------------------------
+# The flagship "one call per corpus release" composition: too_short ->
+# low_entropy -> repetitive -> dup -> kept, first failing rule wins.
+# Inputs are doc_id-mutated so every verdict fires at sf0.01: a 3-token
+# doc, an 'ab ab ...' low-entropy doc, a 12x-'spam' repetitive doc, and
+# a constant sentence shared by ~1/13 of docs (one survivor, rest dup).
+
+_CURATE_SRC_EXPR = (
+    "CASE WHEN doc_id % 17 = 3 THEN 'one two three' "
+    "WHEN doc_id % 17 = 5 THEN 'ab ab ab ab ab ab' "
+    "WHEN doc_id % 17 = 9 THEN 'spam spam spam spam spam spam spam "
+    "spam spam spam spam spam ham' "
+    "WHEN doc_id % 13 = 2 THEN "
+    "'the quick brown fox jumps over the lazy dog' "
+    "ELSE text END"
+)
+
+
+def q_curate(spark, sf_dir):
+    """End-to-end curation verdicts: one map-side projection computes
+    every per-row gate, then one narrow exchange (id, digest, flags —
+    never the text) ranks duplicate groups."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_CURATE_SRC_EXPR).alias("text")
+    )
+    return co.curate(d)
+
+
+SQL_CURATE = rf"""
+WITH src AS (
+  SELECT doc_id, {_CURATE_SRC_EXPR} AS ctext FROM documents
+),
+feat AS (
+  SELECT doc_id, ctext,
+         list_filter(regexp_split_to_array(trim(ctext), '\s+'),
+                     x -> x <> '') AS t,
+         list_transform(generate_series(1, length(ctext)),
+                        i -> ctext[i]) AS cs
+  FROM src
+),
+flag AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         (len(t) < 5) AS f_short,
+         CASE WHEN len(t) < 5 THEN FALSE ELSE
+           round(log2(len(cs)) -
+             list_sum(list_transform(list_sort(list_distinct(cs)),
+               c -> round(len(list_filter(cs, x -> x = c))
+                          * log2(len(list_filter(cs, x -> x = c))),
+                     9)))
+             / len(cs), 6) < 2.0 END AS f_entropy,
+         (100 * (len(t) - len(list_distinct(t))) > 80 * len(t))
+             AS f_rep,
+         row_number() OVER (PARTITION BY md5(ctext) ORDER BY doc_id)
+             AS rk
+  FROM feat
+)
+SELECT doc_id, n_tokens,
+       CASE WHEN f_short THEN 'too_short'
+            WHEN f_entropy THEN 'low_entropy'
+            WHEN f_rep THEN 'repetitive'
+            WHEN rk > 1 THEN 'dup'
+            ELSE 'kept' END AS verdict
+FROM flag
+"""
+
+
 # -- text normalization (ftfy-lite) --------------------------------------------
 # Mojibake repair + NBSP/newline/control/whitespace cleanup. Messy text
 # is synthesized deterministically from doc_id on top of the real text
@@ -3125,4 +3192,5 @@ def extra_queries() -> dict[str, tuple]:
         "url_filter": (q_url_filter, SQL_URL_FILTER),
         "token_budget": (q_token_budget, _sql_token_budget()),
         "normalize_text": (q_normalize_text, _sql_normalize_text()),
+        "curate": (q_curate, SQL_CURATE),
     }

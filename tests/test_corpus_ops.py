@@ -492,3 +492,49 @@ def test_token_budget_plan_uncapped_fit(spark):
         20,
         0,
     )
+
+
+def test_curate_verdicts_and_rule_priority(spark):
+    from nolock_social_ocr_services_spark.plans.inspect import (
+        batch_eval_count,
+        exchange_count,
+    )
+
+    good = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (1, "one two three"),            # too_short
+            (2, "ab ab ab ab ab ab"),        # low entropy (also repetitive
+            #                                  -> entropy wins by priority)
+            (3, "spam " * 12 + "ham"),       # repetitive, entropy ~2.4 ok
+            (4, good),                        # kept (digest owner)
+            (5, good),                        # dup of 4
+            (6, "a genuinely varied sentence with many different words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = co.curate(df)
+    # plan pins FIRST (pre-execution — AQE's post-run final plan prints
+    # a materialized stage's Exchange twice): one narrow exchange (the
+    # digest rank); zero Python
+    assert exchange_count(out) == 1
+    assert batch_eval_count(out) == 0
+    got = {r["doc_id"]: r["verdict"] for r in out.collect()}
+    assert got == {
+        1: "too_short",
+        2: "low_entropy",
+        3: "repetitive",
+        4: "kept",
+        5: "dup",
+        6: "kept",
+    }
+
+
+def test_curate_shuffle_excludes_text(spark):
+    # the text column must be projected away BEFORE the dedup-rank
+    # exchange — only (id, digest, n_tokens, flags) cross the wire
+    df = spark.createDataFrame([(1, "w x y z q")], "doc_id long, text string")
+    out = co.curate(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    exch = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert exch and all("text#" not in ln for ln in exch)
