@@ -399,6 +399,9 @@ def _q_union_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   top_parts/explode_tokens/repetition -> window/agg/explode/quality
 #   families each keep a checked representative.
 _REDUNDANT_TAIL = (
+    "text_stats",  # r2-green; demoted for the new bpe_fertility —
+    # its length/token/punct counters stay head-exercised by curate
+    # (token counts + gates), char_entropy, and lang_id (stopword hits)
     "ocr_page_regions",  # r2-green; demoted for the new curate —
     # the page-region struct map stays head-exercised by
     # layout_reading_order (consumes the same regions) and ocr_text

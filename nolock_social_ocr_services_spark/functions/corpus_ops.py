@@ -991,6 +991,55 @@ def token_budget_plan(
     )
 
 
+def bpe_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    iters: int = 3,
+) -> DataFrame:
+    """Tokenizer-fertility report: how well the learned BPE vocabulary
+    fits each corpus slice (per language/source) — the standard
+    tokenizer-evaluation table (subwords per word and chars per
+    subword; high fertility on a language = that language pays more
+    sequence length per word).
+
+    ALL-INTEGER outputs (counts + milli-ratios by integer division) so
+    the report hashes identically across engines. Scale shape: merges
+    train on the global word-frequency table (bpe_train); the per-group
+    stats need one (group, word) hash-agg over the corpus — partial agg
+    collapses each partition to its distinct words before the exchange
+    — then a BROADCAST join against the vocabulary-sized segmentation
+    table and one tiny per-group agg.
+    """
+    seg, _ = bpe_train(df, text_col=text_col, iters=iters)
+    wl = (
+        df.select(
+            F.col(group_col),
+            F.explode(words(F.col(text_col))).alias("word"),
+        )
+        .groupBy(group_col, "word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    j = wl.join(F.broadcast(seg.select("word", "syms")), on="word")
+    rep = j.groupBy(group_col).agg(
+        F.sum("freq").alias("n_words"),
+        F.sum(F.col("freq") * F.size("syms")).alias("n_subwords"),
+        F.sum(F.col("freq") * F.length("word")).alias("n_chars"),
+    )
+    return rep.select(
+        group_col,
+        "n_words",
+        "n_subwords",
+        "n_chars",
+        F.expr("(1000 * n_subwords) DIV n_words").alias(
+            "fertility_milli"
+        ),
+        F.expr("(1000 * n_chars) DIV n_subwords").alias(
+            "chars_per_subword_milli"
+        ),
+    )
+
+
 def bpe_encode(
     df: DataFrame,
     text_col: str = "text",

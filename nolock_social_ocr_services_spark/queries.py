@@ -2701,6 +2701,57 @@ GROUP BY 1 ORDER BY n DESC, subword LIMIT 20
 )
 
 
+def q_bpe_fertility(spark, sf_dir):
+    """Tokenizer-fertility report per language: integer counts +
+    milli-ratios from the globally-trained merges; (lang, word) agg +
+    broadcast vocab join + tiny per-lang agg."""
+    d = _docs(spark, sf_dir)
+    return co.bpe_fertility(d, iters=_BPE_ITERS)
+
+
+SQL_BPE_FERTILITY = (
+    r"""
+WITH RECURSIVE wf AS (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x <> '')) AS word
+    FROM documents
+  ) GROUP BY 1
+),
+s0 AS (
+  SELECT word, freq,
+         list_transform(generate_series(1, length(word)), i -> word[i])
+             AS syms
+  FROM wf
+),"""
+    + ",".join(_bpe_round_sql(n + 1, f"s{n}") for n in range(_BPE_ITERS))
+    + f""",
+wl AS (
+  SELECT lang, word, count(*) AS freq FROM (
+    SELECT lang,
+           unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              x -> x <> '')) AS word
+    FROM documents
+  ) GROUP BY 1, 2
+),
+rep AS (
+  SELECT wl.lang,
+         CAST(sum(wl.freq) AS BIGINT) AS n_words,
+         CAST(sum(wl.freq * len(s.syms)) AS BIGINT) AS n_subwords,
+         CAST(sum(wl.freq * length(wl.word)) AS BIGINT) AS n_chars
+  FROM wl JOIN s{_BPE_ITERS} s USING (word)
+  GROUP BY 1
+)
+SELECT lang, n_words, n_subwords, n_chars,
+       CAST((1000 * n_subwords) // n_words AS BIGINT)
+           AS fertility_milli,
+       CAST((1000 * n_chars) // n_subwords AS BIGINT)
+           AS chars_per_subword_milli
+FROM rep
+"""
+)
+
+
 def q_weighted_sample(spark, sf_dir):
     """Efraimidis-Spirakis weighted sample: 40 documents drawn without
     replacement with probability proportional to length — longer docs
@@ -3193,4 +3244,5 @@ def extra_queries() -> dict[str, tuple]:
         "token_budget": (q_token_budget, _sql_token_budget()),
         "normalize_text": (q_normalize_text, _sql_normalize_text()),
         "curate": (q_curate, SQL_CURATE),
+        "bpe_fertility": (q_bpe_fertility, SQL_BPE_FERTILITY),
     }

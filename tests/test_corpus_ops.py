@@ -530,6 +530,38 @@ def test_curate_verdicts_and_rule_priority(spark):
     }
 
 
+def test_bpe_fertility_hand_computed(spark):
+    from nolock_social_ocr_services_spark.plans.inspect import (
+        batch_eval_count,
+        explain_str,
+        has_broadcast_join,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower", "en"), (2, "low widest", "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = co.bpe_fertility(df, iters=2)
+    # global merges: r1 (l,o)->lo [5 occurrences], r2 (lo,w)->low [5]
+    # seg: low=[low](1 sym), lower=[low,e,r](3), widest=[w..t](6)
+    rows = {r["lang"]: r.asDict() for r in out.collect()}
+    en, de = rows["en"], rows["de"]
+    assert (en["n_words"], en["n_subwords"], en["n_chars"]) == (4, 6, 14)
+    assert (en["fertility_milli"], en["chars_per_subword_milli"]) == (
+        1500,
+        2333,
+    )
+    assert (de["n_words"], de["n_subwords"], de["n_chars"]) == (2, 7, 9)
+    assert (de["fertility_milli"], de["chars_per_subword_milli"]) == (
+        3500,
+        1285,
+    )
+    # vocab join broadcasts; no row-Python
+    assert has_broadcast_join(out)
+    assert "SortMergeJoin" not in explain_str(out)
+    assert batch_eval_count(out) == 0
+
+
 def test_curate_shuffle_excludes_text(spark):
     # the text column must be projected away BEFORE the dedup-rank
     # exchange — only (id, digest, n_tokens, flags) cross the wire
