@@ -399,6 +399,12 @@ def _q_union_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   top_parts/explode_tokens/repetition -> window/agg/explode/quality
 #   families each keep a checked representative.
 _REDUNDANT_TAIL = (
+    "exact_dedup",  # r1+r2 green twice; demoted for the new
+    # incremental_dedup — the md5-min-groupBy exact-dup primitive is
+    # re-exercised verbatim inside incremental_dedup's exact stage
+    # (exact_dup_of column) and inside the dedup_survivors /
+    # corpus_report oracle chains; the dedup family keeps
+    # simhash_near_dup, dedup_clusters, dedup_survivors in the head
     "text_stats",  # r2-green; demoted for the new bpe_fertility —
     # its length/token/punct counters stay head-exercised by curate
     # (token counts + gates), char_entropy, and lang_id (stopword hits)

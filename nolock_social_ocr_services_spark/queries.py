@@ -253,6 +253,93 @@ FROM banded l JOIN banded r
 """
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental ingest dedup: docs with doc_id % 5 == 0 arrive as
+    the NEW batch and are deduplicated against the persisted index of
+    the other 80% — the historical corpus text is never rescanned,
+    only its (text_hash, minhash sig) index is joined. Verdict per new
+    doc: exact_dup (md5 hit in the index), near_dup (>= N/2 of the
+    MINHASH_N signature components agree with the best indexed
+    candidate), or unique."""
+    d = _docs(spark, sf_dir)
+    return dd.incremental_dedup(
+        d.filter(F.col("doc_id") % 5 == 0),
+        dd.dedup_index(
+            d.filter(F.col("doc_id") % 5 != 0),
+            num_hashes=MINHASH_N,
+            k=MINHASH_K,
+        ),
+        num_hashes=MINHASH_N,
+        bands=MINHASH_BANDS,
+        k=MINHASH_K,
+        min_agree=MINHASH_N // 2,
+    )
+
+
+def _sql_incremental_dedup() -> str:
+    r = MINHASH_N // MINHASH_BANDS
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> md5(concat('{j}:', s))))"
+        for j in range(MINHASH_N)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', "
+        + ", ".join(f"sig[{b * r + i + 1}]" for i in range(r))
+        + ")) AS band_hash FROM {src} WHERE sig IS NOT NULL"
+        for b in range(MINHASH_BANDS)
+    )
+    idx_list = ", ".join(str(i + 1) for i in range(MINHASH_N))
+    return f"""
+WITH sh AS (
+  SELECT doc_id, md5(text) AS text_hash,
+    CASE WHEN text IS NULL OR length(text) < {MINHASH_K}
+         THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(generate_series(1, length(text) - {MINHASH_K - 1}),
+                             i -> substr(text, CAST(i AS INT), {MINHASH_K})) END AS sh
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, text_hash,
+    CASE WHEN len(sh) = 0 THEN NULL ELSE [{mins}] END AS sig
+  FROM sh
+),
+newdocs AS (SELECT * FROM sig WHERE doc_id % 5 = 0),
+olddocs AS (SELECT * FROM sig WHERE doc_id % 5 <> 0),
+exact AS (
+  SELECT n.doc_id, min(o.doc_id) AS exact_dup_of
+  FROM newdocs n JOIN olddocs o ON n.text_hash = o.text_hash
+  GROUP BY n.doc_id
+),
+nb AS ({band_rows.format(src='newdocs')}),
+ob AS ({band_rows.format(src='olddocs')}),
+cand AS (
+  SELECT DISTINCT nb.doc_id, ob.doc_id AS old_id
+  FROM nb JOIN ob ON nb.band_idx = ob.band_idx AND nb.band_hash = ob.band_hash
+),
+agree AS (
+  SELECT c.doc_id, c.old_id,
+    len(list_filter([{idx_list}], i -> n.sig[i] = o.sig[i])) AS matches
+  FROM cand c
+  JOIN newdocs n ON n.doc_id = c.doc_id
+  JOIN olddocs o ON o.doc_id = c.old_id
+),
+best AS (
+  SELECT doc_id, old_id AS match_id, matches AS sig_agree
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY matches DESC, old_id) AS rn
+        FROM agree)
+  WHERE rn = 1
+)
+SELECT n.doc_id, e.exact_dup_of, b.match_id, b.sig_agree,
+       CASE WHEN e.exact_dup_of IS NOT NULL THEN 'exact_dup'
+            WHEN b.sig_agree >= {MINHASH_N // 2} THEN 'near_dup'
+            ELSE 'unique' END AS verdict
+FROM newdocs n
+LEFT JOIN exact e USING (doc_id)
+LEFT JOIN best b USING (doc_id)
+"""
+
+
 # -- similarity ----------------------------------------------------------------
 
 
@@ -3245,4 +3332,5 @@ def extra_queries() -> dict[str, tuple]:
         "normalize_text": (q_normalize_text, _sql_normalize_text()),
         "curate": (q_curate, SQL_CURATE),
         "bpe_fertility": (q_bpe_fertility, SQL_BPE_FERTILITY),
+        "incremental_dedup": (q_incremental_dedup, _sql_incremental_dedup()),
     }

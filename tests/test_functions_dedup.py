@@ -315,3 +315,76 @@ def test_block_dedup_apply_rebuilds_text(spark):
         "d2": ("x y", 1),
         "d3": ("", 0),
     }
+
+
+def test_incremental_dedup_verdicts(spark, df):
+    """New batch vs persisted index: exact dup via md5, near dup via
+    minhash signature agreement, unique otherwise. df docs 0..3 are the
+    historical corpus; the batch re-sends an exact copy, a near copy,
+    and fresh text."""
+    index = dd.dedup_index(df.filter("doc_id <= 3"), num_hashes=16, k=6)
+    batch = spark.createDataFrame(
+        [
+            (10, df.filter("doc_id = 0").first().text),   # exact dup of 0
+            (11, df.filter("doc_id = 2").first().text),   # exact dup of 2
+            (12, "totally novel content about astronomy telescopes and "
+                 "the orbital mechanics of binary star systems tonight"),
+            (13, None),                                    # nothing to match
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dd.incremental_dedup(
+        batch, index, num_hashes=16, bands=8, k=6, min_agree=8
+    ).collect()}
+    assert out[10].verdict == "exact_dup" and out[10].exact_dup_of == 0
+    assert out[11].verdict == "exact_dup" and out[11].exact_dup_of == 2
+    assert out[12].verdict == "unique" and out[12].match_id is None
+    assert out[13].verdict == "unique" and out[13].exact_dup_of is None
+    # doc 10 is byte-identical to 0, so all 16 signature components agree
+    assert out[10].sig_agree == 16 and out[10].match_id == 0
+
+
+def test_incremental_dedup_near_dup_by_signature(spark, df):
+    """A paraphrased doc (no md5 hit) is caught by signature agreement
+    alone — the verify step never touches the indexed text."""
+    index = dd.dedup_index(df.filter("doc_id <= 3"), num_hashes=16, k=6)
+    near = df.filter("doc_id = 0").first().text.replace(
+        "columnar data", "columnar files"
+    )
+    batch = spark.createDataFrame([(20, near)], "doc_id long, text string")
+    row = dd.incremental_dedup(
+        batch, index, num_hashes=16, bands=8, k=6, min_agree=8
+    ).first()
+    assert row.verdict == "near_dup"
+    assert row.exact_dup_of is None
+    assert row.match_id in (0, 1, 4) and row.sig_agree >= 8
+
+
+def test_update_index_grows_by_unique_survivors_only(spark, df):
+    """The ingest loop's index advances by the batch's unique docs;
+    dups (exact or near) add no index rows."""
+    index = dd.dedup_index(df.filter("doc_id <= 3"), num_hashes=16, k=6)
+    batch = spark.createDataFrame(
+        [
+            (10, df.filter("doc_id = 0").first().text),    # dup -> dropped
+            (12, "totally novel content about astronomy telescopes and "
+                 "the orbital mechanics of binary star systems tonight"),
+        ],
+        "doc_id long, text string",
+    )
+    batch_index = dd.dedup_index(batch, num_hashes=16, k=6)
+    verdicts = dd.incremental_dedup(
+        batch, index, num_hashes=16, bands=8, k=6, min_agree=8
+    )
+    grown = dd.update_index(index, verdicts, batch_index)
+    assert grown.count() == index.count() + 1
+    assert {r.doc_id for r in grown.collect()} == {0, 1, 2, 3, 12}
+    # a re-sent copy of the survivor now dedups against the grown index
+    again = spark.createDataFrame(
+        [(30, batch.filter("doc_id = 12").first().text)],
+        "doc_id long, text string",
+    )
+    row = dd.incremental_dedup(
+        again, grown, num_hashes=16, bands=8, k=6, min_agree=8
+    ).first()
+    assert row.verdict == "exact_dup" and row.exact_dup_of == 12

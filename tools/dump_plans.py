@@ -58,6 +58,8 @@ PLAN_QUERIES = [
     "token_budget",       # one hash-agg + broadcast recipe join
     "normalize_text",     # literal/regex replace chain: zero Exchange
     "curate",             # all gates map-side + 1 narrow digest exchange
+    "incremental_dedup",  # batch-vs-index equi-joins on digests; sig-agree
+                          # verify touches candidate pairs only, no cartesian
 ]
 
 MARKERS = [
