@@ -88,6 +88,109 @@ def read_lineage_snap(spark: SparkSession, table_dir: str) -> DataFrame:
     return SnapTable(table_dir + "_lineage").read(spark)
 
 
+def run_ingest_dedup(
+    spark: SparkSession,
+    docs: DataFrame,
+    table_dir: str,
+    num_batches: int = 4,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 8,
+    min_agree: int = 8,
+    fail_after: int | None = None,
+) -> list[int]:
+    """The production corpus-ingest loop: batches of documents arrive
+    in order and are deduplicated against the PERSISTED index of
+    everything ingested so far (functions.dedup.dedup_index /
+    incremental_dedup) — the historical corpus text is never rescanned.
+    Two snapshot tables make the loop exactly-once AND resumable:
+
+    * ``table_dir``          — verdicts, partitioned by ``batch_id``;
+    * ``table_dir + "_index"`` — the dedup index, one ``append`` of the
+      batch's unique survivors per committed batch (the incremental
+      form of functions.dedup.update_index).
+
+    Commit order per batch: verdicts ``overwrite_partitions`` first
+    (idempotent — a replay of a half-finished batch replaces its own
+    partition against the UNCHANGED index and produces byte-identical
+    verdicts), then the index ``append`` carrying the cumulative
+    ``committed_batches`` protocol record. A kill between the two
+    re-runs the batch on resume; a kill after the second never re-runs
+    it. Resume state is read from the INDEX summary because the index
+    is the loop's state — the verdicts table is just output.
+
+    Within-batch exact duplicates are resolved first (exact_dedup):
+    only each digest's canonical row is matched against the index, so
+    two copies arriving in ONE batch cannot both enter the index; the
+    non-canonical copies get verdict 'exact_dup' pointing at their
+    in-batch canonical. (Within-batch NEAR-dup resolution is a separate
+    per-batch LSH pass — minhash_lsh_candidates — out of scope here.)
+
+    At 100 TB: each iteration is one batch-sized job; the index table
+    grows by appends only and its banded view can be bucketed by
+    band_hash so the candidate join is shuffle-free on the index side.
+    Returns batch ids processed by THIS invocation.
+    """
+    from ..functions import dedup as dd
+
+    verdicts_t = SnapTable(table_dir)
+    index_t = SnapTable(table_dir + "_index")
+    batched = with_part_id(docs, num_batches).withColumnRenamed(
+        "part_id", "batch_id"
+    )
+    done = {int(v) for v in index_t.current_summary().get("committed_batches", [])}
+    processed: list[int] = []
+    for b in range(num_batches):
+        if b in done:
+            continue
+        if fail_after is not None and len(processed) >= fail_after:
+            raise RuntimeError(f"injected failure after {fail_after} commits")
+        batch = batched.filter(F.col("batch_id") == b).drop("batch_id")
+        ex = dd.exact_dedup(batch)
+        canon = batch.join(ex.filter("is_canonical").select("doc_id"), "doc_id")
+        index = (
+            index_t.read(spark)
+            if index_t.current_snapshot_id()
+            else dd.dedup_index(batch.limit(0), num_hashes=num_hashes, k=k)
+        )
+        v = dd.incremental_dedup(
+            canon, index, num_hashes=num_hashes, bands=bands, k=k,
+            min_agree=min_agree,
+        )
+        intra = ex.filter(~F.col("is_canonical")).select(
+            "doc_id",
+            F.col("canonical_id").alias("exact_dup_of"),
+            F.lit(None).cast(v.schema["match_id"].dataType).alias("match_id"),
+            F.lit(None).cast("long").alias("sig_agree"),
+            F.lit("exact_dup").alias("verdict"),
+        )
+        verdicts_t.overwrite_partitions(
+            v.unionByName(intra).withColumn("batch_id", F.lit(b)),
+            "batch_id",
+            [b],
+        )
+        increment = dd.dedup_index(canon, num_hashes=num_hashes, k=k).join(
+            v.filter("verdict = 'unique'").select("doc_id"), "doc_id"
+        )
+        # the survivors and the committed-batch marker land in ONE
+        # atomic commit: a kill can never leave the index advanced but
+        # the batch unmarked (which would re-ingest the batch against
+        # an index already holding its own docs)
+        txid = index_t._write_tx(increment, None)
+        index_t._commit(
+            "append",
+            txid,
+            lambda pf: pf,
+            index_t._write_schema_json(increment),
+            {"added_files": len(txid)},
+            protocol={
+                "committed_batches": sorted(done | set(processed) | {b})
+            },
+        )
+        processed.append(b)
+    return processed
+
+
 def exactly_once_sink(table_dir: str):
     """foreachBatch sink with exactly-once semantics into a SnapTable.
 

@@ -1074,3 +1074,125 @@ def test_tagged_snapshot_survives_compaction_and_expiry(spark, tmp_path):
     assert sorted(r.k for r in t.read(spark, tag="v1").collect()) == [0, 1, 2]
     # tag still listed, and refs survived the compact commit
     assert t.refs() == {"v1": 1}
+
+
+# -- ingest-dedup loop ---------------------------------------------------------
+
+
+def _ingest_docs(spark):
+    """Docs with a cross-batch exact dup, a cross-batch near dup, and
+    uniques. with_part_id buckets by hash(doc_id), so batch membership
+    is derived, not chosen — the dup pairs below were picked to land in
+    DIFFERENT batches at num_batches=2 (hash-checked in the test)."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the archive "
+        "crawler records every page it visits into columnar storage"
+    )
+    near = base.replace("columnar storage", "columnar files")
+    rows = [
+        (0, base),
+        (1, "completely different text about cooking pasta with garlic"),
+        (2, base),          # exact dup of 0
+        (3, near),          # near dup of 0
+        (4, "another unique document mentioning satellites and orbits"),
+        (5, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ingest_dedup_loop_end_to_end(spark, tmp_path):
+    from nolock_social_ocr_services_spark.sources.snap_job import (
+        run_ingest_dedup,
+    )
+    from nolock_social_ocr_services_spark.lineage import with_part_id
+
+    docs = _ingest_docs(spark)
+    path = str(tmp_path / "ingest")
+    done = run_ingest_dedup(
+        spark, docs, path, num_batches=2, bands=8, k=6, min_agree=8
+    )
+    assert done == [0, 1]
+    batches = {
+        r.doc_id: r.part_id for r in with_part_id(docs, 2).collect()
+    }
+    # the fixture only proves cross-batch dedup if the pairs split
+    assert batches[0] != batches[2] or batches[0] != batches[3]
+
+    verdicts = {
+        r.doc_id: r for r in SnapTable(path).read(spark).collect()
+    }
+    assert len(verdicts) == 6
+    # exact pair: whichever of (0, 2) arrived second is the dup
+    first, second = sorted((0, 2), key=lambda d: (batches[d], d))
+    assert verdicts[first].verdict == "unique"
+    assert verdicts[second].verdict == "exact_dup"
+    assert verdicts[second].exact_dup_of == first
+    assert verdicts[3].verdict == "near_dup" and verdicts[3].sig_agree >= 8
+    assert verdicts[1].verdict == "unique"
+    assert verdicts[4].verdict == "unique"
+    # the index holds exactly the unique survivors
+    idx_ids = {
+        r.doc_id for r in SnapTable(path + "_index").read(spark).collect()
+    }
+    assert idx_ids == {d for d, r in verdicts.items() if r.verdict == "unique"}
+    # completed loop re-run is a no-op
+    assert run_ingest_dedup(
+        spark, docs, path, num_batches=2, bands=8, k=6, min_agree=8
+    ) == []
+
+
+def test_ingest_dedup_resumes_after_kill(spark, tmp_path):
+    from nolock_social_ocr_services_spark.sources.snap_job import (
+        run_ingest_dedup,
+    )
+
+    docs = _ingest_docs(spark)
+    path = str(tmp_path / "ingest_kill")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_ingest_dedup(
+            spark, docs, path, num_batches=2, bands=8, k=6, min_agree=8,
+            fail_after=1,
+        )
+    resumed = run_ingest_dedup(
+        spark, docs, path, num_batches=2, bands=8, k=6, min_agree=8
+    )
+    assert resumed == [1]
+    # killed + resumed run converges to the same state as one clean run
+    clean = str(tmp_path / "ingest_clean")
+    run_ingest_dedup(
+        spark, docs, clean, num_batches=2, bands=8, k=6, min_agree=8
+    )
+    got = {
+        (r.doc_id, r.verdict, r.exact_dup_of)
+        for r in SnapTable(path).read(spark).collect()
+    }
+    want = {
+        (r.doc_id, r.verdict, r.exact_dup_of)
+        for r in SnapTable(clean).read(spark).collect()
+    }
+    assert got == want
+    assert {
+        r.doc_id for r in SnapTable(path + "_index").read(spark).collect()
+    } == {
+        r.doc_id for r in SnapTable(clean + "_index").read(spark).collect()
+    }
+
+
+def test_ingest_dedup_intra_batch_exact_dup(spark, tmp_path):
+    """Two byte-identical docs arriving in the SAME batch: only the
+    canonical (min id) enters the index; the other points at it."""
+    from nolock_social_ocr_services_spark.sources.snap_job import (
+        run_ingest_dedup,
+    )
+
+    text = "identical payload sent twice inside one ingest batch today"
+    docs = spark.createDataFrame(
+        [(7, text), (9, text)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "ingest_intra")
+    run_ingest_dedup(spark, docs, path, num_batches=1, bands=8, k=6)
+    verdicts = {r.doc_id: r for r in SnapTable(path).read(spark).collect()}
+    assert verdicts[7].verdict == "unique"
+    assert verdicts[9].verdict == "exact_dup" and verdicts[9].exact_dup_of == 7
+    idx = SnapTable(path + "_index").read(spark).collect()
+    assert [r.doc_id for r in idx] == [7]
