@@ -399,6 +399,11 @@ def _q_union_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   top_parts/explode_tokens/repetition -> window/agg/explode/quality
 #   families each keep a checked representative.
 _REDUNDANT_TAIL = (
+    "pii_redact",  # r2-green; demoted for the new nb_quality (learned
+    # quality classifier + Pareto keep) — its regex-battery mechanics
+    # stay head-repped by normalize_text (literal/regex replace chain)
+    # and url_filter (regex canonicalization + anti-join), and the
+    # quality family keeps lang_id, gopher_rep, char_entropy, curate
     "exact_dedup",  # r1+r2 green twice; demoted for the new
     # incremental_dedup — the md5-min-groupBy exact-dup primitive is
     # re-exercised verbatim inside incremental_dedup's exact stage

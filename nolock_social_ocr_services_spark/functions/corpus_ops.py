@@ -1060,3 +1060,119 @@ def bpe_encode(
     return wtoks.join(
         F.broadcast(seg.select("word", "syms")), on="word"
     ).select(id_col, F.explode("syms").alias("subword"))
+
+
+def nb_quality(
+    df: DataFrame,
+    is_ref: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-3-style learned quality classifier (Brown et al. 2020,
+    Appendix A): train on "reference corpus vs rest" and score every
+    document by how reference-like it reads. The closed-form distributed
+    trainer is multinomial Naive Bayes — per word token t,
+    logr(t) = ln( ((C_ref(t)+1) * (N_rest+V)) / ((C_rest(t)+1) * (N_ref+V)) )
+    (add-one smoothing, V = corpus vocabulary size), and a document's
+    log-odds is the sum of logr over its token OCCURRENCES plus the
+    class-prior log ratio; ``p_hq`` squashes it through the logistic.
+    This is the slot pipeline.py reserves for a learned classifier —
+    the fastText/LR classifier of the paper differs only in where the
+    weights come from; the scoring join is identical.
+
+    Shape: one tokenize+explode feeds ONE hash-agg over tokens that
+    yields both class counts via conditional sums (vocab-sized output);
+    totals and priors are 1-row aggs riding broadcast crossJoins; the
+    weight table BROADCASTS into the scoring join, so the corpus-sized
+    stream shuffles only for the final per-doc sum. At 100 TB the model
+    is still vocab-sized, and training can run on a hash sample without
+    touching the scoring path.
+
+    Determinism contract (shared with lm_perplexity / dsir): per-token
+    log ratios and the prior round to 9 decimals, per-doc outputs to 6.
+    Token-less docs produce no row (no evidence, score undefined)."""
+    w = words(F.col(text_col))
+    toks = df.select(
+        F.col(id_col), is_ref.cast("int").alias("is_r"), w.alias("ws")
+    )
+    prior = toks.agg(
+        F.sum("is_r").alias("n_ref"),
+        F.sum(F.lit(1) - F.col("is_r")).alias("n_rest"),
+    )
+    stream = toks.filter(F.size("ws") >= 1).select(
+        id_col, "is_r", F.explode("ws").alias("token")
+    )
+    counts = stream.groupBy("token").agg(
+        F.sum("is_r").alias("cp"),
+        F.sum(F.lit(1) - F.col("is_r")).alias("cn"),
+    )
+    tot = counts.agg(
+        F.sum("cp").alias("tp"), F.sum("cn").alias("tn"),
+        F.count("*").alias("v"),
+    )
+    model = counts.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.round(
+            F.log(
+                ((F.col("cp") + F.lit(1.0)) * (F.col("tn") + F.col("v")))
+                / ((F.col("cn") + F.lit(1.0)) * (F.col("tp") + F.col("v")))
+            ),
+            9,
+        ).alias("logr"),
+    )
+    logit = F.round(
+        F.col("s")
+        + F.round(F.log(F.col("n_ref") * F.lit(1.0) / F.col("n_rest")), 9),
+        6,
+    )
+    return (
+        stream.join(F.broadcast(model), on="token")
+        .groupBy(id_col)
+        .agg(
+            F.first("is_r").alias("is_r"),
+            F.count("*").alias("n_tokens"),
+            F.sum("logr").alias("s"),
+        )
+        .crossJoin(F.broadcast(prior))
+        .select(
+            F.col(id_col),
+            F.col("is_r").cast("int").alias("is_ref"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            logit.alias("nb_logit"),
+        )
+        .withColumn(
+            "p_hq",
+            F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("nb_logit"))), 6
+            ),
+        )
+    )
+
+
+def pareto_keep(
+    scored: DataFrame,
+    alpha: float = 9.0,
+    p_col: str = "p_hq",
+    id_col: str = "doc_id",
+    salt: str = "pareto",
+) -> DataFrame:
+    """GPT-3's stochastic quality threshold: keep a document iff
+    ``np.random.pareto(alpha) > 1 - score`` — high-scoring docs almost
+    always survive, low-scoring docs survive with a heavy-tailed small
+    probability, so the filtered corpus keeps some diversity instead of
+    a hard cliff. The draw is DERANDOMIZED the way every sampler here
+    is: u = hash60(salt:doc_id) / 2^60 and the Lomax inverse CDF
+    draw = (1-u)^(-1/alpha) - 1, so the keep set is a pure function of
+    (doc_id, salt, alpha) — identical across re-runs, engines, and
+    cluster sizes. Map-side only: adds zero exchanges to the scored
+    plan. Draw and threshold round to 6 before the comparison so both
+    engines compare bit-identical values."""
+    u = hash60(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))) / F.lit(
+        float(1 << 60)
+    )
+    draw = F.round(
+        F.pow(F.lit(1.0) - u, F.lit(-1.0 / alpha)) - F.lit(1.0), 6
+    )
+    return scored.withColumn(
+        "keep", draw > F.round(F.lit(1.0) - F.col(p_col), 6)
+    )

@@ -253,6 +253,68 @@ FROM banded l JOIN banded r
 """
 
 
+#: the deterministic "reference corpus" for the learned quality
+#: classifier: first 5 synthetic sources play WebText, the rest play
+#: the raw crawl (GPT-3 Appendix A setup at test scale)
+NB_REF_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+
+def q_nb_quality(spark, sf_dir):
+    """Learned quality classifier + GPT-3 Pareto keep rule: train
+    Naive Bayes on reference-sources-vs-rest, score every doc, then
+    keep iff the derandomized pareto(9) draw exceeds 1 - p_hq."""
+    from nolock_social_ocr_services_spark.functions import corpus_ops
+
+    d = _docs(spark, sf_dir)
+    scored = corpus_ops.nb_quality(d, F.col("source").isin(*NB_REF_SOURCES))
+    return corpus_ops.pareto_keep(scored, alpha=9.0)
+
+
+def _sql_nb_quality() -> str:
+    refs = ", ".join(f"'{s}'" for s in NB_REF_SOURCES)
+    u = (
+        "(('0x' || substr(md5('pareto:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+        "::UBIGINT / 1152921504606846976.0)"
+    )
+    return rf"""
+WITH ws AS (
+  SELECT doc_id,
+         CASE WHEN source IN ({refs}) THEN 1 ELSE 0 END AS is_r,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+prior AS (SELECT sum(is_r) AS n_ref, sum(1 - is_r) AS n_rest FROM ws),
+stream AS (SELECT doc_id, is_r, unnest(ws) AS token
+           FROM ws WHERE len(ws) >= 1),
+counts AS (SELECT token, sum(is_r) AS cp, sum(1 - is_r) AS cn
+           FROM stream GROUP BY 1),
+tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn, count(*) AS v FROM counts),
+model AS (
+  SELECT token,
+         round(ln(((cp + 1.0) * (tn + v)) / ((cn + 1.0) * (tp + v))), 9)
+           AS logr
+  FROM counts CROSS JOIN tot
+),
+scored AS (
+  SELECT s.doc_id, min(s.is_r) AS is_r, count(*) AS n_tokens,
+         sum(m.logr) AS sm
+  FROM stream s JOIN model m USING (token) GROUP BY 1
+),
+logits AS (
+  SELECT doc_id, CAST(is_r AS INT) AS is_ref,
+         CAST(n_tokens AS BIGINT) AS n_tokens,
+         round(sm + round(ln(n_ref * 1.0 / n_rest), 9), 6) AS nb_logit
+  FROM scored CROSS JOIN prior
+)
+SELECT doc_id, is_ref, n_tokens, nb_logit,
+       round(1.0 / (1.0 + exp(-nb_logit)), 6) AS p_hq,
+       round(pow(1.0 - {u}, -1.0 / 9.0) - 1.0, 6)
+         > round(1.0 - round(1.0 / (1.0 + exp(-nb_logit)), 6), 6) AS keep
+FROM logits
+"""
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental ingest dedup: docs with doc_id % 5 == 0 arrive as
     the NEW batch and are deduplicated against the persisted index of
@@ -3333,4 +3395,5 @@ def extra_queries() -> dict[str, tuple]:
         "curate": (q_curate, SQL_CURATE),
         "bpe_fertility": (q_bpe_fertility, SQL_BPE_FERTILITY),
         "incremental_dedup": (q_incremental_dedup, _sql_incremental_dedup()),
+        "nb_quality": (q_nb_quality, _sql_nb_quality()),
     }

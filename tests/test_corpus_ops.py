@@ -570,3 +570,73 @@ def test_curate_shuffle_excludes_text(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     exch = [ln for ln in plan.splitlines() if "Exchange" in ln]
     assert exch and all("text#" not in ln for ln in exch)
+
+
+def test_nb_quality_matches_python_oracle(spark):
+    from nolock_social_ocr_services_spark.functions import corpus_ops
+
+    rows = [
+        (0, "good clean prose text", 1),
+        (1, "good solid prose here", 1),
+        (2, "spam spam buy now", 0),
+        (3, "buy spam now cheap", 0),
+        (4, "good prose with spam", 0),   # mixed doc to score
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ref int")
+    out = {
+        r.doc_id: r
+        for r in corpus_ops.nb_quality(df, F.col("ref") == 1).collect()
+    }
+
+    import math
+    from collections import Counter
+
+    cp, cn = Counter(), Counter()
+    for _id, text, ref in rows:
+        (cp if ref else cn).update(text.split())
+    tp, tn = sum(cp.values()), sum(cn.values())
+    v = len(set(cp) | set(cn))
+    prior = round(math.log(2 / 3), 9)
+
+    def logit(text):
+        s = sum(
+            round(
+                math.log(
+                    ((cp[t] + 1.0) * (tn + v)) / ((cn[t] + 1.0) * (tp + v))
+                ),
+                9,
+            )
+            for t in text.split()
+        )
+        return round(s + prior, 6)
+
+    for _id, text, ref in rows:
+        assert out[_id].nb_logit == pytest.approx(logit(text), abs=2e-6)
+        assert out[_id].is_ref == ref
+    # reference-corpus docs score above the spammy ones
+    assert out[0].p_hq > 0.5 > out[2].p_hq
+    assert out[1].nb_logit > out[4].nb_logit > out[3].nb_logit
+
+
+def test_pareto_keep_deterministic_and_monotone_in_alpha(spark):
+    """The keep set is a pure function of (doc_id, salt, alpha); p=1
+    docs always survive; raising alpha (thinner tail) can only shrink
+    the kept set at fixed scores."""
+    from nolock_social_ocr_services_spark.functions import corpus_ops
+
+    scored = spark.createDataFrame(
+        [(i, i / 99.0) for i in range(100)], "doc_id long, p_hq double"
+    )
+    k1 = {r.doc_id for r in corpus_ops.pareto_keep(scored).collect() if r.keep}
+    k2 = {r.doc_id for r in corpus_ops.pareto_keep(scored).collect() if r.keep}
+    assert k1 == k2
+    assert 99 in k1              # p_hq = 1.0: threshold 0, draw > 0 always
+    assert 0 < len(k1) < 100     # stochastic middle: neither all nor none
+    k_sharp = {
+        r.doc_id
+        for r in corpus_ops.pareto_keep(scored, alpha=50.0).collect()
+        if r.keep
+    }
+    assert k_sharp <= k1
+    # high scores survive more often than low scores
+    assert len([d for d in k1 if d >= 50]) > len([d for d in k1 if d < 50])

@@ -60,6 +60,8 @@ PLAN_QUERIES = [
     "curate",             # all gates map-side + 1 narrow digest exchange
     "incremental_dedup",  # batch-vs-index equi-joins on digests; sig-agree
                           # verify touches candidate pairs only, no cartesian
+    "nb_quality",         # vocab-sized NB model broadcast into scoring join;
+                          # pareto keep map-side on top
 ]
 
 MARKERS = [
