@@ -399,6 +399,10 @@ def _q_union_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   top_parts/explode_tokens/repetition -> window/agg/explode/quality
 #   families each keep a checked representative.
 _REDUNDANT_TAIL = (
+    "user_sessions",  # r2-green; demoted for the new
+    # contrastive_triplets (near-dup-positive / hash-negative mining)
+    # — the temporal-window family keeps asof_click_view_salted in the
+    # head and session_window (r1-green) in the tail
     "pii_redact",  # r2-green; demoted for the new nb_quality (learned
     # quality classifier + Pareto keep) — its regex-battery mechanics
     # stay head-repped by normalize_text (literal/regex replace chain)

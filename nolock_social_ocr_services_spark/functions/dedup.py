@@ -578,6 +578,113 @@ def update_index(
     return index.unionByName(batch_index.join(survivors, on="doc_id"))
 
 
+def contrastive_triplets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 8,
+    min_jaccard: float = 0.5,
+    neg_buckets: int = 32,
+    seed: str = "neg",
+) -> DataFrame:
+    """Mine (anchor, positive, negative) training triplets for
+    contrastive embedding models (the SimCSE/DPR data-prep shape):
+
+    * POSITIVES are verified near-duplicates — LSH band candidates
+      re-ranked by exact shingle Jaccard, kept at >= ``min_jaccard``;
+      each doc in a qualifying pair anchors a triplet with its best
+      partner (highest Jaccard, ties to the smallest id).
+    * NEGATIVES are derandomized random draws: all docs hash into
+      ``neg_buckets`` buckets; an anchor in bucket b draws from bucket
+      (b+1) mod B, picking the candidate minimizing
+      hash60(seed:anchor:cand) — a pure function of ids, so the
+      triplet set is identical across re-runs, engines, and cluster
+      sizes. Exact duplicates of the anchor and the positive itself
+      are excluded; anchors whose draw bucket has no eligible
+      candidate keep a NULL negative (explicit, not absent).
+
+    Scale: positives reuse the sub-quadratic banded-LSH + verify-on-
+    candidates machinery above. Negative mining joins each anchor to
+    exactly ONE bucket (~N/B docs); grow B with the corpus to hold the
+    per-anchor candidate count constant — the join stays an equi-join
+    on the bucket id and the per-anchor argmin is a bounded hash-agg.
+    No cartesian anywhere.
+    """
+    from .sampling import hash60, hash_bucket
+
+    jp = jaccard_pairs(
+        df,
+        minhash_lsh_candidates(
+            df, text_col, id_col, num_hashes=num_hashes, bands=bands, k=k
+        ),
+        text_col,
+        id_col,
+        k=k,
+    ).filter(F.col("jaccard") >= min_jaccard)
+    both = jp.select(
+        F.col("id_a").alias("anchor_id"),
+        F.col("id_b").alias("positive_id"),
+        "jaccard",
+    ).unionByName(
+        jp.select(
+            F.col("id_b").alias("anchor_id"),
+            F.col("id_a").alias("positive_id"),
+            "jaccard",
+        )
+    )
+    best = (
+        both.groupBy("anchor_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("jaccard")).alias("nj"), F.col("positive_id")
+                )
+            ).alias("b")
+        )
+        .select("anchor_id", F.col("b.positive_id").alias("positive_id"))
+    )
+    hashes = df.select(
+        F.col(id_col).alias("cand_id"),
+        F.md5(F.col(text_col)).alias("cand_hash"),
+        hash_bucket(F.col(id_col), neg_buckets).alias("nb"),
+    )
+    anch = best.join(
+        df.select(
+            F.col(id_col).alias("anchor_id"),
+            F.md5(F.col(text_col)).alias("a_hash"),
+            ((hash_bucket(F.col(id_col), neg_buckets) + 1) % neg_buckets).alias(
+                "nb"
+            ),
+        ),
+        on="anchor_id",
+    )
+    negc = anch.join(hashes, on="nb").filter(
+        (F.col("cand_id") != F.col("positive_id"))
+        & (F.col("cand_id") != F.col("anchor_id"))
+        & (F.col("cand_hash") != F.col("a_hash"))
+    )
+    hsel = hash60(
+        F.concat_ws(
+            ":",
+            F.lit(seed),
+            F.col("anchor_id").cast("string"),
+            F.col("cand_id").cast("string"),
+        )
+    )
+    best_neg = (
+        negc.groupBy("anchor_id", "positive_id")
+        .agg(F.min(F.struct(hsel.alias("h"), F.col("cand_id"))).alias("n"))
+        .select(
+            "anchor_id",
+            "positive_id",
+            F.col("n.cand_id").alias("negative_id"),
+        )
+    )
+    return best.join(best_neg, on=["anchor_id", "positive_id"], how="left")
+
+
 def block_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -402,6 +402,77 @@ LEFT JOIN best b USING (doc_id)
 """
 
 
+def q_contrastive_triplets(spark, sf_dir):
+    """Contrastive training triplets: verified near-dup positives +
+    hash-derandomized bucket-drawn hard negatives."""
+    return dd.contrastive_triplets(
+        _docs(spark, sf_dir),
+        num_hashes=MINHASH_N,
+        bands=MINHASH_BANDS,
+        k=MINHASH_K,
+        min_jaccard=0.5,
+        neg_buckets=32,
+    )
+
+
+def _sql_contrastive_triplets() -> str:
+    return f"""
+WITH cand AS ({{lsh}}),
+shd AS ({{shd}}),
+jp AS (
+  SELECT c.id_a, c.id_b,
+         CASE WHEN len(list_distinct(list_concat(a.shd, b.shd))) = 0 THEN 0.0
+              ELSE len(list_intersect(a.shd, b.shd)) * 1.0
+                   / len(list_distinct(list_concat(a.shd, b.shd))) END AS jaccard
+  FROM cand c
+  JOIN shd a ON a.doc_id = c.id_a
+  JOIN shd b ON b.doc_id = c.id_b
+),
+posf AS (SELECT * FROM jp WHERE jaccard >= 0.5),
+bothdir AS (
+  SELECT id_a AS anchor_id, id_b AS positive_id, jaccard FROM posf
+  UNION ALL
+  SELECT id_b AS anchor_id, id_a AS positive_id, jaccard FROM posf
+),
+best AS (
+  SELECT anchor_id, positive_id FROM
+    (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY jaccard DESC, positive_id) AS rn
+     FROM bothdir)
+  WHERE rn = 1
+),
+hashes AS (
+  SELECT doc_id, md5(text) AS h,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+              % 32 AS BIGINT) AS nb
+  FROM documents
+),
+anch AS (
+  SELECT b.anchor_id, b.positive_id, h.h AS a_hash,
+         CAST((h.nb + 1) % 32 AS BIGINT) AS nb
+  FROM best b JOIN hashes h ON h.doc_id = b.anchor_id
+),
+negc AS (
+  SELECT a.anchor_id, a.positive_id, c.doc_id AS cand_id,
+         ('0x' || substr(md5('neg:' || CAST(a.anchor_id AS VARCHAR) || ':'
+                             || CAST(c.doc_id AS VARCHAR)), 1, 15))::UBIGINT
+           AS hsel
+  FROM anch a JOIN hashes c ON c.nb = a.nb
+  WHERE c.doc_id <> a.positive_id AND c.doc_id <> a.anchor_id
+    AND c.h <> a.a_hash
+),
+best_neg AS (
+  SELECT anchor_id, positive_id, cand_id AS negative_id FROM
+    (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY hsel, cand_id) AS rn
+     FROM negc)
+  WHERE rn = 1
+)
+SELECT b.anchor_id, b.positive_id, n.negative_id
+FROM best b LEFT JOIN best_neg n USING (anchor_id, positive_id)
+""".format(lsh=SQL_LSH_CANDIDATES, shd=_SQL_SH_DISTINCT)
+
+
 # -- similarity ----------------------------------------------------------------
 
 
@@ -3396,4 +3467,8 @@ def extra_queries() -> dict[str, tuple]:
         "bpe_fertility": (q_bpe_fertility, SQL_BPE_FERTILITY),
         "incremental_dedup": (q_incremental_dedup, _sql_incremental_dedup()),
         "nb_quality": (q_nb_quality, _sql_nb_quality()),
+        "contrastive_triplets": (
+            q_contrastive_triplets,
+            _sql_contrastive_triplets(),
+        ),
     }

@@ -388,3 +388,37 @@ def test_update_index_grows_by_unique_survivors_only(spark, df):
         again, grown, num_hashes=16, bands=8, k=6, min_agree=8
     ).first()
     assert row.verdict == "exact_dup" and row.exact_dup_of == 12
+
+
+def test_contrastive_triplets_positives_and_exclusions(spark, df):
+    out = dd.contrastive_triplets(
+        df, num_hashes=16, bands=8, k=6, min_jaccard=0.5, neg_buckets=2
+    )
+    rows = {r.anchor_id: r for r in out.collect()}
+    # anchors = every doc in a verified near-dup pair (cluster 0/1/2/4)
+    assert set(rows) == {0, 1, 2, 4}
+    # best positive: highest jaccard, ties to the smallest id
+    assert rows[0].positive_id == 1     # jaccard 1.0 with 1 and 4 -> min
+    assert rows[1].positive_id == 0
+    assert rows[2].positive_id == 0     # equal jaccard vs 0/1/4 -> min
+    assert rows[4].positive_id == 0
+    texts = {r.doc_id: r.text for r in df.collect()}
+    for r in rows.values():
+        if r.negative_id is not None:
+            assert r.negative_id not in (r.anchor_id, r.positive_id)
+            # exact duplicates of the anchor are never negatives
+            assert texts[r.negative_id] != texts[r.anchor_id]
+
+
+def test_contrastive_triplets_deterministic(spark, df):
+    a = dd.contrastive_triplets(df, num_hashes=16, bands=8, k=6,
+                                min_jaccard=0.5, neg_buckets=2)
+    b = dd.contrastive_triplets(df, num_hashes=16, bands=8, k=6,
+                                min_jaccard=0.5, neg_buckets=2)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # a different seed may redraw negatives but never the positives
+    c = dd.contrastive_triplets(df, num_hashes=16, bands=8, k=6,
+                                min_jaccard=0.5, neg_buckets=2, seed="other")
+    assert {(r.anchor_id, r.positive_id) for r in a.collect()} == {
+        (r.anchor_id, r.positive_id) for r in c.collect()
+    }

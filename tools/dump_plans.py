@@ -62,6 +62,8 @@ PLAN_QUERIES = [
                           # verify touches candidate pairs only, no cartesian
     "nb_quality",         # vocab-sized NB model broadcast into scoring join;
                           # pareto keep map-side on top
+    "contrastive_triplets",  # LSH positives + one-bucket negative draw;
+                             # all equi-joins, no cartesian
 ]
 
 MARKERS = [
