@@ -399,6 +399,11 @@ def _q_union_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   top_parts/explode_tokens/repetition -> window/agg/explode/quality
 #   families each keep a checked representative.
 _REDUNDANT_TAIL = (
+    "simhash_near_dup",  # r2-green; demoted for the new winnow_fp
+    # (MOSS winnowing fingerprints) — the banded-hamming near-dup
+    # primitive stays pinned by the pigeonhole-complete pytest +
+    # PLANS.md, and the dedup family keeps near_dup_srp,
+    # dedup_clusters, dedup_survivors, incremental_dedup in the head
     "user_sessions",  # r2-green; demoted for the new
     # contrastive_triplets (near-dup-positive / hash-negative mining)
     # — the temporal-window family keeps asof_click_view_salted in the

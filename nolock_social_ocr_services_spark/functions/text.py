@@ -188,3 +188,55 @@ def normalize_text(col: Column) -> Column:
     out = F.regexp_replace(out, r"[ \t]+", " ")
     out = F.regexp_replace(out, r" *\n *", "\n")
     return F.trim(out)
+def winnow_fingerprints(
+    df, text_col: str = "text", id_col: str = "doc_id", k: int = 8, w: int = 4
+):
+    """Winnowing fingerprint set (Schleimer, Wilkerson, Aiken 2003 —
+    the MOSS algorithm): hash every k-char gram, slide a w-hash window,
+    keep each window's MINIMUM hash; the distinct kept values are the
+    document's fingerprints, returned sorted in ``fps``. Winnowing
+    guarantees any shared substring of length >= w + k - 1 contributes
+    at least one SHARED fingerprint while keeping only ~2/(w+1) of the
+    gram hashes — the classic robust fingerprint for copy detection
+    (fingerprints are join keys; docs sharing >= m are candidates).
+
+    The paper's rightmost-minimum tie rule only affects which POSITION
+    is kept, never the kept VALUE, so a value-set fingerprint is
+    tie-free and bit-identical across engines. Hash = 60-bit md5 prefix
+    of the gram (the repo-wide hash60 rule).
+
+    Shape: a DataFrame-level operator (not a Column fn) on purpose —
+    the gram-hash array must be MATERIALIZED per row before the window
+    pass references it from inside a lambda; higher-order functions
+    re-evaluate their body's non-lambda subtrees per element, so an
+    inlined gram expression would cost O(n^2) md5 per doc. The guard
+    references ``_grams`` twice, which keeps CollapseProject from
+    re-inlining it. Still zero exchanges, zero Python; O(n * w)
+    comparisons per doc. Docs shorter than w + k - 1 chars yield an
+    empty array; NULL text yields NULL."""
+    col = F.col(text_col)
+    n = F.length(col)
+    grams = F.when(
+        col.isNull() | (n < k), F.array().cast("array<bigint>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.conv(
+                F.substring(F.md5(col.substr(i, F.lit(k))), 1, 15), 16, 10
+            ).cast("long"),
+        )
+    )
+    windows = F.transform(
+        F.sequence(F.lit(1), F.size("_grams") - (w - 1)),
+        lambda i: F.array_min(F.slice(F.col("_grams"), i, w)),
+    )
+    return (
+        df.withColumn("_grams", grams)
+        .withColumn(
+            "fps",
+            F.when(col.isNull(), F.lit(None).cast("array<bigint>"))
+            .when(F.size("_grams") < w, F.array().cast("array<bigint>"))
+            .otherwise(F.array_sort(F.array_distinct(windows))),
+        )
+        .drop("_grams")
+    )

@@ -402,6 +402,34 @@ LEFT JOIN best b USING (doc_id)
 """
 
 
+def q_winnow_fp(spark, sf_dir):
+    """Winnowing (MOSS) fingerprints, exploded to (doc_id, fp) join
+    rows — k=8 grams, w=4 windows."""
+    out = tx.winnow_fingerprints(_docs(spark, sf_dir), k=8, w=4)
+    return out.select("doc_id", F.explode("fps").alias("fp"))
+
+
+SQL_WINNOW_FP = r"""
+WITH g AS (
+  SELECT doc_id,
+    CASE WHEN text IS NULL OR length(text) < 8 THEN CAST([] AS BIGINT[])
+         ELSE list_transform(generate_series(1, length(text) - 7),
+                i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 8)),
+                                          1, 15))::UBIGINT AS BIGINT)) END AS h
+  FROM documents
+),
+fps AS (
+  SELECT doc_id,
+    CASE WHEN len(h) < 4 THEN CAST([] AS BIGINT[])
+         ELSE list_distinct(list_transform(
+                generate_series(1, len(h) - 3),
+                i -> list_min(h[CAST(i AS INT):CAST(i + 3 AS INT)]))) END AS fps
+  FROM g
+)
+SELECT doc_id, unnest(fps) AS fp FROM fps
+"""
+
+
 def q_contrastive_triplets(spark, sf_dir):
     """Contrastive training triplets: verified near-dup positives +
     hash-derandomized bucket-drawn hard negatives."""
@@ -3471,4 +3499,5 @@ def extra_queries() -> dict[str, tuple]:
             q_contrastive_triplets,
             _sql_contrastive_triplets(),
         ),
+        "winnow_fp": (q_winnow_fp, SQL_WINNOW_FP),
     }

@@ -136,3 +136,41 @@ def test_redact_pii_and_counts(spark):
     assert rows[1].c.n_emails == 1 and rows[1].c.n_phones == 1
     assert rows[2].c.n_emails == 0 and rows[2].c.n_phones == 0
     assert rows[2].red == "no pii at all"
+
+
+def test_winnow_fingerprints_matches_python_oracle(spark):
+    """Value-set winnowing vs a direct python recomputation, plus the
+    paper's guarantee: a shared substring of length >= w + k - 1 yields
+    a shared fingerprint."""
+    import hashlib
+
+    from nolock_social_ocr_services_spark.functions import text as tx
+
+    shared = "this exact sentence is lifted verbatim between documents"
+    rows = [
+        (0, "prefix words here. " + shared + " and an original tail"),
+        (1, "different opening entirely. " + shared + " closing words"),
+        (2, "no overlap with anything else in this tiny corpus at all"),
+        (3, "tiny"),      # shorter than w + k - 1 -> empty
+        (4, None),        # NULL -> NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k, w = 8, 4
+    out = {r.doc_id: r.fps for r in tx.winnow_fingerprints(df, k=k, w=w).collect()}
+
+    def winnow(text):
+        hs = [
+            int(hashlib.md5(text[i : i + k].encode()).hexdigest()[:15], 16)
+            for i in range(len(text) - k + 1)
+        ]
+        return sorted({min(hs[i : i + w]) for i in range(len(hs) - w + 1)})
+
+    for doc_id, text in rows:
+        if text is None:
+            assert out[doc_id] is None
+        elif len(text) < k + w - 1:
+            assert out[doc_id] == []
+        else:
+            assert out[doc_id] == winnow(text)
+    assert set(out[0]) & set(out[1])            # shared substring detected
+    assert not (set(out[2]) & set(out[0]))      # disjoint docs don't collide

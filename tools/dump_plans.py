@@ -64,6 +64,8 @@ PLAN_QUERIES = [
                           # pareto keep map-side on top
     "contrastive_triplets",  # LSH positives + one-bucket negative draw;
                              # all equi-joins, no cartesian
+    "winnow_fp",          # per-row HOF winnowing: materialized gram array,
+                          # zero Exchange before the explode
 ]
 
 MARKERS = [
