@@ -98,6 +98,7 @@ def run_ingest_dedup(
     k: int = 8,
     min_agree: int = 8,
     fail_after: int | None = None,
+    index_dir: str | None = None,
 ) -> list[int]:
     """The production corpus-ingest loop: batches of documents arrive
     in order and are deduplicated against the PERSISTED index of
@@ -131,10 +132,8 @@ def run_ingest_dedup(
     band_hash so the candidate join is shuffle-free on the index side.
     Returns batch ids processed by THIS invocation.
     """
-    from ..functions import dedup as dd
-
     verdicts_t = SnapTable(table_dir)
-    index_t = SnapTable(table_dir + "_index")
+    index_t = SnapTable(index_dir or table_dir + "_index")
     batched = with_part_id(docs, num_batches).withColumnRenamed(
         "part_id", "batch_id"
     )
@@ -145,50 +144,139 @@ def run_ingest_dedup(
             continue
         if fail_after is not None and len(processed) >= fail_after:
             raise RuntimeError(f"injected failure after {fail_after} commits")
-        batch = batched.filter(F.col("batch_id") == b).drop("batch_id")
-        ex = dd.exact_dedup(batch)
-        canon = batch.join(ex.filter("is_canonical").select("doc_id"), "doc_id")
-        index = (
-            index_t.read(spark)
-            if index_t.current_snapshot_id()
-            else dd.dedup_index(batch.limit(0), num_hashes=num_hashes, k=k)
-        )
-        v = dd.incremental_dedup(
-            canon, index, num_hashes=num_hashes, bands=bands, k=k,
+        _ingest_dedup_batch(
+            spark,
+            batched.filter(F.col("batch_id") == b).drop("batch_id"),
+            verdicts_t,
+            index_t,
+            unit_col="batch_id",
+            unit=b,
+            marker_key="committed_batches",
+            marker_set=done | set(processed) | {b},
+            num_hashes=num_hashes,
+            bands=bands,
+            k=k,
             min_agree=min_agree,
-        )
-        intra = ex.filter(~F.col("is_canonical")).select(
-            "doc_id",
-            F.col("canonical_id").alias("exact_dup_of"),
-            F.lit(None).cast(v.schema["match_id"].dataType).alias("match_id"),
-            F.lit(None).cast("long").alias("sig_agree"),
-            F.lit("exact_dup").alias("verdict"),
-        )
-        verdicts_t.overwrite_partitions(
-            v.unionByName(intra).withColumn("batch_id", F.lit(b)),
-            "batch_id",
-            [b],
-        )
-        increment = dd.dedup_index(canon, num_hashes=num_hashes, k=k).join(
-            v.filter("verdict = 'unique'").select("doc_id"), "doc_id"
-        )
-        # the survivors and the committed-batch marker land in ONE
-        # atomic commit: a kill can never leave the index advanced but
-        # the batch unmarked (which would re-ingest the batch against
-        # an index already holding its own docs)
-        txid = index_t._write_tx(increment, None)
-        index_t._commit(
-            "append",
-            txid,
-            lambda pf: pf,
-            index_t._write_schema_json(increment),
-            {"added_files": len(txid)},
-            protocol={
-                "committed_batches": sorted(done | set(processed) | {b})
-            },
         )
         processed.append(b)
     return processed
+
+
+def _ingest_dedup_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    verdicts_t: SnapTable,
+    index_t: SnapTable,
+    unit_col: str,
+    unit: int,
+    marker_key: str,
+    marker_set: set[int],
+    num_hashes: int,
+    bands: int,
+    k: int,
+    min_agree: int,
+) -> None:
+    """One ingest-dedup unit (a resume batch or a streaming epoch):
+    verdict rows land as an idempotent ``overwrite_partitions`` of this
+    unit's partition, then the index grows by the unit's unique
+    survivors in ONE atomic commit that also carries the cumulative
+    unit marker — a kill can never leave the index advanced but the
+    unit unmarked (which would re-ingest the unit against an index
+    already holding its own docs)."""
+    from ..functions import dedup as dd
+
+    ex = dd.exact_dedup(batch)
+    canon = batch.join(ex.filter("is_canonical").select("doc_id"), "doc_id")
+    index = (
+        index_t.read(spark)
+        if index_t.current_snapshot_id()
+        else dd.dedup_index(batch.limit(0), num_hashes=num_hashes, k=k)
+    )
+    v = dd.incremental_dedup(
+        canon, index, num_hashes=num_hashes, bands=bands, k=k,
+        min_agree=min_agree,
+    )
+    intra = ex.filter(~F.col("is_canonical")).select(
+        "doc_id",
+        F.col("canonical_id").alias("exact_dup_of"),
+        F.lit(None).cast(v.schema["match_id"].dataType).alias("match_id"),
+        F.lit(None).cast("long").alias("sig_agree"),
+        F.lit("exact_dup").alias("verdict"),
+    )
+    verdicts_t.overwrite_partitions(
+        v.unionByName(intra).withColumn(unit_col, F.lit(unit)),
+        unit_col,
+        [unit],
+    )
+    increment = dd.dedup_index(canon, num_hashes=num_hashes, k=k).join(
+        v.filter("verdict = 'unique'").select("doc_id"), "doc_id"
+    )
+    txid = index_t._write_tx(increment, None)
+    index_t._commit(
+        "append",
+        txid,
+        lambda pf: pf,
+        index_t._write_schema_json(increment),
+        {"added_files": len(txid)},
+        protocol={marker_key: sorted(marker_set)},
+    )
+
+
+def stream_ingest_dedup(
+    table_dir: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 8,
+    min_agree: int = 8,
+    index_dir: str | None = None,
+):
+    """``foreachBatch`` form of the ingest-dedup loop: each streaming
+    micro-batch of documents is deduplicated against the persisted
+    index and the index grows by the batch's unique survivors —
+    exactly-once under foreachBatch's at-least-once replay, by the same
+    two-table protocol as :func:`run_ingest_dedup` keyed on the EPOCH:
+    a replayed epoch is detected from the index summary and skipped
+    entirely; a crash between the verdict overwrite and the index
+    commit replays the epoch against the UNCHANGED index, and the
+    verdict overwrite idempotently replaces its own partition.
+
+    Usage::
+
+        q = (docs_stream.writeStream
+             .foreachBatch(stream_ingest_dedup(path))
+             .option("checkpointLocation", ckpt).start())
+
+    This is the streaming twin of the batch loop — same state (the
+    index snapshot table), so a corpus can be backfilled in batch and
+    then kept deduplicated by a live stream, or vice versa: point both
+    at one index via ``index_dir`` (each mode keeps its OWN verdicts
+    table — they partition by different unit columns) and the epoch
+    and batch markers coexist as separate protocol keys on the shared
+    index lineage.
+    """
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        verdicts_t = SnapTable(table_dir)
+        index_t = SnapTable(index_dir or table_dir + "_index")
+        done = {int(v) for v in index_t.current_summary().get("epochs", [])}
+        if int(epoch_id) in done:
+            return
+        _ingest_dedup_batch(
+            batch_df.sparkSession,
+            batch_df,
+            verdicts_t,
+            index_t,
+            unit_col="epoch",
+            unit=int(epoch_id),
+            marker_key="epochs",
+            marker_set=done | {int(epoch_id)},
+            num_hashes=num_hashes,
+            bands=bands,
+            k=k,
+            min_agree=min_agree,
+        )
+
+    return write_batch
 
 
 def exactly_once_sink(table_dir: str):

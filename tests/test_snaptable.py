@@ -1196,3 +1196,55 @@ def test_ingest_dedup_intra_batch_exact_dup(spark, tmp_path):
     assert verdicts[9].verdict == "exact_dup" and verdicts[9].exact_dup_of == 7
     idx = SnapTable(path + "_index").read(spark).collect()
     assert [r.doc_id for r in idx] == [7]
+
+
+def test_stream_ingest_dedup_through_restarted_stream(spark, tmp_path):
+    """Streaming twin of the ingest loop: micro-batches dedup against
+    the shared index across a stop/restart, replayed epochs are
+    skipped, and a doc re-sent in a later file dedups against the
+    earlier epoch's survivor."""
+    from nolock_social_ocr_services_spark.sources.snap_job import (
+        stream_ingest_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    table = str(tmp_path / "verdicts")
+    text_a = "streaming corpora arrive as files and must deduplicate online"
+    text_b = "an entirely different document about glacier formation today"
+    spark.createDataFrame(
+        [(0, text_a), (1, text_b)], "doc_id long, text string"
+    ).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_pass():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                stream_ingest_dedup(table, bands=8, k=6, min_agree=8)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_pass()
+    idx = SnapTable(table + "_index")
+    assert {r.doc_id for r in idx.read(spark).collect()} == {0, 1}
+    # restart with a new file: 2 re-sends text_a, 3 is fresh
+    spark.createDataFrame(
+        [(2, text_a), (3, "totally fresh content about tidal energy")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(src)
+    run_pass()
+    verdicts = {r.doc_id: r for r in SnapTable(table).read(spark).collect()}
+    assert len(verdicts) == 4
+    assert verdicts[2].verdict == "exact_dup" and verdicts[2].exact_dup_of == 0
+    assert verdicts[3].verdict == "unique"
+    assert {r.doc_id for r in idx.read(spark).collect()} == {0, 1, 3}
+    # epochs recorded once each in the shared index lineage
+    epochs = idx.current_summary()["epochs"]
+    assert epochs == sorted(set(epochs))
