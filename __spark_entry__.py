@@ -399,6 +399,20 @@ def _q_union_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   top_parts/explode_tokens/repetition -> window/agg/explode/quality
 #   families each keep a checked representative.
 _REDUNDANT_TAIL = (
+    "lang_id",  # r1+r2 green twice; demoted for the new ivfpq_top3
+    # (residual-encoded IVF-PQ, the Faiss IndexIVFPQ composition) —
+    # the quality/text family keeps gopher_rep, char_entropy,
+    # nb_quality, lm_perplexity, curate in the head, and lang-id's
+    # n-gram scoring is re-exercised inside curate's gate battery
+    "ivf_top3",  # r2-green; demoted for the new pq_adc_top3 (ADC
+    # product-quantization search) — the ANN ladder keeps a checked
+    # head rep at each rung: pq_adc_top3 (compressed codes), ivf's
+    # structure re-exercised by semantic_dedup's k-means chain, and
+    # cosine_top3/near_dup_srp in tail/head for exact + bucketed
+    "events_json",  # r1+r2 green twice; the JSON scalar battery is
+    # also exercised inside the stream_running_counts oracle and the
+    # events family keeps event_gaps/event_rollup history — slot goes
+    # to the new pq_codes (iterative codebook trainer, integer-exact)
     "simhash_near_dup",  # r2-green; demoted for the new winnow_fp
     # (MOSS winnowing fingerprints) — the banded-hamming near-dup
     # primitive stays pinned by the pigeonhole-complete pytest +

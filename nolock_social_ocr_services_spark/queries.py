@@ -430,6 +430,248 @@ SELECT doc_id, unnest(fps) AS fp FROM fps
 """
 
 
+# -- product quantization (Jégou et al. 2011) ----------------------------------
+#
+# The compressed-index leg of the ANN ladder (exact cosine_top3 -> IVF
+# coarse pruning -> PQ code compression + ADC scoring). The oracle
+# unrolls the SAME deterministic-Lloyd protocol as kmeans_clusters,
+# once per Lloyd round but with `sub` as an extra key — all m
+# subspaces train inside one CTE chain, mirroring how the Spark side
+# trains all subspaces in one scan per round.
+
+_PQ_M = 4
+_PQ_KS = 4
+_PQ_ITERS = 2
+_PQ_DIM = 64
+_PQ_D = _PQ_DIM // _PQ_M
+_PQ_NQ = 5
+
+
+def q_pq_codes(spark, sf_dir):
+    """Train m=4/ks=4 codebooks (2 Lloyd rounds), compress every
+    embedding to its per-subspace codes — integer-exact output, the
+    iterative trainer hash-checked through the encode projection."""
+    from nolock_social_ocr_services_spark.functions import pq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cbs = pq.pq_fit(emb, m=_PQ_M, ks=_PQ_KS, iters=_PQ_ITERS)
+    enc = pq.pq_encode(emb, cbs)
+    return enc.select(
+        "vec_id",
+        *[
+            F.element_at("codes", s + 1).alias(f"code_{s}")
+            for s in range(_PQ_M)
+        ],
+    )
+
+
+def q_pq_adc_top3(spark, sf_dir):
+    """ADC top-3 neighbors of the first 5 vectors: queries stay
+    un-quantized, the corpus is searched through its codes alone
+    (m table lookups + adds per row). Rank-only output, like
+    ivf_top3: engine summation order flips low decimals of the
+    distances; ranks are order-stable."""
+    from nolock_social_ocr_services_spark.functions import pq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq.pq_adc_topk(
+        emb, k=3, m=_PQ_M, ks=_PQ_KS, iters=_PQ_ITERS, nq=_PQ_NQ
+    )
+
+
+def _pq_iter_sql(n: int, prev: str, vs: str = "vs", pfx: str = "") -> str:
+    """One unrolled Lloyd round over ALL subspaces (keyed by sub):
+    assign under `prev`, per-(sub,cid,dim) mean update rounded to 6dp,
+    emptied clusters keep their previous centroid (COALESCE). ``vs`` is
+    the subvector CTE name and ``pfx`` prefixes the round CTEs, so the
+    same fragment unrolls over raw vectors (pq_codes) or IVF residuals
+    (ivfpq_top3) in one statement."""
+    return f"""
+{pfx}a{n} AS (
+  SELECT {vs}.vec_id, {vs}.sub, p.cid,
+         row_number() OVER (PARTITION BY {vs}.vec_id, {vs}.sub
+                            ORDER BY list_distance({vs}.sv, p.c), p.cid) AS rn
+  FROM {vs} JOIN {prev} p ON {vs}.sub = p.sub
+),
+{pfx}s{n} AS (SELECT vec_id, sub, cid FROM {pfx}a{n} WHERE rn = 1),
+{pfx}m{n} AS (
+  SELECT sub, cid, list(mm ORDER BY i) AS c FROM (
+    SELECT {pfx}s{n}.sub AS sub, {pfx}s{n}.cid AS cid, t.i AS i,
+           round(avg({vs}.sv[t.i + 1]), 6) AS mm
+    FROM {pfx}s{n} JOIN {vs} ON {pfx}s{n}.vec_id = {vs}.vec_id
+                            AND {pfx}s{n}.sub = {vs}.sub
+    CROSS JOIN range({_PQ_D}) t(i)
+    GROUP BY {pfx}s{n}.sub, {pfx}s{n}.cid, t.i
+  ) GROUP BY sub, cid
+),
+{pfx}c{n} AS (SELECT p.sub, p.cid, COALESCE({pfx}m{n}.c, p.c) AS c
+         FROM {prev} p LEFT JOIN {pfx}m{n} ON p.sub = {pfx}m{n}.sub
+                                          AND p.cid = {pfx}m{n}.cid)"""
+
+
+def _pq_train_sql() -> str:
+    """Shared CTE prefix: subvectors, unrolled training, final codes."""
+    iters = ",".join(_pq_iter_sql(n + 1, f"c{n}") for n in range(_PQ_ITERS))
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE len(embedding) = {_PQ_DIM}),
+vs AS (SELECT vec_id, t.s AS sub,
+              v[t.s * {_PQ_D} + 1 : t.s * {_PQ_D} + {_PQ_D}] AS sv
+       FROM v CROSS JOIN range({_PQ_M}) t(s)),
+c0 AS (SELECT sub, CAST(vec_id AS INT) AS cid, sv AS c
+       FROM vs WHERE vec_id < {_PQ_KS}),
+{iters},
+af AS (
+  SELECT vs.vec_id, vs.sub, p.cid,
+         row_number() OVER (PARTITION BY vs.vec_id, vs.sub
+                            ORDER BY list_distance(vs.sv, p.c), p.cid) AS rn
+  FROM vs JOIN c{_PQ_ITERS} p ON vs.sub = p.sub
+),
+codes AS (SELECT vec_id, sub, cid FROM af WHERE rn = 1)"""
+
+
+def _sql_pq_codes() -> str:
+    cols = ",\n       ".join(
+        f"CAST(MAX(CASE WHEN sub = {s} THEN cid END) AS INT) AS code_{s}"
+        for s in range(_PQ_M)
+    )
+    return f"""{_pq_train_sql()}
+SELECT vec_id,
+       {cols}
+FROM codes GROUP BY vec_id
+"""
+
+
+def _sql_pq_adc_top3() -> str:
+    return f"""{_pq_train_sql()},
+q AS (SELECT vec_id AS query_id, v AS qv FROM v ORDER BY vec_id LIMIT {_PQ_NQ}),
+term AS (
+  SELECT q.query_id, codes.vec_id AS neighbor_id,
+         list_sum(list_transform(range({_PQ_D}),
+           j -> (q.qv[codes.sub * {_PQ_D} + j + 1] - cf.c[j + 1])
+                * (q.qv[codes.sub * {_PQ_D} + j + 1] - cf.c[j + 1]))) AS t
+  FROM q CROSS JOIN codes
+  JOIN c{_PQ_ITERS} cf ON codes.sub = cf.sub AND codes.cid = cf.cid
+  WHERE codes.vec_id <> q.query_id
+),
+d AS (SELECT query_id, neighbor_id, SUM(t) AS dd
+      FROM term GROUP BY query_id, neighbor_id),
+r AS (SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dd, neighbor_id) AS rank
+      FROM d)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3
+"""
+
+
+_IVFPQ_NLIST = 4
+_IVFPQ_NPROBE = 2
+
+
+def q_ivfpq_top3(spark, sf_dir):
+    """IVF-PQ residual-encoded ANN (Faiss IndexIVFPQ shape): coarse
+    k-means quantizer -> inverted lists -> PQ codebook on residuals ->
+    per-list ADC scoring of each query's nprobe probed lists. Both
+    trainers run one Lloyd round; rank-only output like ivf_top3."""
+    from nolock_social_ocr_services_spark.functions import pq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq.ivfpq_topk(
+        emb,
+        k=3,
+        nlist=_IVFPQ_NLIST,
+        nprobe=_IVFPQ_NPROBE,
+        coarse_iters=1,
+        m=_PQ_M,
+        ks=_PQ_KS,
+        iters=1,
+        nq=_PQ_NQ,
+    )
+
+
+def _sql_ivfpq_top3() -> str:
+    """Coarse-Lloyd chain (kmeans_clusters protocol) -> residuals ->
+    PQ chain over residuals (the r-prefixed reuse of _pq_iter_sql) ->
+    per-list query residual tables -> ADC rank."""
+    pq_round = _pq_iter_sql(1, "rc0", vs="rvs", pfx="r")
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE len(embedding) = {_PQ_DIM}),
+k0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c
+       FROM v WHERE vec_id < {_IVFPQ_NLIST}),
+ka1 AS (
+  SELECT v.vec_id, p.cid,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY list_distance(v.v, p.c), p.cid) AS rn
+  FROM v CROSS JOIN k0 p
+),
+ks1 AS (SELECT vec_id, cid FROM ka1 WHERE rn = 1),
+km1 AS (
+  SELECT cid, list(mm ORDER BY i) AS c FROM (
+    SELECT ks1.cid AS cid, t.i AS i, round(avg(v.v[t.i + 1]), 6) AS mm
+    FROM ks1 JOIN v USING (vec_id) CROSS JOIN range({_PQ_DIM}) t(i)
+    GROUP BY ks1.cid, t.i
+  ) GROUP BY cid
+),
+kc1 AS (SELECT p.cid, COALESCE(km1.c, p.c) AS c
+        FROM k0 p LEFT JOIN km1 ON p.cid = km1.cid),
+la AS (
+  SELECT v.vec_id, p.cid,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY list_distance(v.v, p.c), p.cid) AS rn
+  FROM v CROSS JOIN kc1 p
+),
+lists AS (SELECT vec_id, cid AS lcid FROM la WHERE rn = 1),
+res AS (
+  SELECT l.vec_id, l.lcid,
+         list_transform(range({_PQ_DIM}), j -> v.v[j + 1] - kc.c[j + 1]) AS v
+  FROM lists l JOIN v USING (vec_id) JOIN kc1 kc ON l.lcid = kc.cid
+),
+rvs AS (SELECT vec_id, t.s AS sub,
+               v[t.s * {_PQ_D} + 1 : t.s * {_PQ_D} + {_PQ_D}] AS sv
+        FROM res CROSS JOIN range({_PQ_M}) t(s)),
+rc0 AS (SELECT sub, CAST(vec_id AS INT) AS cid, sv AS c
+        FROM rvs WHERE vec_id < {_PQ_KS}),
+{pq_round},
+raf AS (
+  SELECT rvs.vec_id, rvs.sub, p.cid,
+         row_number() OVER (PARTITION BY rvs.vec_id, rvs.sub
+                            ORDER BY list_distance(rvs.sv, p.c), p.cid) AS rn
+  FROM rvs JOIN rc1 p ON rvs.sub = p.sub
+),
+rcodes AS (SELECT vec_id, sub, cid FROM raf WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM v ORDER BY vec_id LIMIT {_PQ_NQ}),
+qp AS (
+  SELECT q.query_id, q.qv, p.cid AS lcid, p.c AS lc,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_distance(q.qv, p.c), p.cid) AS rn
+  FROM q CROSS JOIN kc1 p
+),
+probe AS (SELECT query_id, lcid,
+                 list_transform(range({_PQ_DIM}),
+                                j -> qv[j + 1] - lc[j + 1]) AS qres
+          FROM qp WHERE rn <= {_IVFPQ_NPROBE}),
+term AS (
+  SELECT probe.query_id, rcodes.vec_id AS neighbor_id,
+         list_sum(list_transform(range({_PQ_D}),
+           j -> (probe.qres[rcodes.sub * {_PQ_D} + j + 1] - cf.c[j + 1])
+              * (probe.qres[rcodes.sub * {_PQ_D} + j + 1] - cf.c[j + 1]))) AS t
+  FROM probe
+  JOIN lists ON lists.lcid = probe.lcid
+  JOIN rcodes ON rcodes.vec_id = lists.vec_id
+  JOIN rc1 cf ON rcodes.sub = cf.sub AND rcodes.cid = cf.cid
+  WHERE lists.vec_id <> probe.query_id
+),
+dd AS (SELECT query_id, neighbor_id, SUM(t) AS s
+       FROM term GROUP BY query_id, neighbor_id),
+rr AS (SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY s, neighbor_id) AS rank
+       FROM dd)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM rr WHERE rank <= 3
+"""
+
+
 def q_contrastive_triplets(spark, sf_dir):
     """Contrastive training triplets: verified near-dup positives +
     hash-derandomized bucket-drawn hard negatives."""
@@ -3500,4 +3742,7 @@ def extra_queries() -> dict[str, tuple]:
             _sql_contrastive_triplets(),
         ),
         "winnow_fp": (q_winnow_fp, SQL_WINNOW_FP),
+        "pq_codes": (q_pq_codes, _sql_pq_codes()),
+        "pq_adc_top3": (q_pq_adc_top3, _sql_pq_adc_top3()),
+        "ivfpq_top3": (q_ivfpq_top3, _sql_ivfpq_top3()),
     }

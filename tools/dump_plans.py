@@ -66,6 +66,12 @@ PLAN_QUERIES = [
                              # all equi-joins, no cartesian
     "winnow_fp",          # per-row HOF winnowing: materialized gram array,
                           # zero Exchange before the explode
+    "pq_codes",           # PQ compression: codebook-literal argmin folds,
+                          # map-only encode (zero Exchange)
+    "pq_adc_top3",        # ADC search: literal lookup tables, m lookups/row,
+                          # only exchange is the per-query top-k window
+    "ivfpq_top3",         # IVF-PQ composition: coarse-assign projection +
+                          # residual encode map-only; per-list ADC when-chain
 ]
 
 MARKERS = [
