@@ -399,6 +399,19 @@ def _q_union_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   top_parts/explode_tokens/repetition -> window/agg/explode/quality
 #   families each keep a checked representative.
 _REDUNDANT_TAIL = (
+    "near_dup_srp",  # r2-green; demoted for the new cms_token_counts
+    # (count-min frequency sketch, all-integer oracle) — the SRP
+    # banded near-dup stays pinned by its brute-force-oracle pytest +
+    # PLANS.md, and embedding-space ops keep semantic_dedup,
+    # pq_codes/pq_adc_top3/ivfpq_top3, contrastive_triplets in the head
+    "doc_group_summary",  # r2-green; demoted to keep hll_by_lang inside
+    # the head — the grouped-map (applyInPandas) tier it represents
+    # stays pinned by tests/test_plans.py's FlatMapGroupsInPandas
+    # marker assertions and its own pytest; its r2 driver row stands
+    "kmv_by_lang",  # r2-green; demoted for the new hll_by_lang — the
+    # same per-language cardinality report by the mergeable
+    # constant-memory sketch (HLL registers vs KMV k-mins); the KMV
+    # primitive keeps its first-ever head check via kmv_distinct
     "lang_id",  # r1+r2 green twice; demoted for the new ivfpq_top3
     # (residual-encoded IVF-PQ, the Faiss IndexIVFPQ composition) —
     # the quality/text family keeps gopher_rep, char_entropy,

@@ -122,6 +122,144 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     )
 
 
+def hll_distinct_by_group(
+    df: DataFrame, col: str, group_col: str, b: int = 8
+) -> DataFrame:
+    """HyperLogLog distinct-count sketch per group (Flajolet et al.
+    2007) — the constant-memory companion to :func:`kmv_distinct`: a
+    KMV sketch keeps k hashes, an HLL keeps ``m = 2^b`` 6-bit-ish
+    registers regardless of cardinality, and (unlike KMV) two HLLs
+    MERGE by register-wise max, which is why production pipelines
+    (and Spark's own ``approx_count_distinct``) use it for per-domain
+    / per-shard cardinality reports that roll up.
+
+    Register math is INTEGER-exact cross-engine: bucket = top ``b``
+    bits of the 60-bit md5 hash, rho = leading zeros of the remaining
+    ``w = 60 - b`` bits + 1 via string bit-length (``length(bin(rem))``
+    — identical no-leading-zeros semantics in Spark and DuckDB; no
+    float log2 anywhere). The harmonic sum is kept SCALED-INTEGER:
+    ``s_scaled = sum over all m buckets of 2^(w+1 - M_j)`` (absent
+    bucket: M=0) — terms are exact powers of two, the total is < 2^62,
+    so the BIGINT sum is order-independent and bit-identical in both
+    engines; the float estimate is one literal-constant division off
+    it (+ the standard linear-counting small-range branch off the
+    integer zero-register count).
+
+    Scale: one shuffle to (group, bucket) registers — at most
+    ``groups * m`` rows regardless of corpus size — then one tiny
+    group agg. This is the 100-TB cardinality-report shape: the
+    corpus-sized side is map-only hashing.
+
+    Output: (group_col, v_zero, s_scaled, est_distinct).
+    """
+    m = 1 << b
+    w1 = 60 - b + 1  # rho of an all-zero remainder window
+    h = hash60(F.col(col))
+    bucket = F.shiftright(h, 60 - b)
+    rem = h.bitwiseAND(F.lit((1 << (60 - b)) - 1))
+    rho = F.when(rem == 0, F.lit(w1)).otherwise(
+        F.lit(w1) - F.length(F.bin(rem))
+    )
+    regs = (
+        df.select(F.col(group_col), bucket.alias("bucket"), rho.alias("rho"))
+        .where(F.col(col).isNotNull())
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rho").alias("M"))
+    )
+    per = regs.groupBy(group_col).agg(
+        (F.lit(m) - F.count("*")).cast("int").alias("v_zero"),
+        (
+            (F.lit(m).cast("long") - F.count("*"))
+            * F.lit(1 << w1).cast("long")
+            + F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({w1} - M AS INT))")
+            )
+        ).cast("long").alias("s_scaled"),
+    )
+    # alpha_m * m^2 * 2^(w+1), one Python-computed double inlined as the
+    # SAME literal in the oracle — both engines then do one cast + one
+    # divide on identical inputs
+    factor = ((0.7213 / (1 + 1.079 / m)) * m * m) * float(1 << w1)
+    est_raw = F.lit(factor) / F.col("s_scaled").cast("double")
+    est = F.when(
+        (est_raw <= F.lit(2.5 * m)) & (F.col("v_zero") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")),
+    ).otherwise(est_raw)
+    return per.select(
+        group_col, "v_zero", "s_scaled", F.round(est, 6).alias("est_distinct")
+    )
+
+
+def cms_estimate(
+    df: DataFrame,
+    col: str,
+    probes: list[str],
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Count-min sketch frequency estimates (Cormode & Muthukrishnan
+    2005) — the third constant-memory sketch next to KMV and HLL:
+    ``d`` hash rows of ``w`` counters answer "how often does X occur"
+    for ANY X with one-sided error (estimate >= truth, overshoot
+    bounded by collisions ~ N/w per row, min over d rows). The sketch
+    is ``d*w`` counters regardless of corpus size — the standard shape
+    for heavy-hitter / frequency telemetry over a 100-TB stream where
+    an exact per-token count would itself be a corpus-sized table.
+
+    Everything is INTEGER-exact cross-engine: positions are
+    ``hash60(i ':' value) mod w`` (the seeded-md5 convention the
+    minhash band hashes use), counters are plain BIGINT counts, and
+    the estimate is a MIN over d looked-up counters — no floats
+    anywhere. Plan: one map-side d-way explode + one (row, pos)
+    hash-agg bounded at ``d*w`` groups; probes are a tiny literal
+    relation joined BROADCAST against the sketch.
+
+    Output: one row per probe, ``(token, est_count)`` — absent probes
+    report their collision noise (>= 0), never NULL, exactly as a real
+    CMS does."""
+    spark = df.sparkSession
+    cells = df.where(F.col(col).isNotNull()).select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(
+                        hash60(F.concat(F.lit(f"{i}:"), F.col(col))),
+                        F.lit(w),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("row", "pos")
+    )
+    sketch = cells.groupBy("row", "pos").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    probe_df = spark.createDataFrame(
+        [(p,) for p in probes], "token string"
+    ).select(
+        "token",
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(
+                        hash60(F.concat(F.lit(f"{i}:"), F.col("token"))),
+                        F.lit(w),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("row", "pos"),
+    )
+    # the d*w-row sketch is the broadcast side (the outer/preserved probe
+    # side of a left join cannot be the build side)
+    looked = probe_df.join(F.broadcast(sketch), ["row", "pos"], "left")
+    return looked.groupBy("token").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias(
+            "est_count"
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     tokens_col: str,

@@ -2175,6 +2175,96 @@ WHERE rn = 1
 """
 
 
+def q_hll_by_lang(spark, sf_dir):
+    """Per-language HLL distinct-token sketch (b=8, 256 registers):
+    integer-exact registers + scaled-integer harmonic sum; one float
+    estimate (linear-counting small-range branch) rounded to 6dp."""
+    from .functions.sampling import hll_distinct_by_group
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "lang", F.explode(co.words(F.col("text"))).alias("token")
+    )
+    return hll_distinct_by_group(toks, "token", "lang", b=8)
+
+
+_HLL_FACTOR = repr(((0.7213 / (1 + 1.079 / 256)) * 256 * 256) * float(1 << 53))
+
+SQL_HLL_BY_LANG = rf"""
+WITH toks AS (
+  SELECT lang,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), h AS (
+  SELECT lang, ('0x' || substr(md5(token), 1, 15))::UBIGINT AS hh
+  FROM toks
+), rr AS (
+  SELECT lang, CAST(hh >> 52 AS INT) AS bucket,
+         CASE WHEN (hh & 4503599627370495) = 0 THEN 53
+              ELSE 53 - length(bin(CAST(hh & 4503599627370495 AS BIGINT)))
+         END AS rho
+  FROM h
+), regs AS (
+  SELECT lang, bucket, max(rho) AS m FROM rr GROUP BY lang, bucket
+), per AS (
+  SELECT lang,
+         CAST(256 - count(*) AS INT) AS v_zero,
+         CAST((256 - count(*)) * (1::BIGINT << 53)
+              + SUM(1::BIGINT << CAST(53 - m AS INT)) AS BIGINT) AS s_scaled
+  FROM regs GROUP BY lang
+), est AS (
+  SELECT lang, v_zero, s_scaled,
+         CASE WHEN {_HLL_FACTOR} / CAST(s_scaled AS DOUBLE) <= 640.0
+                   AND v_zero > 0
+              THEN 256.0::DOUBLE * ln(256.0::DOUBLE / v_zero)
+              ELSE {_HLL_FACTOR} / CAST(s_scaled AS DOUBLE) END AS e
+  FROM per
+)
+SELECT lang, v_zero, s_scaled, round(e, 6) AS est_distinct FROM est
+"""
+
+
+_CMS_PROBES = ["table", "value", "key", "scan", "zzzz_absent"]
+
+
+def q_cms_token_counts(spark, sf_dir):
+    """Count-min sketch frequency estimates for 5 probe tokens (one
+    deliberately absent — it reports its collision noise, never NULL).
+    All-integer: positions, counters and the min are exact cross-engine."""
+    from .functions.sampling import cms_estimate
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(co.words(F.col("text"))).alias("token"))
+    return cms_estimate(toks, "token", _CMS_PROBES, d=4, w=256)
+
+
+def _sql_cms_token_counts() -> str:
+    probes = ",".join(f"('{p}')" for p in _CMS_PROBES)
+    return rf"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), cells AS (
+  SELECT t.i AS hr,
+         CAST(('0x' || substr(md5(CAST(t.i AS VARCHAR) || ':' || token),
+                              1, 15))::UBIGINT % 256 AS INT) AS hp
+  FROM toks CROSS JOIN range(4) t(i)
+), sketch AS (
+  SELECT hr, hp, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY hr, hp
+), probes(token) AS (VALUES {probes}),
+pcells AS (
+  SELECT token, t.i AS hr,
+         CAST(('0x' || substr(md5(CAST(t.i AS VARCHAR) || ':' || token),
+                              1, 15))::UBIGINT % 256 AS INT) AS hp
+  FROM probes CROSS JOIN range(4) t(i)
+)
+SELECT token, MIN(COALESCE(cnt, 0)) AS est_count
+FROM pcells LEFT JOIN sketch USING (hr, hp) GROUP BY token
+"""
+
+
 def q_kmv_by_lang(spark, sf_dir):
     """Per-language distinct-token KMV sketch (k=32): grouped sketching
     via row_number <= k — groups sketch in parallel, O(k) state each."""
@@ -3745,4 +3835,6 @@ def extra_queries() -> dict[str, tuple]:
         "pq_codes": (q_pq_codes, _sql_pq_codes()),
         "pq_adc_top3": (q_pq_adc_top3, _sql_pq_adc_top3()),
         "ivfpq_top3": (q_ivfpq_top3, _sql_ivfpq_top3()),
+        "hll_by_lang": (q_hll_by_lang, SQL_HLL_BY_LANG),
+        "cms_token_counts": (q_cms_token_counts, _sql_cms_token_counts()),
     }

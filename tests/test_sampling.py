@@ -185,3 +185,105 @@ def test_weighted_sample_per_group_topk(spark):
         per.setdefault(r["g"], []).append(r["doc_id"])
     assert set(per) == {"g0", "g1", "g2"}
     assert all(len(v) == 4 for v in per.values())
+
+
+def _py_hll(values, b=8):
+    """Pure-python HLL with the module's exact conventions (md5-prefix
+    60-bit hash, top-b bucket, bin-length rho, scaled-integer sum,
+    linear-counting branch)."""
+    import hashlib
+    import math
+
+    m = 1 << b
+    w = 60 - b
+    regs = {}
+    for v in values:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        bucket, rem = h >> w, h & ((1 << w) - 1)
+        rho = (w + 1) if rem == 0 else (w + 1 - rem.bit_length())
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    v_zero = m - len(regs)
+    s_scaled = v_zero * (1 << (w + 1)) + sum(
+        1 << (w + 1 - M) for M in regs.values()
+    )
+    factor = ((0.7213 / (1 + 1.079 / m)) * m * m) * float(1 << (w + 1))
+    est = factor / float(s_scaled)
+    if est <= 2.5 * m and v_zero > 0:
+        est = float(m) * math.log(float(m) / v_zero)
+    return v_zero, s_scaled, round(est, 6)
+
+
+def test_hll_matches_python_reference(spark, docs):
+    words = docs.select(
+        "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    got = {
+        r.lang: (r.v_zero, r.s_scaled, r.est_distinct)
+        for r in sampling.hll_distinct_by_group(words, "word", "lang").collect()
+    }
+    by_lang = {}
+    for r in words.collect():
+        by_lang.setdefault(r.lang, []).append(r.word)
+    for lang, vals in by_lang.items():
+        assert got[lang] == _py_hll(vals), lang
+
+
+def test_hll_accuracy_at_larger_cardinality(spark):
+    """Past the linear-counting range the raw estimator must engage and
+    stay within HLL's expected error (~1.04/sqrt(256) ~ 6.5%; allow 3x)."""
+    n = 20000
+    df = spark.range(n).select(
+        F.lit("g").alias("g"), F.concat(F.lit("tok"), F.col("id")).alias("w")
+    )
+    row = sampling.hll_distinct_by_group(df, "w", "g").collect()[0]
+    assert row.v_zero == 0 or row.est_distinct > 2.5 * 256
+    assert abs(row.est_distinct - n) / n < 0.20
+
+
+def test_hll_insensitive_to_duplicates_and_order(spark):
+    a = spark.createDataFrame(
+        [("g", w) for w in ["x", "y", "z"] * 50], "g string, w string"
+    )
+    b = spark.createDataFrame(
+        [("g", w) for w in ["z", "x", "y"]], "g string, w string"
+    )
+    ra = sampling.hll_distinct_by_group(a, "w", "g").collect()[0]
+    rb = sampling.hll_distinct_by_group(b, "w", "g").collect()[0]
+    assert (ra.v_zero, ra.s_scaled, ra.est_distinct) == (
+        rb.v_zero, rb.s_scaled, rb.est_distinct,
+    )
+
+
+def test_cms_one_sided_and_exact_small(spark):
+    """CMS estimates are >= truth for present keys (one-sided error),
+    exact when the sketch is wide relative to the vocab, and an absent
+    probe reports its collision noise (>= 0), never NULL."""
+    rows = [("a",)] * 7 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "w string")
+    got = {
+        r.token: r.est_count
+        for r in sampling.cms_estimate(
+            df, "w", ["a", "b", "c", "nope"], d=4, w=256
+        ).collect()
+    }
+    # 3 distinct keys in 4x256 counters: min-over-rows is exact w.h.p.;
+    # one-sidedness (>=) is the hard guarantee either way
+    assert got["a"] >= 7 and got["b"] >= 3 and got["c"] >= 1
+    assert got["a"] == 7 and got["b"] == 3 and got["c"] == 1
+    assert got["nope"] >= 0
+
+
+def test_cms_overshoot_bounded(spark):
+    """With vocab >> width, every estimate still dominates the truth and
+    the total overshoot respects the eps*N bound (e*N/w, here with a
+    generous constant for min-over-4-rows at this fill)."""
+    n_vocab, reps = 2000, 3
+    df = spark.range(n_vocab * reps).select(
+        F.concat(F.lit("t"), (F.col("id") % n_vocab)).alias("w")
+    )
+    probes = [f"t{i}" for i in range(0, 2000, 97)]
+    got = sampling.cms_estimate(df, "w", probes, d=4, w=256).collect()
+    n_total = n_vocab * reps
+    for r in got:
+        assert r.est_count >= reps, r
+        assert r.est_count <= reps + 3 * n_total // 256, r
