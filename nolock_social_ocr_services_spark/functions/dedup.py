@@ -156,6 +156,46 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Exact shingle CONTAINMENT for candidate pairs — the asymmetric
+    companion to ``jaccard_pairs``: c_a = |A∩B|/|A| ("how much of A is
+    inside B"), c_b = |A∩B|/|B|. Subset-duplicates (a doc embedded
+    whole inside a longer one) score near 1.0 on one side while their
+    symmetric Jaccard stays low — resemblance vs containment is the
+    Broder 1997 distinction, and corpus dedup wants both: Jaccard for
+    mirror pages, containment for quote-expansions and wrapper pages.
+
+    Same shape as jaccard_pairs: candidates (from the banded-LSH join)
+    carry in the two per-doc distinct shingle arrays; intersection
+    sizes are built-ins, so verification cost is candidates-only — the
+    100-TB scale path is identical to the Jaccard rerank's."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), k=k).alias("sh")
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = candidates.join(a, on="id_a").join(b, on="id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    size_a = F.size("sh_a")
+    size_b = F.size("sh_b")
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.when(size_a == 0, F.lit(0.0)).otherwise(inter / size_a).alias(
+            "containment_a"
+        ),
+        F.when(size_b == 0, F.lit(0.0)).otherwise(inter / size_b).alias(
+            "containment_b"
+        ),
+    )
+
+
 def _simhash_fold(
     df: DataFrame, text_col: str, id_col: str, k: int, hash_expr: Column,
     bits: int,

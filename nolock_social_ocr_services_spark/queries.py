@@ -1404,6 +1404,49 @@ JOIN shd b ON b.doc_id = c.id_b
 """
 
 
+def q_containment_rerank(spark, sf_dir):
+    """Asymmetric containment verification of the LSH candidates
+    (Broder 1997 resemblance-vs-containment): |A∩B|/|A| and |A∩B|/|B|
+    per pair — catches subset-duplicates (doc embedded whole in a
+    longer doc) that symmetric Jaccard under-scores. Candidates-only
+    verification, same 100-TB shape as jaccard_rerank."""
+    d = _docs(spark, sf_dir)
+    cand = dd.minhash_lsh_candidates(
+        d, num_hashes=MINHASH_N, bands=MINHASH_BANDS, k=MINHASH_K
+    )
+    cp = dd.containment_pairs(d, cand, k=MINHASH_K)
+    return cp.select(
+        "id_a",
+        "id_b",
+        F.round("containment_a", 6).alias("containment_a"),
+        F.round("containment_b", 6).alias("containment_b"),
+        (
+            F.greatest("containment_a", "containment_b") >= 0.9
+        ).alias("is_subset_dup"),
+    )
+
+
+SQL_CONTAINMENT_RERANK = f"""
+WITH cand AS ({SQL_LSH_CANDIDATES}),
+shd AS ({_SQL_SH_DISTINCT})
+SELECT c.id_a, c.id_b,
+       round(CASE WHEN len(a.shd) = 0 THEN 0.0
+             ELSE len(list_intersect(a.shd, b.shd)) * 1.0 / len(a.shd)
+             END, 6) AS containment_a,
+       round(CASE WHEN len(b.shd) = 0 THEN 0.0
+             ELSE len(list_intersect(a.shd, b.shd)) * 1.0 / len(b.shd)
+             END, 6) AS containment_b,
+       greatest(CASE WHEN len(a.shd) = 0 THEN 0.0
+                ELSE len(list_intersect(a.shd, b.shd)) * 1.0 / len(a.shd) END,
+                CASE WHEN len(b.shd) = 0 THEN 0.0
+                ELSE len(list_intersect(a.shd, b.shd)) * 1.0 / len(b.shd) END)
+           >= 0.9 AS is_subset_dup
+FROM cand c
+JOIN shd a ON a.doc_id = c.id_a
+JOIN shd b ON b.doc_id = c.id_b
+"""
+
+
 # -- SimHash (md5-bit variant, oracle-checkable) -------------------------------
 
 _SIMHASH_K = 4
@@ -3837,4 +3880,5 @@ def extra_queries() -> dict[str, tuple]:
         "ivfpq_top3": (q_ivfpq_top3, _sql_ivfpq_top3()),
         "hll_by_lang": (q_hll_by_lang, SQL_HLL_BY_LANG),
         "cms_token_counts": (q_cms_token_counts, _sql_cms_token_counts()),
+        "containment_rerank": (q_containment_rerank, SQL_CONTAINMENT_RERANK),
     }

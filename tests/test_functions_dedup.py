@@ -422,3 +422,41 @@ def test_contrastive_triplets_deterministic(spark, df):
     assert {(r.anchor_id, r.positive_id) for r in a.collect()} == {
         (r.anchor_id, r.positive_id) for r in c.collect()
     }
+
+
+# -- containment (Broder resemblance-vs-containment) ---------------------------
+
+
+def test_containment_subset_duplicate(spark):
+    """A doc embedded whole inside a longer doc scores containment ~1.0
+    on the short side while Jaccard stays well below the dup bar."""
+    short = "spark builds distributed query plans over columnar data"
+    long = (
+        short
+        + " and beyond that this wrapper page adds a navigation header a"
+        " footer many unrelated words about cooking pasta with garlic and"
+        " olive oil plus further boilerplate that dilutes the overlap"
+    )
+    df = spark.createDataFrame(
+        [(0, short), (1, long)], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    row = dd.containment_pairs(df, cand, k=6).first()
+    jrow = dd.jaccard_pairs(df, cand, k=6).first()
+    assert row.containment_a > 0.95      # short inside long
+    assert row.containment_b < 0.5       # long not inside short
+    assert jrow.jaccard < 0.5            # symmetric score misses it
+
+
+def test_containment_matches_python(spark, df):
+    cand = dd.minhash_lsh_candidates(df, num_hashes=16, bands=8, k=6)
+    out = dd.containment_pairs(df, cand, k=6)
+    texts = {r.doc_id: r.text for r in df.collect()}
+
+    def sh(t):
+        return {t[i : i + 6] for i in range(max(len(t) - 5, 1))}
+
+    for r in out.collect():
+        a, b = sh(texts[r.id_a]), sh(texts[r.id_b])
+        assert r.containment_a == pytest.approx(len(a & b) / len(a))
+        assert r.containment_b == pytest.approx(len(a & b) / len(b))
