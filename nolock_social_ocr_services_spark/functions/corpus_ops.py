@@ -246,6 +246,78 @@ def kmv_by_group(
     )
 
 
+def kmv_sketches(
+    df: DataFrame, group_col: str, value_col: str, k: int = 32
+) -> DataFrame:
+    """Per-group KMV sketch MATERIALIZED as its k-min hash array —
+    (grp, sketch: array<long> sorted ascending). Same build shape as
+    ``kmv_by_group`` (one shuffle on (group, hash), one window), but
+    the sketch itself is kept so sketches can be COMBINED: KMV sketches
+    are mergeable summaries (Beyer et al. 2007, "On synopses for
+    distinct-value estimation"), which is what makes them usable across
+    partitions, shards, and ingest increments at 100 TB."""
+    hs = (
+        df.select(F.col(group_col).alias("grp"), hash60(F.col(value_col)).alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    ks = hs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return ks.groupBy("grp").agg(F.sort_array(F.collect_list("h")).alias("sketch"))
+
+
+def kmv_overlap_pairs(
+    df: DataFrame, group_col: str, value_col: str, k: int = 32
+) -> DataFrame:
+    """Pairwise distinct-value OVERLAP between groups, estimated from
+    KMV sketches alone (no re-scan of the data): for groups A, B the
+    k-min of the sketch UNION is itself the KMV sketch of A∪B, and the
+    fraction of its members present in BOTH per-group sketches is an
+    unbiased Jaccard estimator (Beyer et al. 2007 §5); intersection
+    cardinality follows as J * |A∪B|-estimate. The corpus-audit use:
+    "how much vocabulary do these two languages/shards share" without
+    ever joining token sets.
+
+    Output per (grp_a < grp_b): k_merged, n_both (exact integers from
+    the deterministic md5 sketches — the DuckDB oracle reproduces them
+    bit-for-bit), jaccard_est (round 6), est_union, est_intersection.
+
+    Scale shape: the sketch build is the only data-sized work; the pair
+    combine joins G sketch rows of O(k) longs each (G = group count,
+    bounded), entirely in array built-ins."""
+    from .sampling import HASH_DOMAIN
+
+    sk = kmv_sketches(df, group_col, value_col, k=k)
+    a = sk.select(F.col("grp").alias("grp_a"), F.col("sketch").alias("sk_a"))
+    b = sk.select(F.col("grp").alias("grp_b"), F.col("sketch").alias("sk_b"))
+    pairs = a.join(b, on=F.col("grp_a") < F.col("grp_b"))
+    merged = F.slice(F.array_sort(F.array_union("sk_a", "sk_b")), 1, k)
+    n_merged = F.size(merged)
+    n_both = F.size(
+        F.array_intersect(F.array_intersect(merged, F.col("sk_a")), F.col("sk_b"))
+    )
+    jaccard = F.round(n_both.cast("double") / n_merged, 6)
+    kth = F.element_at(merged, -1)
+    est_union = F.when(
+        n_merged < k, n_merged.cast("long")
+    ).otherwise(
+        F.floor(
+            F.lit(float(k - 1)) * F.lit(HASH_DOMAIN) / kth.cast("double")
+        ).cast("long")
+    )
+    return pairs.select(
+        F.col("grp_a").alias(f"{group_col}_a"),
+        F.col("grp_b").alias(f"{group_col}_b"),
+        n_merged.cast("long").alias("k_merged"),
+        n_both.cast("long").alias("n_both"),
+        jaccard.alias("jaccard_est"),
+        est_union.alias("est_union"),
+        F.floor(jaccard * est_union.cast("double")).cast("long").alias(
+            "est_intersection"
+        ),
+    )
+
+
 def mixture_sample(
     df: DataFrame, source_col: str, rates: dict[str, int], id_col: str = "doc_id"
 ) -> DataFrame:

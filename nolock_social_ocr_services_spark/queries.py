@@ -2346,6 +2346,61 @@ FROM ks WHERE rn <= 32 GROUP BY lang
 MIXTURE_RATES = {"src0": 80, "src1": 40, "src2": 20, "src3": 10, "src4": 5}
 
 
+def q_kmv_overlap(spark, sf_dir):
+    """Cross-language vocabulary overlap from KMV sketch INTERSECTION
+    (Beyer et al. 2007): the k-min of two sketches' union is the union
+    sketch, and its members present in both sides estimate Jaccard —
+    no token-set join ever happens. The sketches are the only
+    data-sized work; the pair combine is G^2 rows of k longs."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("lang", F.explode(co.words(F.col("text"))).alias("token"))
+    return co.kmv_overlap_pairs(toks, "lang", "token", k=32)
+
+
+SQL_KMV_OVERLAP = r"""
+WITH toks AS (
+  SELECT lang,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), hs AS (
+  SELECT DISTINCT lang,
+         ('0x' || substr(md5(token), 1, 15))::UBIGINT AS h
+  FROM toks
+), ks AS (
+  SELECT lang, h,
+         row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+  FROM hs
+), sk AS (
+  SELECT lang, list(h ORDER BY h) AS sketch
+  FROM ks WHERE rn <= 32 GROUP BY lang
+), pairs AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b,
+         a.sketch AS sk_a, b.sketch AS sk_b,
+         list_slice(list_sort(list_distinct(list_concat(a.sketch, b.sketch))),
+                    1, 32) AS merged
+  FROM sk a JOIN sk b ON a.lang < b.lang
+), scored AS (
+  SELECT lang_a, lang_b,
+         len(merged) AS k_merged,
+         len(list_intersect(list_intersect(merged, sk_a), sk_b)) AS n_both,
+         CASE WHEN len(merged) < 32 THEN len(merged)
+              ELSE CAST(floor(31.0 * 1152921504606846976.0
+                              / CAST(merged[-1] AS DOUBLE)) AS BIGINT)
+         END AS est_union
+  FROM pairs
+)
+SELECT lang_a, lang_b,
+       CAST(k_merged AS BIGINT) AS k_merged,
+       CAST(n_both AS BIGINT) AS n_both,
+       round(n_both * 1.0 / k_merged, 6) AS jaccard_est,
+       CAST(est_union AS BIGINT) AS est_union,
+       CAST(floor(round(n_both * 1.0 / k_merged, 6)
+                  * CAST(est_union AS DOUBLE)) AS BIGINT) AS est_intersection
+FROM scored
+"""
+
+
 def q_mixture_sample(spark, sf_dir):
     """Deterministic pretraining-mixture sampling: per-source keep
     rates (src0 80% ... src4 5%, others dropped); verified by counting
@@ -3881,4 +3936,5 @@ def extra_queries() -> dict[str, tuple]:
         "hll_by_lang": (q_hll_by_lang, SQL_HLL_BY_LANG),
         "cms_token_counts": (q_cms_token_counts, _sql_cms_token_counts()),
         "containment_rerank": (q_containment_rerank, SQL_CONTAINMENT_RERANK),
+        "kmv_overlap": (q_kmv_overlap, SQL_KMV_OVERLAP),
     }

@@ -640,3 +640,52 @@ def test_pareto_keep_deterministic_and_monotone_in_alpha(spark):
     assert k_sharp <= k1
     # high scores survive more often than low scores
     assert len([d for d in k1 if d >= 50]) > len([d for d in k1 if d < 50])
+
+
+# -- KMV sketch intersection ----------------------------------------------------
+
+
+def _overlap_tokens(spark, n_shared=20, n_only=30):
+    """Two groups whose token sets share exactly n_shared of
+    n_shared + n_only tokens each (true Jaccard = shared/union)."""
+    rows = []
+    for i in range(n_shared):
+        rows += [("A", f"shared{i}"), ("B", f"shared{i}")]
+    for i in range(n_only):
+        rows += [("A", f"only_a{i}"), ("B", f"only_b{i}")]
+    return spark.createDataFrame(rows, "grp string, token string")
+
+
+def test_kmv_overlap_exact_when_k_covers_union(spark):
+    """With k >= |union| the sketch IS the full hash set, so the
+    estimator is exact: J = 20 / 80, intersection = 20, union = 80."""
+    toks = _overlap_tokens(spark)
+    out = co.kmv_overlap_pairs(toks, "grp", "token", k=128).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.grp_a == "A" and r.grp_b == "B"
+    assert r.k_merged == 80 and r.n_both == 20
+    assert r.jaccard_est == pytest.approx(0.25)
+    assert r.est_union == 80 and r.est_intersection == 20
+
+
+def test_kmv_overlap_estimates_within_tolerance(spark):
+    """k << |union|: estimates stay in a sane band around truth
+    (J = 100/300 ~ 0.333 with k=64 -> stderr ~ 1/sqrt(64) ~ 0.125)."""
+    toks = _overlap_tokens(spark, n_shared=100, n_only=100)
+    r = co.kmv_overlap_pairs(toks, "grp", "token", k=64).first()
+    assert r.k_merged == 64
+    assert abs(r.jaccard_est - 100 / 300) < 0.2
+    assert abs(r.est_union - 300) / 300 < 0.35
+
+
+def test_kmv_sketches_merge_equals_direct(spark):
+    """Mergeability: k-min of (sketch_A union sketch_B) equals the
+    sketch built directly over the concatenated data — the property
+    that lets shards sketch independently at 100 TB."""
+    toks = _overlap_tokens(spark)
+    sk = {r.grp: r.sketch for r in co.kmv_sketches(toks, "grp", "token", k=16).collect()}
+    both = toks.withColumn("grp", F.lit("ALL"))
+    direct = co.kmv_sketches(both, "grp", "token", k=16).first().sketch
+    merged = sorted(set(sk["A"]) | set(sk["B"]))[:16]
+    assert merged == sorted(direct)
