@@ -119,6 +119,56 @@ def bm25_score(
     return df.withColumn("score", F.round(score, 6))
 
 
+#: RRF damping constant — 60 is the value from Cormack, Clarke &
+#: Buettcher 2009 ("Reciprocal rank fusion outperforms Condorcet and
+#: individual rank learning methods"), kept verbatim by every major
+#: hybrid-search engine.
+RRF_K = 60
+
+
+def rrf_fuse(
+    rankings: dict[str, DataFrame],
+    k_const: int = RRF_K,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval systems' per-query
+    rankings — the standard hybrid dense+sparse combiner: score(d) =
+    sum over systems of 1/(k + rank_s(d)). Rank-based, so no score
+    calibration between BM25 floats and cosine floats is needed, and
+    because ranks are small integers the fused score is deterministic
+    across engines and cluster sizes.
+
+    Inputs: each DataFrame has (query_id, ``id_col``, rank). Output:
+    (query_id, id_col, n_systems, rrf_score, fused_rank).
+
+    Scale shape: the inputs are already top-k candidate lists (Q x k
+    rows per system — bounded by construction, NOT data-sized), so the
+    union + hash-agg + per-query window all run over candidates only.
+    Per-term contributions are rounded to 9 dp before the sum, the sum
+    to 9 dp — the cross-engine float contract used throughout."""
+    tagged = None
+    for name in sorted(rankings):
+        t = rankings[name].select(
+            "query_id", F.col(id_col), F.col("rank").cast("long").alias("rank")
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    contrib = F.round(
+        F.lit(1.0) / (F.lit(float(k_const)) + F.col("rank").cast("double")), 9
+    )
+    agg = (
+        tagged.select("query_id", id_col, contrib.alias("c"))
+        .groupBy("query_id", id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_systems"),
+            F.round(F.sum("c"), 9).alias("rrf_score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), id_col)
+    return agg.withColumn("fused_rank", F.row_number().over(w))
+
+
 def bm25_topk(
     df: DataFrame,
     queries: dict[str, list[str]],

@@ -3534,6 +3534,94 @@ stats AS (
     )
 
 
+# -- hybrid retrieval: reciprocal-rank fusion ----------------------------------
+# Fuse the BM25 sparse ranking with a dense cosine ranking per query —
+# the standard hybrid-search combiner (RRF, Cormack et al. 2009). The
+# dense probe for each query id is a fixed embedding row; doc_id and
+# vec_id share the id space (the embedding OF document i is row i).
+
+_RRF_PROBES = {"q1": 11, "q2": 23}
+
+
+def q_rrf_fusion(spark, sf_dir):
+    """Dense+sparse hybrid retrieval fused by reciprocal rank: both
+    sides produce bounded top-k candidate lists (TakeOrdered heaps /
+    per-query windows over k rows), and the fusion is a hash-agg plus
+    a per-query window over <= 2k candidate rows — never data-sized."""
+    from .functions import retrieval
+
+    d = _docs(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sparse = retrieval.bm25_topk(d, _BM25_QUERIES, k=_BM25_K)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    sparse_r = sparse.withColumn("rank", F.row_number().over(w)).drop("score")
+    probes = emb.filter(F.col("vec_id").isin(*_RRF_PROBES.values()))
+    dense = sim.cosine_topk(emb, k=_BM25_K, queries=probes)
+    qid = None
+    for name, pid in sorted(_RRF_PROBES.items()):
+        cond = F.col("query_id") == pid
+        qid = (
+            F.when(cond, F.lit(name))
+            if qid is None
+            else qid.when(cond, F.lit(name))
+        )
+    dense_r = dense.select(
+        qid.cast("string").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    fused = retrieval.rrf_fuse({"dense": dense_r, "sparse": sparse_r})
+    return fused.select(
+        "query_id", "doc_id", "n_systems", "rrf_score", "fused_rank"
+    )
+
+
+def _sql_rrf_fusion() -> str:
+    probe_case = " ".join(
+        f"WHEN {pid} THEN '{name}'" for name, pid in sorted(_RRF_PROBES.items())
+    )
+    probe_ids = ", ".join(str(p) for p in sorted(_RRF_PROBES.values()))
+    return f"""
+WITH bm AS (SELECT * FROM ({_sql_bm25_topk()})),
+bmr AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM bm
+),
+nz AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE list_dot_product(embedding, embedding) > 0
+),
+dn AS (
+  SELECT CASE q.vec_id {probe_case} END AS query_id,
+         c.vec_id AS doc_id,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY list_cosine_similarity(q.embedding,
+                                                            c.embedding) DESC,
+                                     c.vec_id) AS rank
+  FROM nz q JOIN nz c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id IN ({probe_ids})
+),
+un AS (
+  SELECT query_id, doc_id, rank FROM bmr
+  UNION ALL
+  SELECT query_id, doc_id, rank FROM dn WHERE rank <= {_BM25_K}
+),
+fused AS (
+  SELECT query_id, doc_id,
+         CAST(count(*) AS BIGINT) AS n_systems,
+         round(sum(round(1.0 / (60.0 + rank), 9)), 9) AS rrf_score
+  FROM un GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, n_systems, rrf_score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, doc_id) AS INT)
+           AS fused_rank
+FROM fused
+"""
+
+
 # -- end-to-end curation verdict pass ------------------------------------------
 # The flagship "one call per corpus release" composition: too_short ->
 # low_entropy -> repetitive -> dup -> kept, first failing rule wins.
@@ -3937,4 +4025,5 @@ def extra_queries() -> dict[str, tuple]:
         "cms_token_counts": (q_cms_token_counts, _sql_cms_token_counts()),
         "containment_rerank": (q_containment_rerank, SQL_CONTAINMENT_RERANK),
         "kmv_overlap": (q_kmv_overlap, SQL_KMV_OVERLAP),
+        "rrf_fusion": (q_rrf_fusion, _sql_rrf_fusion()),
     }

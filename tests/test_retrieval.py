@@ -60,3 +60,54 @@ def test_bm25_plan_is_map_side_takeordered(corpus):
     assert exchange_count(out) == 0
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+# -- reciprocal-rank fusion -----------------------------------------------------
+
+
+def test_rrf_fuse_hand_vectors(spark):
+    from nolock_social_ocr_services_spark.functions import retrieval as rt
+
+    sparse = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)],
+        "query_id string, doc_id long, rank long",
+    )
+    dense = spark.createDataFrame(
+        [("q", 2, 1), ("q", 4, 2)],
+        "query_id string, doc_id long, rank long",
+    )
+    out = {
+        r.doc_id: r
+        for r in rt.rrf_fuse({"sparse": sparse, "dense": dense}).collect()
+    }
+    # doc 2 appears in both systems -> highest fused score, rank 1
+    assert out[2].n_systems == 2 and out[2].fused_rank == 1
+    assert out[2].rrf_score == pytest.approx(
+        round(1 / 62, 9) + round(1 / 61, 9)
+    )
+    # single-system docs ordered by their reciprocal rank
+    assert out[1].n_systems == 1
+    assert out[1].rrf_score == pytest.approx(round(1 / 61, 9))
+    assert out[4].rrf_score == pytest.approx(round(1 / 62, 9))
+    # rank-1-in-one-system (doc 1) beats rank-2-in-one-system (doc 4)
+    assert out[1].fused_rank < out[4].fused_rank
+
+
+def test_rrf_fuse_is_calibration_free(spark):
+    """Fusion depends only on ranks: scaling one system's scores (a
+    recalibration) changes nothing because scores never enter."""
+    from nolock_social_ocr_services_spark.functions import retrieval as rt
+
+    a = spark.createDataFrame(
+        [("q", i, i) for i in range(1, 6)],
+        "query_id string, doc_id long, rank long",
+    )
+    b = spark.createDataFrame(
+        [("q", 10 - i, i) for i in range(1, 6)],
+        "query_id string, doc_id long, rank long",
+    )
+    out1 = rt.rrf_fuse({"a": a, "b": b}).collect()
+    out2 = rt.rrf_fuse({"b": b, "a": a}).collect()  # input order irrelevant
+    assert {(r.doc_id, r.fused_rank) for r in out1} == {
+        (r.doc_id, r.fused_rank) for r in out2
+    }
