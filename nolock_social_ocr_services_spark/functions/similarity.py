@@ -23,8 +23,12 @@ from pyspark.sql import functions as F
 
 
 def _dot(a: Column, b: Column) -> Column:
+    # cast each element to double BEFORE multiplying: float32 products
+    # differ from double products in the 7th decimal, and the DuckDB
+    # oracles compute over CAST(embedding AS DOUBLE[]) — double-first
+    # keeps every derived similarity bit-identical across engines.
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -88,6 +92,90 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def margin_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    knn: int = 4,
+    threshold: float = 1.05,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+    parallel corpus mining with multilingual sentence embeddings" — the
+    CCMatrix/LASER alignment rule): score a candidate pair not by raw
+    cosine but by its RATIO margin against each side's neighborhood
+    density, margin(x, y) = cos(x, y) / ((deg(x) + deg(y)) / 2) with
+    deg = mean cosine of the k nearest neighbors on the OTHER side.
+    Hubness-robust: a vector that is close to everything (high deg)
+    must clear a proportionally higher bar, which is why margin beats
+    absolute-threshold mining for parallel-corpus extraction.
+
+    Returns one row per src vector whose best-margin target clears
+    ``threshold``: (src_id, tgt_id, margin).
+
+    Shape: normalize once per side; this form scores all src x tgt
+    pairs (the correctness baseline, quadratic like ``cosine_topk``).
+    At 100 TB the pair generation swaps for the bucketed candidate
+    ops shipped here (``near_dup_pairs_bucketed`` SRP banding /
+    ``ivf_topk``) with identical margin arithmetic on candidates only
+    — deg(x) over ANN-k instead of exact-k is the standard trade
+    (Artetxe & Schwenk use faiss ANN for exactly this reason).
+
+    Cross-engine float contract: sims rounded to 9 dp, neighborhood
+    means to 9, the margin to 6; rankings order by the rounded values
+    with id tie-breaks."""
+    from pyspark.sql import Window
+
+    s = (
+        with_unit_vector(src, vec_col)
+        .filter(F.col("unit").isNotNull())
+        .select(F.col(id_col).alias("src_id"), F.col("unit").alias("us"))
+    )
+    t = (
+        with_unit_vector(tgt, vec_col)
+        .filter(F.col("unit").isNotNull())
+        .select(F.col(id_col).alias("tgt_id"), F.col("unit").alias("ut"))
+    )
+    sims = s.crossJoin(t).select(
+        "src_id",
+        "tgt_id",
+        F.round(_dot(F.col("us"), F.col("ut")), 9).alias("sim"),
+    )
+    w_src = Window.partitionBy("src_id").orderBy(F.desc("sim"), "tgt_id")
+    deg_src = (
+        sims.withColumn("rn", F.row_number().over(w_src))
+        .filter(F.col("rn") <= knn)
+        .groupBy("src_id")
+        .agg(F.round(F.avg("sim"), 9).alias("deg_src"))
+    )
+    w_tgt = Window.partitionBy("tgt_id").orderBy(F.desc("sim"), "src_id")
+    deg_tgt = (
+        sims.withColumn("rn", F.row_number().over(w_tgt))
+        .filter(F.col("rn") <= knn)
+        .groupBy("tgt_id")
+        .agg(F.round(F.avg("sim"), 9).alias("deg_tgt"))
+    )
+    margins = (
+        sims.join(deg_src, on="src_id")
+        .join(deg_tgt, on="tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round(
+                F.col("sim")
+                / ((F.col("deg_src") + F.col("deg_tgt")) / F.lit(2.0)),
+                6,
+            ).alias("margin"),
+        )
+    )
+    w_best = Window.partitionBy("src_id").orderBy(F.desc("margin"), "tgt_id")
+    return (
+        margins.withColumn("rn", F.row_number().over(w_best))
+        .filter((F.col("rn") == 1) & (F.col("margin") >= threshold))
+        .select("src_id", "tgt_id", "margin")
     )
 
 

@@ -772,6 +772,64 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
 """
 
 
+def q_bitext_mine(spark, sf_dir):
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    CCMatrix rule): even vec_ids play the source language, odd the
+    target; a pair is mined when cos / (mean-kNN-density) clears the
+    margin threshold, so hub vectors face a higher bar. Brute pair
+    scoring is the correctness baseline — the margin arithmetic runs
+    unchanged over the bucketed SRP/IVF candidate ops at 100 TB."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    return sim.margin_mine(src, tgt, knn=4, threshold=1.05)
+
+
+SQL_BITEXT_MINE = """
+WITH nz AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+  WHERE list_dot_product(embedding, embedding) > 0
+),
+u AS (
+  SELECT vec_id,
+         list_transform(emb, x -> x / sqrt(list_dot_product(emb, emb))) AS uv
+  FROM nz
+),
+sims AS (
+  SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+         round(list_dot_product(s.uv, t.uv), 9) AS sim
+  FROM u s JOIN u t ON s.vec_id % 2 = 0 AND t.vec_id % 2 = 1
+),
+ds AS (
+  SELECT src_id, round(avg(sim), 9) AS deg_src FROM (
+    SELECT src_id, sim,
+           row_number() OVER (PARTITION BY src_id
+                              ORDER BY sim DESC, tgt_id) AS rn
+    FROM sims
+  ) WHERE rn <= 4 GROUP BY src_id
+),
+dt AS (
+  SELECT tgt_id, round(avg(sim), 9) AS deg_tgt FROM (
+    SELECT tgt_id, sim,
+           row_number() OVER (PARTITION BY tgt_id
+                              ORDER BY sim DESC, src_id) AS rn
+    FROM sims
+  ) WHERE rn <= 4 GROUP BY tgt_id
+),
+m AS (
+  SELECT s.src_id, s.tgt_id,
+         round(s.sim / ((ds.deg_src + dt.deg_tgt) / 2.0), 6) AS margin
+  FROM sims s JOIN ds USING (src_id) JOIN dt USING (tgt_id)
+)
+SELECT src_id, tgt_id, margin FROM (
+  SELECT src_id, tgt_id, margin,
+         row_number() OVER (PARTITION BY src_id
+                            ORDER BY margin DESC, tgt_id) AS rn
+  FROM m
+) WHERE rn = 1 AND margin >= 1.05
+"""
+
+
 # -- relational built-in coverage over driver tables ---------------------------
 
 
@@ -4026,4 +4084,5 @@ def extra_queries() -> dict[str, tuple]:
         "containment_rerank": (q_containment_rerank, SQL_CONTAINMENT_RERANK),
         "kmv_overlap": (q_kmv_overlap, SQL_KMV_OVERLAP),
         "rrf_fusion": (q_rrf_fusion, _sql_rrf_fusion()),
+        "bitext_mine": (q_bitext_mine, SQL_BITEXT_MINE),
     }

@@ -308,3 +308,59 @@ def test_ivf_nprobe_improves_recall_monotonically(spark, emb):
     r1, r2 = recall(1), recall(2)
     assert r2 >= r1
     assert r2 > 0.05
+
+
+# -- margin-based bitext mining -------------------------------------------------
+
+
+def test_margin_mine_finds_parallel_pairs(spark):
+    """Two clean parallel pairs are mined; a source that is equally
+    close to every target has margin ~1.0 and is filtered out."""
+    from nolock_social_ocr_services_spark.functions import similarity as sim
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),    # src, parallel with 1
+        (1, [0.99, 0.1, 0.0, 0.0]),   # tgt
+        (2, [0.0, 1.0, 0.0, 0.0]),    # src, parallel with 3
+        (3, [0.0, 0.98, 0.15, 0.0]),  # tgt
+        (4, [0.5, 0.5, 0.5, 0.5]),    # src hub: similar to everything
+        (5, [0.0, 0.0, 0.0, 1.0]),    # tgt far from all sources
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    src = emb.filter("vec_id % 2 = 0")
+    tgt = emb.filter("vec_id % 2 = 1")
+    all_m = {
+        r.src_id: r
+        for r in sim.margin_mine(src, tgt, knn=2, threshold=0.0).collect()
+    }
+    # parallel pairs matched with clearly higher margins than the hub,
+    # whose neighborhood density eats its raw cosine
+    assert all_m[0].tgt_id == 1 and all_m[2].tgt_id == 3
+    assert all_m[0].margin > all_m[4].margin
+    assert all_m[2].margin > all_m[4].margin
+    # at a threshold between them, only the parallel pairs are mined
+    mined = {
+        r.src_id
+        for r in sim.margin_mine(src, tgt, knn=2, threshold=1.3).collect()
+    }
+    assert mined == {0, 2}
+
+
+def test_margin_mine_suppresses_hub_targets(spark):
+    """A hub TARGET (close to every source) must clear a higher bar:
+    a non-hub target with the same raw cosine wins the margin race."""
+    from nolock_social_ocr_services_spark.functions import similarity as sim
+
+    rows = [
+        (0, [1.0, 0.2, 0.0]),   # src under test
+        (2, [0.0, 1.0, 0.0]),   # other srcs that love the hub
+        (4, [0.0, 0.8, 0.6]),
+        (1, [1.0, 0.21, 0.0]),  # clean tgt: only near src 0
+        (3, [0.30, 0.91, 0.28]),  # hub tgt: decent cos to ALL srcs
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    src = emb.filter("vec_id % 2 = 0")
+    tgt = emb.filter("vec_id % 2 = 1")
+    out = {r.src_id: r for r in sim.margin_mine(src, tgt, knn=2, threshold=0.0).collect()}
+    # src 0 picks the dedicated target, not the hub
+    assert out[0].tgt_id == 1
