@@ -399,6 +399,23 @@ def _q_union_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   top_parts/explode_tokens/repetition -> window/agg/explode/quality
 #   families each keep a checked representative.
 _REDUNDANT_TAIL = (
+    # demoted late-r3 for the five new ops (containment_rerank,
+    # kmv_overlap, rrf_fusion, bitext_mine, phash_near_dup); each
+    # demotee is r2-driver-green and its family keeps checked head reps:
+    "dedup_clusters",  # r2-green; the pointer-jumping CC chain is
+    # re-verified verbatim inside dedup_survivors' oracle CTE (head,
+    # first check this round) and pinned by its own pytest + PLANS.md
+    "tfidf_top_term",  # r2-green; integer-exact term scoring stays
+    # head-repped by bm25_topk (the full idf/tf scoring surface)
+    "receipt_items",  # r2-green; the FULL nested Receipt parse +
+    # items-array contract stays head-checked via extract_receipts_full
+    # (same schema, same fallback column) and test_records_full.py
+    "validate_enums",  # r2-green; enum-domain rules are embedded in the
+    # extract_receipts_full / extract_checks_full oracles (account_type
+    # and payment cycles) and pinned by test_records_full.py
+    "decode_image_meta",  # r2-green; the same mapInPandas decode
+    # plumbing is composed (and oracle-checked) inside the new
+    # phash_near_dup, which adds the banded hamming join on top
     "near_dup_srp",  # r2-green; demoted for the new cms_token_counts
     # (count-min frequency sketch, all-integer oracle) — the SRP
     # banded near-dup stays pinned by its brute-force-oracle pytest +

@@ -194,6 +194,40 @@ def decode_images(
     return df.mapInPandas(process, schema=out_schema)
 
 
+def with_phash(
+    df: DataFrame,
+    features_col: str = "features",
+    out_col: str = "phash",
+    n_bits: int = FEATURE_DIM,
+) -> DataFrame:
+    """Perceptual hash over the decoded feature vector: bit i is set
+    iff features[i] > mean(features) — the aHash/pHash thresholding
+    rule (pHash proper thresholds low-frequency DCT coefficients
+    against their central tendency; the features column here IS the
+    low-frequency thumbnail, 4x4 grayscale under the Pillow codec).
+    Near-duplicate images — recompressed, slightly cropped, format-
+    shifted — keep most bits, so hamming distance on the hash is the
+    image analogue of SimHash on text.
+
+    Pure built-ins AFTER the decode stage: the mean is materialized
+    once as its own column (Catalyst does not CSE across projection
+    expressions — inlining it would recompute the fold per bit), then
+    the n_bits threshold tests fold into one long. NULL features
+    (decode failures) get a NULL hash and fall out of the band join."""
+    feats = F.col(features_col)
+    mean = F.aggregate(feats, F.lit(0.0), lambda a, v: a + v) / F.size(feats)
+    tmp = df.withColumn("_fmean", F.when(F.size(feats) > 0, mean))
+    bits_sum = None
+    for i in range(n_bits):
+        term = F.when(
+            F.element_at(feats, i + 1) > F.col("_fmean"), F.lit(1 << i)
+        ).otherwise(F.lit(0)).cast("long")
+        bits_sum = term if bits_sum is None else bits_sum + term
+    return tmp.withColumn(
+        out_col, F.when(F.col("_fmean").isNotNull(), bits_sum)
+    ).drop("_fmean")
+
+
 def frame_sample_offsets(
     duration_ms: F.Column, every_ms: int = 1000
 ) -> F.Column:

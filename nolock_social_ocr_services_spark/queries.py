@@ -1886,6 +1886,65 @@ WHERE media_ref IS NOT NULL
 """
 
 
+def q_phash_near_dup(spark, sf_dir):
+    """Image near-duplicate detection: decode (mapInPandas) ->
+    perceptual-hash bits (aHash thresholding over the feature
+    thumbnail, pure built-ins) -> the SAME pigeonhole-complete banded
+    hamming join text SimHash uses (dedup.simhash_near_dup, 16 bits /
+    4 bands / hamming <= 2). The multimodal analogue of text near-dup:
+    recompressed or lightly-edited images keep most hash bits. Oracle
+    recomputes the digest-derived features and brute-forces all pairs —
+    banding must find exactly the brute-force answer."""
+    from .functions.multimodal import decode_images, with_phash
+
+    spans = (
+        _corpus_mod.flat_spans(spark, sf_dir)
+        .filter(F.col("media_ref").isNotNull())
+        .select(
+            F.concat_ws(
+                "#", F.col("doc_id").cast("string"), F.col("offset").cast("string")
+            ).alias("span_id"),
+            F.unbase64(F.substring_index("media_ref", ",", -1)).alias("payload"),
+        )
+    )
+    dec = decode_images(spans, deterministic_fake=True)
+    ph = with_phash(dec).select("span_id", "phash")
+    return dd.simhash_near_dup(
+        ph, max_hamming=2, bands=4, bits=16, id_col="span_id", sim_col="phash"
+    )
+
+
+def _sql_phash_near_dup() -> str:
+    digest = (
+        "md5(hex(from_base64(substr(media_ref, position(',' IN media_ref) + 1))))"
+    )
+    n = 16
+    fcols = ", ".join(
+        f"('0x' || substr(dg, {2 * i + 1}, 2))::INT / 255.0 AS f{i}"
+        for i in range(n)
+    )
+    fsum = " + ".join(f"f{i}" for i in range(n))
+    bits = " + ".join(
+        f"(CASE WHEN f{i} > m THEN {1 << i} ELSE 0 END)" for i in range(n)
+    )
+    return f"""
+WITH media AS (
+  SELECT CAST(doc_id AS VARCHAR) || '#' || CAST("offset" AS VARCHAR) AS span_id,
+         {digest} AS dg
+  FROM {{flat}} f WHERE media_ref IS NOT NULL
+),
+feats AS (SELECT span_id, {fcols} FROM media),
+ph AS (
+  SELECT span_id, CAST({bits} AS BIGINT) AS phash
+  FROM (SELECT *, ({fsum}) / 16.0 AS m FROM feats)
+)
+SELECT a.span_id AS id_a, b.span_id AS id_b,
+       CAST(bit_count(xor(a.phash::UBIGINT, b.phash::UBIGINT)) AS INT) AS hamming
+FROM ph a JOIN ph b ON a.span_id < b.span_id
+WHERE bit_count(xor(a.phash::UBIGINT, b.phash::UBIGINT)) <= 2
+"""
+
+
 def q_resize_plan(spark, sf_dir):
     """Decode (fake) then compute aspect-preserving resize targets —
     the JVM-side half of the resize stage (resize_dims), composed on
@@ -4085,4 +4144,8 @@ def extra_queries() -> dict[str, tuple]:
         "kmv_overlap": (q_kmv_overlap, SQL_KMV_OVERLAP),
         "rrf_fusion": (q_rrf_fusion, _sql_rrf_fusion()),
         "bitext_mine": (q_bitext_mine, SQL_BITEXT_MINE),
+        "phash_near_dup": (
+            q_phash_near_dup,
+            _sql_phash_near_dup().format(flat=_ORACLE_FLAT),
+        ),
     }

@@ -170,3 +170,46 @@ def test_registered_codec_resample(spark, toy_codec):
     out = mm.resize_images(dec, max_side=50).collect()[0]
     # 200x100 fits into 50 -> 50x25; toy codec re-encodes the header
     assert out.resized == b"IMG" + bytes([50, 25, 1])
+
+
+# -- perceptual hash + near-dup -------------------------------------------------
+
+
+def test_phash_bits_threshold_rule(spark):
+    """bit i set iff features[i] > mean(features); NULL features -> NULL."""
+    rows = [
+        (0, [1.0] * 8 + [0.0] * 8),   # mean 0.5 -> low 8 bits set
+        (1, [0.5] * 16),              # all equal: no bit strictly > mean
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, features array<double>")
+    out = {r.id: r.phash for r in mm.with_phash(df).collect()}
+    assert out[0] == 0x00FF
+    assert out[1] == 0
+    assert out[2] is None
+
+
+def test_phash_near_dup_with_registered_codec(spark, toy_codec):
+    """End to end through a REAL (injected) codec: two toy images whose
+    payloads differ by one trailing pixel byte produce near-identical
+    feature vectors -> small hamming -> paired; an unrelated image is
+    not. The multimodal analogue of text near-dup, same banded join."""
+    from nolock_social_ocr_services_spark.functions import dedup as dd
+
+    a1 = b"IMG" + bytes([100, 100, 3]) + bytes(range(40))
+    a2 = b"IMG" + bytes([100, 100, 3]) + bytes(range(39)) + b"\x29"  # 1 byte off
+    b1 = b"IMG" + bytes([90, 60, 1]) + bytes(range(200, 240))
+    df = spark.createDataFrame(
+        [("a1", a1), ("a2", a2), ("b1", b1)], "span_id string, payload binary"
+    )
+    dec = mm.decode_images(df)  # registered toy codec, no fake flag
+    ph = mm.with_phash(dec).select("span_id", "phash")
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dd.simhash_near_dup(
+            ph, max_hamming=2, bands=4, bits=16, id_col="span_id",
+            sim_col="phash",
+        ).collect()
+    }
+    assert ("a1", "a2") in pairs and pairs[("a1", "a2")] <= 2
+    assert not any("b1" in p for p in pairs)
