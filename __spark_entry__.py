@@ -486,6 +486,21 @@ _REDUNDANT_TAIL = (
     "bpe_tokens",  # apply-side twin of the head bpe_segment (same
     # learned merges; broadcast-encode output) — apply sides live in
     # the tail like block_dedup_apply / decontaminate_excise
+    # demoted late-r3 for the three new queries (bloom_join_stats —
+    # Bloom-prefiltered join audit, srp_recall — bucketed-vs-exact
+    # recall measurement, event_moving_stats — RANGE-frame window);
+    # each demotee is r1+r2-driver-green twice and its family keeps
+    # checked head reps:
+    "filter_route",  # r1+r2 green twice; the doc-typed routing filter
+    # is the first stage of every head extract query
+    # (extract_receipts / extract_receipts_full / extract_checks_full
+    # all run route_and_extract over the same kind predicate)
+    "ocr_text",  # r1+r2 green twice; the OCR invoke + ordered page
+    # concat chain feeds every head extract query verbatim, and the
+    # reversed-page ordering is pinned by its own pytest golden
+    "pack_sequences",  # r2-green; greedy sequence packing is pinned by
+    # its own pytest + oracle; the token-array family keeps
+    # token_budget, bpe_fertility, curate in the head
     # demoted late-r3 for the two new curation queries (dsir_select —
     # DSIR importance resampling, domain_cap — per-domain sqrt-quota
     # caps); each demotee is r2-driver-green and its family keeps

@@ -927,6 +927,43 @@ FROM events
 """
 
 
+def q_event_moving_stats(spark, sf_dir):
+    """RANGE-frame window analytics (the frame-spec member of the
+    window family): per user, trailing 10-minute moving count and
+    value sum at every event. The frame is defined on the TIME axis
+    (rangeBetween over epoch seconds), not row counts, so bursty and
+    sparse users get the same semantics. Values go through exact
+    integer cents before summing — moving sums are order-sensitive in
+    floats, integers make them engine- and partitioning-independent.
+    One shuffle (the per-user window); frames never span users."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    secs = F.unix_millis(F.col("ts").cast("timestamp")) / F.lit(1000)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.floor(secs).cast("long"))
+        .rangeBetween(-600, 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("win_n"),
+        F.sum(cents).over(w).alias("win_sum_cents"),
+    )
+
+
+SQL_EVENT_MOVING_STATS = """
+SELECT user_id, event_id,
+       count(*) OVER w AS win_n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+            AS BIGINT) AS win_sum_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(floor(epoch_ms(ts) / 1000.0) AS BIGINT)
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_users_except(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -1379,6 +1416,64 @@ JOIN unitt ua ON ua.vec_id = p.id_a
 JOIN unitt ub ON ub.vec_id = p.id_b
 WHERE p.hamming <= {_SRP_BANDS - 1}
   AND list_dot_product(ua.u, ub.u) >= {_SRP_THRESHOLD}
+"""
+
+
+def q_srp_recall(spark, sf_dir):
+    """Recall audit of the bucketed near-dup path against the exact
+    cosine spec AT THE SAME THRESHOLD — the honest measurement of what
+    the 16-bit/4-band SRP dial trades for its sub-quadratic shape
+    (production raises bits/bands or unions seeds to buy recall back).
+    SRP output is provably a subset of the exact pair set (banding
+    only generates candidates; the cosine verify applies the same
+    threshold), so n_hit == n_srp and recall = n_srp / n_exact. All
+    integers; recall reported in exact milli units."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = sim.near_dup_pairs(emb, threshold=_SRP_THRESHOLD).select(
+        "id_a", "id_b", F.lit(1).alias("e"), F.lit(0).alias("s")
+    )
+    srp = sim.near_dup_pairs_bucketed(
+        emb,
+        threshold=_SRP_THRESHOLD,
+        dim=64,
+        bits=_SRP_BITS,
+        bands=_SRP_BANDS,
+        seed=_SRP_SEED,
+    ).select("id_a", "id_b", F.lit(0).alias("e"), F.lit(1).alias("s"))
+    pairs = (
+        exact.unionByName(srp)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("e").alias("has_e"), F.max("s").alias("has_s"))
+    )
+    return pairs.agg(
+        F.sum("has_e").cast("long").alias("n_exact"),
+        F.sum("has_s").cast("long").alias("n_srp"),
+        F.sum(F.col("has_e") * F.col("has_s")).cast("long").alias("n_hit"),
+        F.floor(
+            F.lit(1000)
+            * F.sum(F.col("has_e") * F.col("has_s"))
+            / F.sum("has_e")
+        ).cast("long").alias("recall_milli"),
+    )
+
+
+def _sql_srp_recall() -> str:
+    return f"""
+WITH exact AS (SELECT id_a, id_b FROM ({SQL_NEAR_DUP_PAIRS})),
+srp AS (SELECT id_a, id_b FROM ({_sql_near_dup_srp()})),
+pairs AS (
+  SELECT id_a, id_b, max(e) AS has_e, max(s) AS has_s FROM (
+    SELECT id_a, id_b, 1 AS e, 0 AS s FROM exact
+    UNION ALL
+    SELECT id_a, id_b, 0 AS e, 1 AS s FROM srp
+  ) GROUP BY id_a, id_b
+)
+SELECT CAST(sum(has_e) AS BIGINT) AS n_exact,
+       CAST(sum(has_s) AS BIGINT) AS n_srp,
+       CAST(sum(has_e * has_s) AS BIGINT) AS n_hit,
+       CAST(floor(1000 * sum(has_e * has_s) / sum(has_e)) AS BIGINT)
+           AS recall_milli
+FROM pairs
 """
 
 
@@ -3651,6 +3746,81 @@ stats AS (
     )
 
 
+# -- Bloom-filter join pre-filtering --------------------------------------------
+
+_BLOOM_NATION = 3
+
+
+def q_bloom_join_stats(spark, sf_dir):
+    """Bloom pre-filtered join audit: customers of one nation (the
+    small side) summarized into a deterministic 1024-bit Bloom filter;
+    orders (the big side) filtered at scan speed before the exact
+    join. Soundness (no false negatives) shows as n_match identical to
+    the plain join's; the filter's job is that only n_pass rows — not
+    the whole big side — ever reach the exchange. One audit row:
+    (n_keys, m_bits, n_pass, n_match, n_false_pos)."""
+    from .functions import bloomjoin as bj
+
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_nationkey") == _BLOOM_NATION)
+        .select("c_custkey")
+        .distinct()
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_custkey")
+    bloom = bj.build_bloom(cust, "c_custkey")
+    n_keys = cust.count()
+    passed = orders.filter(bj.bloom_contains(F.col("o_custkey"), bloom))
+    joined = passed.join(
+        F.broadcast(cust),
+        passed["o_custkey"] == cust["c_custkey"],
+        "left",
+    )
+    return joined.agg(
+        F.lit(n_keys).cast("long").alias("n_keys"),
+        F.lit(bj.BLOOM_M_BITS).cast("int").alias("m_bits"),
+        F.count("*").alias("n_pass"),
+        F.count("c_custkey").alias("n_match"),
+        (F.count("*") - F.count("c_custkey")).alias("n_false_pos"),
+    )
+
+
+def _sql_bloom_join_stats() -> str:
+    m = 1024
+
+    def pos(j: int, k: str) -> str:
+        return (
+            f"(('0x' || substr(md5('{j}:' || CAST({k} AS VARCHAR)), 1, 15))"
+            f"::UBIGINT % {m})"
+        )
+
+    probe_pass = " AND ".join(
+        f"{pos(j, 'o_custkey')} IN (SELECT p FROM pos)" for j in range(3)
+    )
+    key_pos = ", ".join(pos(j, "k") for j in range(3))
+    return f"""
+WITH keys AS (
+  SELECT DISTINCT c_custkey AS k FROM customer
+  WHERE c_nationkey = {_BLOOM_NATION}
+),
+pos AS (
+  SELECT DISTINCT unnest([{key_pos}]) AS p FROM keys
+),
+probe AS (
+  SELECT o_custkey, ({probe_pass}) AS pass FROM orders
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM keys) AS n_keys,
+       CAST({m} AS INT) AS m_bits,
+       CAST(count(*) FILTER (WHERE pass) AS BIGINT) AS n_pass,
+       CAST(count(*) FILTER (WHERE o_custkey IN (SELECT k FROM keys))
+            AS BIGINT) AS n_match,
+       CAST(count(*) FILTER (WHERE pass)
+            - count(*) FILTER (WHERE o_custkey IN (SELECT k FROM keys))
+            AS BIGINT) AS n_false_pos
+FROM probe
+"""
+
+
 # -- hybrid retrieval: reciprocal-rank fusion ----------------------------------
 # Fuse the BM25 sparse ranking with a dense cosine ranking per query —
 # the standard hybrid-search combiner (RRF, Cormack et al. 2009). The
@@ -4148,4 +4318,7 @@ def extra_queries() -> dict[str, tuple]:
             q_phash_near_dup,
             _sql_phash_near_dup().format(flat=_ORACLE_FLAT),
         ),
+        "bloom_join_stats": (q_bloom_join_stats, _sql_bloom_join_stats()),
+        "srp_recall": (q_srp_recall, _sql_srp_recall()),
+        "event_moving_stats": (q_event_moving_stats, SQL_EVENT_MOVING_STATS),
     }

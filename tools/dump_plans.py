@@ -72,6 +72,18 @@ PLAN_QUERIES = [
                           # only exchange is the per-query top-k window
     "ivfpq_top3",         # IVF-PQ composition: coarse-assign projection +
                           # residual encode map-only; per-list ADC when-chain
+    "containment_rerank",  # candidates-only verify join, no cartesian
+    "kmv_overlap",        # sketch build = distinct + per-group window;
+                          # pair combine joins G sketch rows only
+    "rrf_fusion",         # bounded candidate lists: TakeOrdered sparse +
+                          # per-probe dense windows + fusion hash-agg
+    "bitext_mine",        # brute pair scoring baseline (documented);
+                          # margin degs = candidate-space windows
+    "phash_near_dup",     # mapInPandas decode -> codegen'd bit fold ->
+                          # banded hamming self-join, no cartesian
+    "bloom_join_stats",   # scan-speed array_contains prefilter ->
+                          # broadcast exact join; no data-sized exchange
+    "event_moving_stats",  # single per-user RANGE-frame window exchange
 ]
 
 MARKERS = [
