@@ -486,6 +486,18 @@ _REDUNDANT_TAIL = (
     "bpe_tokens",  # apply-side twin of the head bpe_segment (same
     # learned merges; broadcast-encode output) — apply sides live in
     # the tail like block_dedup_apply / decontaminate_excise
+    # demoted late-r3 for interval_overlap (bucketed range join with
+    # owner-bucket dedup) and pagerank_trade (integer-exact Pregel
+    # rounds) — each demotee is driver-green and its machinery stays
+    # head-checked:
+    "extraction_stats",  # r1+r2 green twice; the success/error/token
+    # counter battery runs over the same extract_spans output the head
+    # extract queries hash-check field-by-field every round
+    "extract_checks_full",  # r2-green; the FULL-schema router +
+    # fallback (schema_used) machinery is identical to
+    # extract_receipts_full (head) — one typed-deserialize twin per
+    # round suffices, and the check enum/decimal domains are pinned by
+    # test_records_full.py + test_decimal_fidelity.py
     # demoted late-r3 for the three new queries (bloom_join_stats —
     # Bloom-prefiltered join audit, srp_recall — bucketed-vs-exact
     # recall measurement, event_moving_stats — RANGE-frame window);

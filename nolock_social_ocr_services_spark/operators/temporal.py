@@ -283,3 +283,66 @@ def session_stats(
         F.min(ts).alias("session_start"),
         F.max(ts).alias("session_end"),
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    start: str = "start",
+    end: str = "end",
+    bucket_width: int = 3600,
+    lprefix: str = "l_",
+    rprefix: str = "r_",
+) -> DataFrame:
+    """All (left, right) row pairs sharing ``on`` whose half-open
+    integer intervals ``[start, end)`` overlap — the range/interval
+    join Spark lacks as a built-in (Databricks exposes it as a
+    RANGE_JOIN hint; single-node engines run it as a plain inequality
+    join, which Spark would plan as a per-key cartesian).
+
+    Shape: each side explodes its interval onto fixed-width time
+    buckets (fan-out = duration/bucket_width + 1 rows, so choose
+    ``bucket_width`` near the typical duration), the sides equi-join on
+    (key, bucket) — ONE ordinary shuffle hash join, never an
+    inequality join — and the true overlap predicate filters the bucket
+    collisions. A pair sharing several buckets is emitted exactly once
+    WITHOUT a distinct: only the bucket containing
+    ``greatest(l.start, r.start)`` — the first overlapped instant,
+    which lies in both intervals and is therefore a bucket both sides
+    exploded into — keeps the pair (the "owner bucket" dedup of
+    spatial grid joins; a filter, not a shuffle).
+
+    Empty intervals (``end <= start``) are dropped on input, so they
+    never match even when the bare predicate would hold (an empty
+    interval strictly inside a long one). Interval columns must be
+    non-negative integers (epoch seconds/millis); ``div`` floor
+    division keeps bucket ids integer-exact. Output: ``on``, then
+    every other left column as ``lprefix+name`` and right column as
+    ``rprefix+name``. Skew: a hot key is already subdivided by time
+    bucket; AQE's skew-join split covers a residual hot (key, bucket).
+    """
+    w = int(bucket_width)
+
+    def tagged(df: DataFrame, prefix: str) -> DataFrame:
+        cols = [c for c in df.columns if c != on]
+        return df.filter(F.col(end) > F.col(start)).select(
+            F.col(on),
+            *[F.col(c).alias(prefix + c) for c in cols],
+            F.explode(
+                F.sequence(
+                    F.expr(f"{start} div {w}"),
+                    F.expr(f"({end} - 1) div {w}"),
+                )
+            ).alias("_bk"),
+        )
+
+    lt, rt = tagged(left, lprefix), tagged(right, rprefix)
+    ls, le = lprefix + start, lprefix + end
+    rs, re_ = rprefix + start, rprefix + end
+    pairs = lt.join(rt, [on, "_bk"]).filter(
+        (F.col(ls) < F.col(re_))
+        & (F.col(rs) < F.col(le))
+        & (F.col("_bk") == F.expr(f"greatest({ls}, {rs}) div {w}"))
+    )
+    return pairs.drop("_bk")

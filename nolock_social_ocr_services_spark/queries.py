@@ -4180,6 +4180,147 @@ WHERE regexp_extract(regexp_extract(canon_url,
 """
 
 
+# -- interval-overlap join ------------------------------------------------------
+# The range-join member of the join family: per-user "view windows"
+# vs "click windows" derived deterministically from events (interval
+# = [epoch(ts), epoch(ts) + floor(value*1000) + 1) seconds). Spark
+# plans a bare overlap predicate as a per-key cartesian; the operator
+# runs ONE (key, time-bucket) equi-join with owner-bucket dedup
+# (operators/temporal.py::interval_join).
+
+_IVJ_DUR_MULT = 1000
+_IVJ_BUCKET_S = 65536
+
+
+def q_interval_overlap(spark, sf_dir):
+    from .operators.temporal import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    secs = F.floor(
+        F.unix_millis(F.col("ts").cast("timestamp")) / F.lit(1000)
+    ).cast("long")
+    dur = F.floor(F.col("value") * _IVJ_DUR_MULT).cast("long")
+    iv = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        secs.alias("start"),
+        (secs + dur + F.lit(1)).alias("end"),
+    )
+    views = iv.filter(F.col("event_type") == "view").drop("event_type")
+    clicks = iv.filter(F.col("event_type") == "click").drop("event_type")
+    out = interval_join(
+        views, clicks, on="user_id", bucket_width=_IVJ_BUCKET_S
+    )
+    return out.select(
+        "user_id",
+        F.col("l_event_id").alias("view_id"),
+        F.col("r_event_id").alias("click_id"),
+        (
+            F.least("l_end", "r_end") - F.greatest("l_start", "r_start")
+        ).alias("overlap_s"),
+    )
+
+
+SQL_INTERVAL_OVERLAP = f"""
+WITH iv AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch_ms(ts) / 1000.0) AS BIGINT) AS s,
+         CAST(floor(epoch_ms(ts) / 1000.0) AS BIGINT)
+           + CAST(floor(value * {_IVJ_DUR_MULT}) AS BIGINT) + 1 AS e
+  FROM events WHERE event_type IN ('view', 'click')
+)
+SELECT l.user_id, l.event_id AS view_id, r.event_id AS click_id,
+       least(l.e, r.e) - greatest(l.s, r.s) AS overlap_s
+FROM iv l JOIN iv r ON l.user_id = r.user_id
+WHERE l.event_type = 'view' AND r.event_type = 'click'
+  AND l.e > l.s AND r.e > r.s
+  AND l.s < r.e AND r.s < l.e
+"""
+
+
+# -- PageRank (integer-exact Pregel rounds) ------------------------------------
+# Domain-authority scoring over the customer<->supplier trade graph
+# (distinct (o_custkey, l_suppkey) pairs, symmetrized so no node
+# dangles). Integer fixed-point arithmetic makes the distributed sum
+# order-independent and therefore oracle-hashable; see
+# functions/graph.py for the recurrence and the scale shape.
+
+_PR_ITERATIONS = 4
+
+
+def q_pagerank_trade(spark, sf_dir):
+    from .functions.graph import pagerank
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank(edges, iterations=_PR_ITERATIONS)
+
+
+def _sql_pagerank_trade() -> str:
+    from .functions.graph import PR_SCALE
+
+    head = f"""
+WITH pairs AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS c,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+p AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST((15 * {PR_SCALE}) // (100 * count(*)) AS BIGINT) AS base,
+         CAST({PR_SCALE} // count(*) AS BIGINT) AS r_init
+  FROM nodes
+),
+r0 AS (SELECT node, (SELECT r_init FROM p) AS rank_fp FROM nodes)"""
+    step = """,
+r{i} AS (
+  SELECT n.node,
+         (SELECT base FROM p) + COALESCE(s.contrib, 0) AS rank_fp
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM((85 * r.rank_fp) // (100 * d.outdeg)) AS BIGINT) AS contrib
+    FROM edges e
+    JOIN r{prev} r ON r.node = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)"""
+    body = "".join(
+        step.format(i=i, prev=i - 1) for i in range(1, _PR_ITERATIONS + 1)
+    )
+    return (
+        head
+        + body
+        + f"\nSELECT node, CAST(rank_fp AS BIGINT) AS rank_fp"
+        f" FROM r{_PR_ITERATIONS}\n"
+    )
+
+
 def extra_queries() -> dict[str, tuple]:
     """name -> (callable, oracle_sql | None)"""
     return {
@@ -4321,4 +4462,6 @@ def extra_queries() -> dict[str, tuple]:
         "bloom_join_stats": (q_bloom_join_stats, _sql_bloom_join_stats()),
         "srp_recall": (q_srp_recall, _sql_srp_recall()),
         "event_moving_stats": (q_event_moving_stats, SQL_EVENT_MOVING_STATS),
+        "interval_overlap": (q_interval_overlap, SQL_INTERVAL_OVERLAP),
+        "pagerank_trade": (q_pagerank_trade, _sql_pagerank_trade()),
     }

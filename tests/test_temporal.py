@@ -154,3 +154,98 @@ def test_salted_as_of_join_tolerance(spark):
     }
     assert out[1] == 5.0
     assert out[2] is None  # match exists but is older than tolerance
+
+
+# -- interval_join --------------------------------------------------------------
+
+from nolock_social_ocr_services_spark.operators.temporal import interval_join
+
+
+def _iv_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, start long, end long"
+    )
+
+
+def _brute_pairs(left, right):
+    """Reference: nested-loop overlap join on half-open intervals."""
+    out = set()
+    for lk, li, ls, le in left:
+        for rk, ri, rs, re in right:
+            if lk == rk and le > ls and re > rs and ls < re and rs < le:
+                out.add((lk, li, ri))
+    return out
+
+
+def _got_pairs(df):
+    return {(r.user_id, r.l_event_id, r.r_event_id) for r in df.collect()}
+
+
+def test_interval_join_golden_small_buckets(spark):
+    # bucket_width=4 forces multi-bucket intervals; pairs sharing
+    # several buckets must still be emitted exactly once
+    left = [(1, 10, 0, 10), (1, 11, 20, 30), (2, 12, 0, 10)]
+    right = [
+        (1, 20, 5, 25),   # overlaps BOTH left-1 intervals, many buckets
+        (1, 21, 10, 20),  # touches 10 and 20: half-open -> matches NEITHER
+        (2, 22, 9, 12),   # overlaps key-2 only
+        (1, 23, 100, 104),
+    ]
+    out = interval_join(
+        _iv_df(spark, left), _iv_df(spark, right), on="user_id",
+        bucket_width=4,
+    )
+    rows = out.collect()
+    assert _got_pairs(out) == _brute_pairs(left, right) == {
+        (1, 10, 20), (1, 11, 20), (2, 12, 22),
+    }
+    assert len(rows) == 3  # once per pair, no bucket duplicates
+
+
+def test_interval_join_empty_intervals_never_match(spark):
+    # an empty interval strictly inside a long one satisfies the bare
+    # predicate but must not match
+    left = [(1, 1, 0, 100)]
+    right = [(1, 2, 50, 50), (1, 3, 60, 40)]
+    out = interval_join(
+        _iv_df(spark, left), _iv_df(spark, right), on="user_id",
+        bucket_width=16,
+    )
+    assert out.count() == 0
+
+
+def test_interval_join_matches_brute_force_randomized(spark):
+    import random
+
+    rng = random.Random(7)
+    left = [
+        (rng.randrange(4), 100 + i, s, s + rng.randrange(0, 40))
+        for i, s in enumerate(rng.randrange(0, 300) for _ in range(60))
+    ]
+    right = [
+        (rng.randrange(4), 200 + i, s, s + rng.randrange(0, 40))
+        for i, s in enumerate(rng.randrange(0, 300) for _ in range(60))
+    ]
+    for width in (7, 64, 1024):
+        out = interval_join(
+            _iv_df(spark, left), _iv_df(spark, right), on="user_id",
+            bucket_width=width,
+        )
+        rows = out.collect()
+        assert _got_pairs(out) == _brute_pairs(left, right)
+        assert len(rows) == len(set(rows))
+
+
+def test_interval_join_carries_and_prefixes_columns(spark):
+    out = interval_join(
+        _iv_df(spark, [(1, 1, 0, 10)]),
+        _iv_df(spark, [(1, 2, 5, 15)]),
+        on="user_id",
+    )
+    assert set(out.columns) == {
+        "user_id",
+        "l_event_id", "l_start", "l_end",
+        "r_event_id", "r_start", "r_end",
+    }
+    r = out.collect()[0]
+    assert (r.l_start, r.l_end, r.r_start, r.r_end) == (0, 10, 5, 15)

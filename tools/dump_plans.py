@@ -84,6 +84,10 @@ PLAN_QUERIES = [
     "bloom_join_stats",   # scan-speed array_contains prefilter ->
                           # broadcast exact join; no data-sized exchange
     "event_moving_stats",  # single per-user RANGE-frame window exchange
+    "interval_overlap",   # bucketed range join: (key, bucket) equi-join +
+                          # owner-bucket dedup filter, no inequality join
+    "pagerank_trade",     # Pregel rounds: edges join node-sized ranks +
+                          # dst hash-agg per iteration, nothing collected
 ]
 
 MARKERS = [
@@ -142,7 +146,14 @@ def main() -> None:
         "(a one-row literal array exploded against the seed scan), not a",
         "data-sized join; `top_tokens`' unpartitioned Window ranks only",
         "the <=20 rows surviving TakeOrderedAndProject (the distributed",
-        "top-k), so its single partition holds 20 rows by construction.",
+        "top-k), so its single partition holds 20 rows by construction;",
+        "`pagerank_trade` is ITERATIVE (4 unrolled Pregel rounds), so its",
+        "static plan repeats the per-round join+agg 4x and re-prints the",
+        "persisted edge/node/degree tables' derivation inside every",
+        "InMemoryRelation reference — the EXECUTED per-round cost is one",
+        "edges-joins-ranks hash join plus one dst hash-agg over cached",
+        "inputs, and the marker counts for this query overstate by that",
+        "reprinting.",
         "",
     ]
     for name in PLAN_QUERIES:
