@@ -487,9 +487,14 @@ _REDUNDANT_TAIL = (
     # learned merges; broadcast-encode output) — apply sides live in
     # the tail like block_dedup_apply / decontaminate_excise
     # demoted late-r3 for interval_overlap (bucketed range join with
-    # owner-bucket dedup) and pagerank_trade (integer-exact Pregel
-    # rounds) — each demotee is driver-green and its machinery stays
-    # head-checked:
+    # owner-bucket dedup), pagerank_trade (integer-exact Pregel
+    # rounds), and regional_revenue (TPC-H Q5 broadcast-dim star join,
+    # the only chain touching region/nation/supplier) — each demotee
+    # is driver-green and its machinery stays head-checked:
+    "stream_running_counts",  # r2-green; streaming progress stays
+    # covered by the stream_dedup_hashes r2 row plus the multi-trigger
+    # pytest suite (test_streaming.py) that drives the same
+    # applyInPandasWithState operator
     "extraction_stats",  # r1+r2 green twice; the success/error/token
     # counter battery runs over the same extract_spans output the head
     # extract queries hash-check field-by-field every round

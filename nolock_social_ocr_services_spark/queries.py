@@ -4239,6 +4239,76 @@ WHERE l.event_type = 'view' AND r.event_type = 'click'
 """
 
 
+# -- regional revenue (TPC-H Q5 shape: broadcast-dim join chain) ---------------
+# The multi-dim star-join member of the join family, and the only
+# query whose chain touches region/nation/supplier: lineitem (the
+# fact) joins orders->customer and supplier->nation->region with the
+# dims broadcast — the fact table never shuffles for a dim lookup.
+# Money goes through integer cents (see event_moving_stats) so the
+# distributed sum is order-independent.
+
+
+def q_regional_revenue(spark, sf_dir):
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    asia_nations = nation.join(
+        F.broadcast(region),
+        nation["n_regionkey"] == region["r_regionkey"],
+    ).select("n_nationkey", "n_name")
+    asia_sup = supplier.join(
+        F.broadcast(asia_nations),
+        supplier["s_nationkey"] == asia_nations["n_nationkey"],
+    ).select("s_suppkey", "n_nationkey", "n_name")
+    ord_cust = orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"]
+    ).select("o_orderkey", "c_nationkey")
+    cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(ord_cust, li["l_orderkey"] == ord_cust["o_orderkey"])
+        .join(
+            F.broadcast(asia_sup),
+            (li["l_suppkey"] == asia_sup["s_suppkey"])
+            & (F.col("c_nationkey") == asia_sup["n_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(cents).alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_REGIONAL_REVENUE = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_items
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
 # -- PageRank (integer-exact Pregel rounds) ------------------------------------
 # Domain-authority scoring over the customer<->supplier trade graph
 # (distinct (o_custkey, l_suppkey) pairs, symmetrized so no node
@@ -4464,4 +4534,5 @@ def extra_queries() -> dict[str, tuple]:
         "event_moving_stats": (q_event_moving_stats, SQL_EVENT_MOVING_STATS),
         "interval_overlap": (q_interval_overlap, SQL_INTERVAL_OVERLAP),
         "pagerank_trade": (q_pagerank_trade, _sql_pagerank_trade()),
+        "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
     }

@@ -88,6 +88,8 @@ PLAN_QUERIES = [
                           # owner-bucket dedup filter, no inequality join
     "pagerank_trade",     # Pregel rounds: edges join node-sized ranks +
                           # dst hash-agg per iteration, nothing collected
+    "regional_revenue",   # TPC-H Q5 star join: dims broadcast, fact
+                          # table never shuffles for a dim lookup
 ]
 
 MARKERS = [
