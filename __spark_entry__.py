@@ -540,6 +540,12 @@ _REDUNDANT_TAIL = (
     "extract_checks",  # r1+r2 green twice; the checks extraction path
     # is isomorphic to receipts (SURVEY EP1) and stays head-checked
     # through extract_checks_full (superset schema + fallback column)
+    # demoted late-r3 for embedding_gram (the distributed-PCA int64
+    # gram-matrix reduction, mapInPandas partials — a new primitive):
+    "extract_receipts",  # r1+r2 green twice; same rationale as
+    # extract_checks above — the simple-schema field surface is a
+    # subset of the head-checked extract_receipts_full, and the query
+    # itself stays bench-headlined + plan-pinned every round
     "decontaminate_excise",  # apply-side twin of the head decontaminate
     # — same broadcast probe stages, output is the excised rebuilt text
     # demoted late-r3 for the three new corpus-curation queries

@@ -558,3 +558,56 @@ def semantic_dedup(
     ).select(
         F.col(id_col), "cluster", F.col("dup_id").isNotNull().alias("is_dup")
     )
+
+
+def gram_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Distributed gram (second-moment) matrix: for D-dim embeddings,
+    the upper triangle of ``sum_n x_n x_n^T`` as rows ``(i, j, gram)``
+    — the reduction that feeds PCA / whitening of an embedding corpus
+    (covariance = gram/n - mean mean^T, eigendecomposed driver-side on
+    D^2 numbers, projection broadcast back).
+
+    Shape for scale: ``mapInPandas`` computes one D x D partial per
+    ARROW BATCH (a single int64 ``Q.T @ Q`` matmul — no per-row or
+    per-pair Python), so the shuffle carries D(D+1)/2 rows per batch
+    (2,080 for D=64), never the data; the final ``groupBy(i, j)`` agg
+    is over #batches * 2,080 tiny rows. Per-batch partials are the
+    map-side-combine of dense linear algebra.
+
+    Values are quantized to ``round(v * scale)`` int64 JVM-SIDE (same
+    half-up semantics as the money-in-cents queries), so the sum is
+    EXACT and order-independent — the property the DuckDB oracle needs.
+    At extreme scale int64 partials can overflow (|q| <= 5.3e5 here ->
+    ~3e7 rows per pair saturate int64); the production variant keeps
+    float64 partials and accepts last-bit drift, same code shape.
+    """
+    qdf = df.select(
+        F.transform(
+            F.col(vec_col),
+            lambda v: F.round(v.cast("double") * F.lit(scale)).cast("long"),
+        ).alias("qe")
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            q = np.stack(pdf["qe"].to_numpy()).astype(np.int64)
+            g = q.T @ q
+            iu, ju = np.triu_indices(g.shape[0])
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype("int32"),
+                    "j": ju.astype("int32"),
+                    "s": g[iu, ju],
+                }
+            )
+
+    parts = qdf.mapInPandas(batches, schema="i int, j int, s long")
+    return parts.groupBy("i", "j").agg(F.sum("s").alias("gram"))

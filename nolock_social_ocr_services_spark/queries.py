@@ -4309,6 +4309,38 @@ GROUP BY n_name
 """
 
 
+# -- embedding gram matrix (distributed PCA reduction) -------------------------
+# The dense-linear-algebra reduction a whitening/PCA pass over an
+# embedding corpus needs: sum_n x_n x_n^T, computed as ONE int64
+# matmul per Arrow batch inside mapInPandas (no per-row Python), so
+# the shuffle carries D(D+1)/2 partial rows per batch — 2,080 numbers
+# for D=64 — never the vectors. Quantization to round(v*1e6) int64
+# happens JVM-side (the money-in-cents trick), making the sum exact
+# and order-independent: the property the cross-engine oracle needs.
+
+
+def q_embedding_gram(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sim.gram_matrix(emb, vec_col="embedding", scale=1_000_000)
+
+
+SQL_EMBEDDING_GRAM = """
+WITH q AS (
+  SELECT list_transform(embedding,
+           v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+  FROM embeddings
+),
+ij AS (
+  SELECT qe, i, unnest(generate_series(i, len(qe))) AS j
+  FROM (SELECT qe, unnest(generate_series(1, len(qe))) AS i FROM q)
+)
+SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j,
+       CAST(sum(qe[i] * qe[j]) AS BIGINT) AS gram
+FROM ij
+GROUP BY i, j
+"""
+
+
 # -- PageRank (integer-exact Pregel rounds) ------------------------------------
 # Domain-authority scoring over the customer<->supplier trade graph
 # (distinct (o_custkey, l_suppkey) pairs, symmetrized so no node
@@ -4535,4 +4567,5 @@ def extra_queries() -> dict[str, tuple]:
         "interval_overlap": (q_interval_overlap, SQL_INTERVAL_OVERLAP),
         "pagerank_trade": (q_pagerank_trade, _sql_pagerank_trade()),
         "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
+        "embedding_gram": (q_embedding_gram, SQL_EMBEDDING_GRAM),
     }

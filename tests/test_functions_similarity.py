@@ -364,3 +364,42 @@ def test_margin_mine_suppresses_hub_targets(spark):
     out = {r.src_id: r for r in sim.margin_mine(src, tgt, knn=2, threshold=0.0).collect()}
     # src 0 picks the dedicated target, not the hub
     assert out[0].tgt_id == 1
+
+
+def test_gram_matrix_matches_numpy_brute_force(spark):
+    """Distributed per-batch partials must sum to the exact int64 gram
+    matrix numpy computes in one shot on the quantized vectors."""
+    import numpy as np
+
+    from nolock_social_ocr_services_spark.functions import similarity as sim
+
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((40, 5)).astype(np.float32) * 0.4
+    rows = [(i, X[i].tolist()) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim.gram_matrix(emb, scale=1_000_000).collect()
+    # reference: quantize with the same half-up rule, then exact matmul
+    scaled = X.astype(np.float64) * 1_000_000
+    Q = (np.floor(np.abs(scaled) + 0.5) * np.sign(scaled)).astype(np.int64)
+    G = Q.T @ Q
+    assert len(out) == 5 * 6 // 2
+    for r in out:
+        assert r.i <= r.j
+        assert r.gram == G[r.i, r.j], (r.i, r.j)
+
+
+def test_gram_matrix_plan_single_exchange(spark):
+    """Plan shape: one MapInPandas stage, one exchange (the D^2-row
+    partial agg), no row-at-a-time Python."""
+    import numpy as np
+
+    from nolock_social_ocr_services_spark.functions import similarity as sim
+
+    rows = [(i, [0.1 * i, 0.2]) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = (
+        sim.gram_matrix(emb)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange") <= 2  # partial+final agg pair max

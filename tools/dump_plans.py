@@ -90,6 +90,8 @@ PLAN_QUERIES = [
                           # dst hash-agg per iteration, nothing collected
     "regional_revenue",   # TPC-H Q5 star join: dims broadcast, fact
                           # table never shuffles for a dim lookup
+    "embedding_gram",     # distributed PCA reduction: one MapInPandas
+                          # matmul per batch, shuffle carries D^2 partials
 ]
 
 MARKERS = [
