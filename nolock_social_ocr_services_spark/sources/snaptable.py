@@ -63,7 +63,7 @@ import shutil
 import uuid
 
 import pyarrow.parquet as pq
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
@@ -115,6 +115,51 @@ _BLOOM_K = 3
 _MANIFEST_INLINE_LIMIT = 512
 # max file entries per manifest shard (within one partition group)
 _MANIFEST_SHARD_ROWS = 10_000
+
+
+def _zorder_value(df: DataFrame, cols: list[str], bits: int = 6) -> Column:
+    """Z-order (Morton) key over ``cols`` for multi-dimensional file
+    clustering — the rewrite sort key behind Delta/Iceberg's
+    OPTIMIZE ZORDER BY: per column, map each value to a QUANTILE bucket
+    id (``2**bits`` buckets from one ``percentile_approx`` pass, so
+    skewed columns still spread evenly — equi-width buckets would not),
+    then bit-interleave the bucket ids round-robin. Rows close in z are
+    close in EVERY dimension, so range-partitioning the rewrite by z
+    gives per-file min/max bounds that are narrow for EACH column at
+    once — one clustered layout prunes scans on either predicate,
+    where a single-column sort prunes only its own column.
+
+    Cost model at scale: one percentile_approx agg over the table
+    (boundaries: ``2**bits - 1`` doubles per column, broadcast as
+    literals), then a pure projection — the when-chain bucket id and
+    the shift/or interleave are codegen'd, no Python, no extra
+    shuffle beyond the rewrite's own repartitionByRange. NULL and
+    non-castable values land in bucket 0 (clustered together, still
+    correct: stats-based skipping never excludes a file whose bounds
+    cover the probe). Columns must be numeric/timestamp-castable;
+    give strings a numeric surrogate upstream."""
+    nb = (1 << bits) - 1  # interior cutpoints per column
+    probs = [(i + 1) / (1 << bits) for i in range(nb)]
+    row = df.agg(
+        *[
+            F.percentile_approx(F.col(c).cast("double"), probs, 10_000).alias(c)
+            for c in cols
+        ]
+    ).first()
+    m = len(cols)
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        cuts = [b for b in (row[c] or []) if b is not None]
+        v = F.col(c).cast("double")
+        bucket = F.lit(0)
+        for b in cuts:
+            bucket = bucket + F.when(v >= F.lit(float(b)), 1).otherwise(0)
+        bucket = F.coalesce(bucket, F.lit(0)).cast("long")
+        for k in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(bucket, k).bitwiseAND(F.lit(1)), k * m + i
+            )
+    return z
 
 
 def _footer_stats(path: str, cols: set[str]) -> dict:
@@ -1291,6 +1336,7 @@ class SnapTable:
         target_files: int = 1,
         partition_by: str | None = None,
         cluster_by: str | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """Small-file compaction (Iceberg's rewrite_data_files): rewrite
         the current snapshot's rows into ``target_files`` files (per
@@ -1308,6 +1354,16 @@ class SnapTable:
         order: the rewrite range-clusters rows and records per-file
         min/max bounds, so a table of unsorted streaming appends GAINS
         file-skipping stats at its next compaction.
+
+        ``zorder_by`` = OPTIMIZE ZORDER BY: multi-column Morton
+        clustering (see ``_zorder_value``) — the rewrite
+        range-partitions on the interleaved quantile-bucket key, so
+        per-file bounds are narrow for EVERY listed column and a
+        ``between=``/``point=`` scan prunes on any of them. A
+        single-column ``cluster_by`` makes the OTHER column's bounds
+        span the table; z-order is the 100-TB answer when scans filter
+        on more than one dimension. Mutually exclusive with
+        ``cluster_by``; costs one extra percentile_approx pass.
 
         The rewrite is planned against a pinned snapshot and the commit
         CAS-checks that parent (``expected_parent``): an append landing
@@ -1331,7 +1387,17 @@ class SnapTable:
         stats_cols = {c for f in cur for c in (f.get("stats") or {})}
         bloom_cols = {c for f in cur for c in (f.get("bloom") or {})}
         df = self.read(spark, snapshot_id=base, partition_by=partition_by)
-        if cluster_by:
+        if cluster_by and zorder_by:
+            raise ValueError("pass cluster_by or zorder_by, not both")
+        if zorder_by:
+            stats_cols.update(zorder_by)
+            df = (
+                df.withColumn("__z", _zorder_value(df, zorder_by))
+                .repartitionByRange(target_files, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif cluster_by:
             stats_cols.add(cluster_by)
             df = df.repartitionByRange(
                 target_files, F.col(cluster_by)

@@ -392,6 +392,48 @@ def test_compact_with_sort_order_gains_file_skipping(spark, tmp_path):
     assert got == list(range(50))
 
 
+def test_compact_zorder_prunes_on_every_listed_column(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: after a z-ordered rewrite, a range scan on
+    EITHER listed column opens a small fraction of the files — where a
+    single-column cluster_by leaves the other column's bounds spanning
+    the whole table."""
+    t = SnapTable(str(tmp_path / "t"))
+    # two INDEPENDENT dimensions (b is a Knuth-hash scramble of the id)
+    base = spark.range(0, 4000).select(
+        (F.col("id") % 1000).alias("a"),
+        ((F.col("id") * 2654435761) % 1000).alias("b"),
+        F.col("id").alias("k"),
+    )
+    t.append(base.orderBy(F.md5(F.col("k").cast("string"))))
+    before = sorted((r.a, r.b, r.k) for r in t.read(spark).collect())
+
+    # single-column clustering: a prunes, b cannot
+    t.compact(spark, target_files=16, cluster_by="a")
+    all_c, _ = t.scan_files()
+    b_hit_clustered, _ = t.scan_files(between={"b": (0, 99)})
+    assert len(all_c) == 16
+    assert len(b_hit_clustered) == len(all_c)  # b bounds span the table
+
+    # z-order rewrite: BOTH columns prune
+    t.compact(spark, target_files=16, zorder_by=["a", "b"])
+    all_z, _ = t.scan_files()
+    a_hit, _ = t.scan_files(between={"a": (0, 99)})
+    b_hit, _ = t.scan_files(between={"b": (0, 99)})
+    assert len(all_z) == 16
+    assert 0 < len(a_hit) <= 8
+    assert 0 < len(b_hit) <= 8
+    # rows survive byte-identically and residual filters stay exact
+    after = sorted((r.a, r.b, r.k) for r in t.read(spark).collect())
+    assert after == before
+    got = sorted(r.b for r in t.read(spark, between={"b": (0, 99)}).collect())
+    assert got == sorted(
+        ((i * 2654435761) % 1000) for i in range(4000)
+        if ((i * 2654435761) % 1000) <= 99
+    )
+    with pytest.raises(ValueError, match="not both"):
+        t.compact(spark, target_files=4, cluster_by="a", zorder_by=["b"])
+
+
 def test_merge_upsert_rewrites_only_overlapping_files(spark, tmp_path):
     """Copy-on-write MERGE: a point update against a clustered table
     rewrites only the files whose key bounds overlap the incoming keys;
