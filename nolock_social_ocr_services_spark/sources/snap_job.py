@@ -320,3 +320,68 @@ def exactly_once_sink(table_dir: str):
         )
 
     return write_batch
+
+
+def maintain_agg_snap(
+    spark: SparkSession,
+    source: SnapTable,
+    agg: SnapTable,
+    keys: list[str],
+    value_col: str | None = None,
+) -> int:
+    """Incremental materialized-view maintenance over the changelog —
+    the consumer CDC exists for at 100 TB: keep a per-``keys`` rollup
+    (``n_rows``[, ``sum_<value_col>``]) of ``source`` current by
+    applying the NET row delta since the last maintained snapshot.
+    Compute cost follows the CHANGE (``read_changes`` candidates are
+    only the files one snapshot has and the other lacks) plus a
+    rewrite of the small agg table; a from-scratch refresh re-scans
+    the whole source every cycle.
+
+    The maintenance cursor (``mv_source_snapshot``) rides the agg
+    table's folded-forward protocol state and commits ATOMICALLY with
+    the new agg rows (one overwrite snapshot), so a crashed cycle
+    either advanced both or neither — re-running applies the same
+    delta to the same base. Groups whose net count reaches zero keep
+    an explicit ``n_rows = 0`` row (a visible tombstone beats a
+    silently vanished group for downstream mirrors).
+
+    Returns the agg table's snapshot id after maintenance (unchanged
+    if the source hasn't moved)."""
+    to_id = source.current_snapshot_id()
+    cursor = int(agg.current_summary().get("mv_source_snapshot", 0))
+    if to_id == cursor:
+        return agg.current_snapshot_id()
+    ch = source.read_changes(spark, cursor, to_id)
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    aggs = [F.sum(sign).cast("long").alias("d_n")]
+    sum_col = f"sum_{value_col}" if value_col else None
+    if value_col:
+        aggs.append(F.sum(sign * F.col(value_col)).alias("d_s"))
+    delta = ch.groupBy(*keys).agg(*aggs)
+    if agg.current_snapshot_id():
+        cur_cols = ["n_rows"] + ([sum_col] if sum_col else [])
+        cur = agg.read(spark).select(*keys, *cur_cols)
+        joined = cur.join(delta, on=keys, how="full")
+        merged_cols = [
+            (
+                F.coalesce(F.col("n_rows"), F.lit(0))
+                + F.coalesce(F.col("d_n"), F.lit(0))
+            ).alias("n_rows")
+        ]
+        if sum_col:
+            merged_cols.append(
+                (
+                    F.coalesce(F.col(sum_col), F.lit(0))
+                    + F.coalesce(F.col("d_s"), F.lit(0))
+                ).alias(sum_col)
+            )
+        merged = joined.select(*keys, *merged_cols)
+    else:
+        out = [F.col("d_n").alias("n_rows")]
+        if sum_col:
+            out.append(F.col("d_s").alias(sum_col))
+        merged = delta.select(*keys, *out)
+    return agg.overwrite(merged, protocol={"mv_source_snapshot": to_id})

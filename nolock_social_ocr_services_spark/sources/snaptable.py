@@ -65,7 +65,7 @@ import uuid
 import pyarrow.parquet as pq
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 _SNAP_RE = re.compile(r"snap-(\d{10})\.json$")
 
@@ -649,15 +649,22 @@ class SnapTable:
             {"added_files": len(added)}, partition_by=partition_by,
         )
 
-    def overwrite(self, df: DataFrame, partition_by: str | None = None) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        partition_by: str | None = None,
+        protocol: dict | None = None,
+    ) -> int:
         # a full overwrite may legitimately redefine the schema (no old
         # file survives to disagree), and clears the dropped-name
-        # tombstones for the same reason
+        # tombstones for the same reason. ``protocol`` entries fold
+        # forward through later commits like any protocol state (used
+        # by e.g. the materialized-view maintenance cursor).
         added = self._write_tx(df, partition_by)
         return self._commit(
             "overwrite", added, lambda pf: [], df.schema.json(),
             {"added_files": len(added)}, partition_by=partition_by,
-            dropped=[],
+            dropped=[], protocol=protocol,
         )
 
     def _write_schema_json(self, df: DataFrame, merge: bool = False) -> str:
@@ -1305,6 +1312,98 @@ class SnapTable:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(
             *(os.path.join(self.path, f["path"]) for f in added)
+        )
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Iceberg changelog scan (CDC — the NET-changes semantics of
+        ``create_changelog_view``): the row-level diff between two
+        snapshots, each output row a table row plus ``_change_type``
+        ``'insert'`` | ``'delete'``. An update surfaces as
+        delete(old) + insert(new) — the contract downstream
+        mirror/merge consumers expect. Works across ANY operation mix
+        (append, merge, overwrite, compact), unlike
+        ``read_incremental`` which refuses destructive ranges.
+
+        Cost scales with the CHANGE, not the table: candidates are
+        only the files present in one snapshot but not the other —
+        appends reuse parent manifest shards by reference and merges
+        rewrite only overlapping files, so the untouched majority of a
+        10^12-row table never enters the diff. A pure-append range is
+        recognized from metadata alone and returns the added files as
+        inserts with zero diff compute. Otherwise a net multiset diff
+        (union with a +/- sign, one groupBy over ALL columns) cancels
+        rows a rewrite carried over verbatim — a compact-only range
+        yields ZERO changes. Map-typed columns are not groupable and
+        would need a binary-stable surrogate; this table format has
+        none in its row schemas.
+
+        Both sides read under the TO snapshot's schema (evolved
+        columns null-fill for pre-evolution files — Iceberg read-time
+        projection), with the partition column restored from paths."""
+        to_id = (
+            self.current_snapshot_id()
+            if to_snapshot_id is None
+            else to_snapshot_id
+        )
+        from_files, _ = self.scan_files(snapshot_id=from_snapshot_id)
+        to_files, schema_hint = self.scan_files(snapshot_id=to_id)
+        fpaths = {f["path"] for f in from_files}
+        tpaths = {f["path"] for f in to_files}
+        if schema_hint is None:  # empty-to-empty range: no schema exists
+            raise ValueError(f"{self.path}: changelog undefined on empty table")
+        schema = StructType.fromJson(json.loads(schema_hint))
+        cols = schema.fieldNames()
+        partition_by = self._recorded_partition_by(to_id)
+        added = [f["path"] for f in to_files if f["path"] not in fpaths]
+        removed = [f["path"] for f in from_files if f["path"] not in tpaths]
+
+        def read_paths(paths: list[str]) -> DataFrame:
+            df = spark.read.schema(schema).parquet(
+                *(os.path.join(self.path, p) for p in paths)
+            )
+            if partition_by:
+                df = _restore_partition_col(df, partition_by, schema)
+            return df
+
+        if not added and not removed:
+            out = StructType(
+                schema.fields + [StructField("_change_type", StringType(), False)]
+            )
+            return spark.createDataFrame([], out)
+        if not removed:
+            # pure-append range: metadata alone proves every row in the
+            # added files is an insert — no diff job at all
+            return read_paths(added).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        sides = []
+        if added:
+            sides.append(read_paths(added).withColumn("_sign", F.lit(1)))
+        if removed:
+            sides.append(read_paths(removed).withColumn("_sign", F.lit(-1)))
+        signed = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
+        net = (
+            signed.groupBy(*cols)
+            .agg(F.sum("_sign").alias("_net"))
+            .filter(F.col("_net") != 0)
+        )
+        return (
+            net.withColumn(
+                "_change_type",
+                F.when(F.col("_net") > 0, F.lit("insert")).otherwise(
+                    F.lit("delete")
+                ),
+            )
+            .withColumn(
+                "_dup",
+                F.explode(F.array_repeat(F.lit(1), F.abs(F.col("_net")).cast("int"))),
+            )
+            .select(*cols, "_change_type")
         )
 
     def committed_values(self, partition_by: str) -> set[str]:

@@ -14,6 +14,7 @@ import pytest
 from pyspark.sql import Row, functions as F
 
 from nolock_social_ocr_services_spark.sources.snap_job import (
+    maintain_agg_snap,
     read_lineage_snap,
     read_output_snap,
     run_extract_job_snap,
@@ -390,6 +391,79 @@ def test_compact_with_sort_order_gains_file_skipping(spark, tmp_path):
     assert len(all_after) == 8 and len(hit) <= 2
     got = sorted(r.k for r in t.read(spark, between={"k": (0, 49)}).collect())
     assert got == list(range(50))
+
+
+def test_read_changes_changelog_across_operation_mix(spark, tmp_path):
+    """CDC changelog (Iceberg create_changelog_view NET semantics):
+    pure appends are inserts (metadata fast path); a compact-only range
+    is ZERO changes; a merge is delete(old)+insert(new) with untouched
+    rows of the rewritten file cancelling; an overwrite that re-writes
+    identical rows nets to just the disappearing rows."""
+    t = SnapTable(str(tmp_path / "t"))
+    s1 = t.append(_df(spark, 0, 5))
+    s2 = t.append(_df(spark, 5, 8))
+    ch = t.read_changes(spark, s1, s2).collect()
+    assert sorted((r.k, r._change_type) for r in ch) == [
+        (5, "insert"), (6, "insert"), (7, "insert")
+    ]
+    s3 = t.compact(spark, target_files=2)
+    assert t.read_changes(spark, s2, s3).count() == 0  # rewrite = no-op
+    assert sorted(r.k for r in t.read_changes(spark, s1, s3).collect()) == [
+        5, 6, 7
+    ]
+    # row-level update: delete(old) + insert(new), file-mates cancel
+    upd = spark.createDataFrame([(2, 999)], "k long, v long")
+    s4 = t.merge_upsert(spark, upd, key="k")
+    ch = sorted(
+        (r.k, r.v, r._change_type)
+        for r in t.read_changes(spark, s3, s4).collect()
+    )
+    assert ch == [(2, 20, "delete"), (2, 999, "insert")]
+    # overwrite rewriting rows 0-1 with IDENTICAL content: net = the
+    # rows that vanish, nothing for the carried-over content
+    s5 = t.overwrite(_df(spark, 0, 2))
+    ch = sorted(
+        (r.k, r._change_type) for r in t.read_changes(spark, s4, s5).collect()
+    )
+    assert ch == [
+        (2, "delete"), (3, "delete"), (4, "delete"),
+        (5, "delete"), (6, "delete"), (7, "delete"),
+    ]
+    # identical endpoints: empty frame, schema still carries the tag
+    same = t.read_changes(spark, s5, s5)
+    assert same.count() == 0 and "_change_type" in same.columns
+
+
+def test_maintain_agg_snap_tracks_source_incrementally(spark, tmp_path):
+    """Materialized-view maintenance via the changelog: after each
+    maintenance cycle the rollup equals a from-scratch recompute, the
+    cursor rides the agg table's protocol state, and a no-op cycle
+    commits nothing."""
+    src = SnapTable(str(tmp_path / "src"))
+    agg = SnapTable(str(tmp_path / "agg"))
+    # v = k*10; group by parity of k
+    with_g = lambda lo, hi: _df(spark, lo, hi).withColumn(  # noqa: E731
+        "g", (F.col("k") % 2).cast("long")
+    )
+    src.append(with_g(0, 6))
+    maintain_agg_snap(spark, src, agg, keys=["g"], value_col="v")
+    got = {r.g: (r.n_rows, r.sum_v) for r in agg.read(spark).collect()}
+    assert got == {0: (3, 60), 1: (3, 90)}  # k 0,2,4 / 1,3,5
+    # source moves: append + a row-level update
+    src.append(with_g(6, 8))
+    upd = spark.createDataFrame([(1, 1000, 1)], "k long, v long, g long")
+    src.merge_upsert(spark, upd, key="k")
+    s_after = maintain_agg_snap(spark, src, agg, keys=["g"], value_col="v")
+    got = {r.g: (r.n_rows, r.sum_v) for r in agg.read(spark).collect()}
+    # recompute oracle: rows now k=0..7 with v=k*10 except k=1 -> 1000
+    assert got == {0: (4, 0 + 20 + 40 + 60), 1: (4, 1000 + 30 + 50 + 70)}
+    # idle source: no new agg commit
+    assert maintain_agg_snap(spark, src, agg, keys=["g"], value_col="v") == s_after
+    # overwrite down to two rows: groups net to explicit zero tombstones
+    src.overwrite(with_g(0, 2))
+    maintain_agg_snap(spark, src, agg, keys=["g"], value_col="v")
+    got = {r.g: (r.n_rows, r.sum_v) for r in agg.read(spark).collect()}
+    assert got == {0: (1, 0), 1: (1, 10)}
 
 
 def test_compact_zorder_prunes_on_every_listed_column(spark, tmp_path):
