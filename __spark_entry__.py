@@ -546,6 +546,15 @@ _REDUNDANT_TAIL = (
     # extract_checks above — the simple-schema field surface is a
     # subset of the head-checked extract_receipts_full, and the query
     # itself stays bench-headlined + plan-pinned every round
+    # demoted late-r3 for line_dedup (CCNet corpus-wide line-level
+    # boilerplate removal — a new dedup primitive):
+    "html_strip",  # r1+r2 green twice; the DOM/boilerplate-strip
+    # surface stays head-checked through main_content (readability
+    # scoring over the same stripper) and curate's quality chain
+    "classify_spans",  # r1+r2 green twice; the trie-classify path is
+    # the first stage of every head-checked extract query, and its
+    # exact per-span output is hash-checked by the classify_strict
+    # twin (r2-green) — still bench-headlined + plan-pinned
     "decontaminate_excise",  # apply-side twin of the head decontaminate
     # — same broadcast probe stages, output is the excised rebuilt text
     # demoted late-r3 for the three new corpus-curation queries

@@ -827,3 +827,57 @@ def block_dedup_apply(
         ).alias("clean_text"),
         F.sum((~F.col("is_dup")).cast("int")).cast("long").alias("n_kept"),
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """CCNet-style line-level dedup (Wenzek et al. 2020, "CCNet:
+    Extracting high quality monolingual datasets from web crawl
+    data"): normalize each line (lower + trim), count occurrences
+    CORPUS-WIDE, strip every line whose normalized form appears in
+    ``min_count``+ places, and rebuild each document in original line
+    order. This is the boilerplate-removal pass that deletes nav
+    menus, cookie banners and share-bars, which repeat across pages
+    while real prose does not.
+
+    Returns (id, n_lines, n_kept, text) — ``text`` rebuilt from the
+    surviving lines ('' when everything was boilerplate).
+
+    Shape for scale: explode -> one hash-count agg -> LEFT ANTI join
+    against only the FLAGGED lines (the >= min_count survivors of the
+    count agg — a tiny fraction of distinct lines, broadcastable by
+    AQE once the threshold filter has run) -> one groupBy rebuild.
+    The count agg is map-side combinable; nothing driver-side."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("norm", F.lower(F.trim(F.col("line"))))
+    flagged = (
+        lines.filter(F.col("norm") != "")
+        .groupBy("norm")
+        .count()
+        .filter(F.col("count") >= min_count)
+        .select("norm")
+    )
+    kept = lines.join(flagged, on="norm", how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias(text_col),
+        F.count("*").alias("n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    return totals.join(rebuilt, on=id_col, how="left").select(
+        F.col(id_col),
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce(text_col, F.lit("")).alias(text_col),
+    )

@@ -4309,6 +4309,77 @@ GROUP BY n_name
 """
 
 
+# -- CCNet line-level dedup (corpus-wide boilerplate removal) ------------------
+# The documents table is single-line word soup with no natural repeats,
+# so the query PLANTS deterministic boilerplate (a banner on every
+# doc_id divisible by 3, a footer on every divisible by 5 — identical
+# construction in both engines, the corpus-embedding pattern the
+# pipeline queries use) and then proves line_dedup strips exactly the
+# planted lines corpus-wide while preserving original prose and order.
+
+_LD_BANNER = "subscribe to our newsletter"
+_LD_FOOTER = "copyright 2026 example corp"
+
+
+def q_line_dedup(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    num = F.col("doc_id").cast("long")
+    staged = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.when(num % 3 == 0, F.lit(_LD_BANNER)),
+            F.col("text"),
+            F.when(num % 5 == 0, F.lit(_LD_FOOTER)),
+        ).alias("text"),
+    )
+    out = dd.line_dedup(staged, min_count=2)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.md5("text").alias("kept_md5"),
+    )
+
+
+SQL_LINE_DEDUP = f"""
+WITH staged AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+           CASE WHEN num % 3 = 0 THEN '{_LD_BANNER}' END,
+           text,
+           CASE WHEN num % 5 = 0 THEN '{_LD_FOOTER}' END) AS text
+  FROM (SELECT doc_id, text, CAST(doc_id AS BIGINT) AS num
+        FROM documents)
+),
+lines AS (
+  SELECT doc_id, i AS pos, ls[i] AS line, lower(trim(ls[i])) AS norm
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls,
+               unnest(generate_series(1, len(string_split(text, chr(10))))) AS i
+        FROM staged)
+),
+flagged AS (
+  SELECT norm FROM lines WHERE norm != ''
+  GROUP BY norm HAVING count(*) >= 2
+),
+kept AS (
+  SELECT l.* FROM lines l LEFT JOIN flagged f USING (norm)
+  WHERE f.norm IS NULL
+),
+reb AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+SELECT t.doc_id, t.n_lines, COALESCE(r.n_kept, 0) AS n_kept,
+       md5(COALESCE(r.text, '')) AS kept_md5
+FROM tot t LEFT JOIN reb r USING (doc_id)
+"""
+
+
 # -- embedding gram matrix (distributed PCA reduction) -------------------------
 # The dense-linear-algebra reduction a whitening/PCA pass over an
 # embedding corpus needs: sum_n x_n x_n^T, computed as ONE int64
@@ -4568,4 +4639,5 @@ def extra_queries() -> dict[str, tuple]:
         "pagerank_trade": (q_pagerank_trade, _sql_pagerank_trade()),
         "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
         "embedding_gram": (q_embedding_gram, SQL_EMBEDDING_GRAM),
+        "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
     }

@@ -460,3 +460,30 @@ def test_containment_matches_python(spark, df):
         a, b = sh(texts[r.id_a]), sh(texts[r.id_b])
         assert r.containment_a == pytest.approx(len(a & b) / len(a))
         assert r.containment_b == pytest.approx(len(a & b) / len(b))
+
+
+def test_line_dedup_strips_corpus_repeats_keeps_order(spark):
+    """Lines repeated across the corpus vanish; unique prose survives
+    in original order; an all-boilerplate doc rebuilds to ''; blank
+    lines never count as repeats."""
+    rows = [
+        (1, "BANNER\nalpha prose one\n\nbeta prose two\nFOOTER"),
+        (2, "BANNER\ngamma prose three\nFOOTER"),
+        (3, "BANNER\nFOOTER"),
+        (4, "delta prose four\n\nepsilon prose five"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dd.line_dedup(docs, min_count=2).collect()}
+    assert out[1].text == "alpha prose one\n\nbeta prose two"
+    assert (out[1].n_lines, out[1].n_kept) == (5, 3)
+    assert out[2].text == "gamma prose three"
+    assert out[3].text == "" and out[3].n_kept == 0
+    # blank lines appear 3x corpus-wide but are never flagged
+    assert out[4].text == "delta prose four\n\nepsilon prose five"
+    # case-insensitive normalization: 'banner' would match 'BANNER'
+    one = spark.createDataFrame(
+        [(9, "banner\nunique"), (10, "BANNER\nother")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.text for r in dd.line_dedup(one, min_count=2).collect()}
+    assert got == {9: "unique", 10: "other"}
