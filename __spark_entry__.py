@@ -555,6 +555,11 @@ _REDUNDANT_TAIL = (
     # the first stage of every head-checked extract query, and its
     # exact per-span output is hash-checked by the classify_strict
     # twin (r2-green) — still bench-headlined + plan-pinned
+    # demoted late-r3 for late_orders (TPC-H Q4 EXISTS -> left-semi
+    # join, the one join type the zoo lacked):
+    "srp_recall",  # recall-dial twin of the r2-green near_dup_srp —
+    # same banding machinery, second setting of the recall/cost dial
+    # (the ivf_top3_np2 precedent); stays locally gate-checked
     "decontaminate_excise",  # apply-side twin of the head decontaminate
     # — same broadcast probe stages, output is the excised rebuilt text
     # demoted late-r3 for the three new corpus-curation queries

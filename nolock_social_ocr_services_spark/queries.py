@@ -4309,6 +4309,45 @@ GROUP BY n_name
 """
 
 
+# -- late orders (TPC-H Q4 shape: EXISTS -> left-semi join) --------------------
+# The semi-join member of the join family: orders in a quarter that
+# HAVE at least one lineitem shipped > 60 days after the order date,
+# counted per priority. The correlated EXISTS is expressed as ONE
+# left_semi hash join (Catalyst's rewrite target for EXISTS): the
+# probe side streams, no duplicate-orderkey inflation, no distinct —
+# at 100 TB this is the shape that avoids materializing the exploded
+# orders x lineitems match list just to count orders once.
+
+
+def q_late_orders(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+SQL_LATE_ORDERS = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
 # -- CCNet line-level dedup (corpus-wide boilerplate removal) ------------------
 # The documents table is single-line word soup with no natural repeats,
 # so the query PLANTS deterministic boilerplate (a banner on every
@@ -4640,4 +4679,5 @@ def extra_queries() -> dict[str, tuple]:
         "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
         "embedding_gram": (q_embedding_gram, SQL_EMBEDDING_GRAM),
         "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
+        "late_orders": (q_late_orders, SQL_LATE_ORDERS),
     }

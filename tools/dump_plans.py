@@ -92,6 +92,10 @@ PLAN_QUERIES = [
                           # table never shuffles for a dim lookup
     "embedding_gram",     # distributed PCA reduction: one MapInPandas
                           # matmul per batch, shuffle carries D^2 partials
+    "line_dedup",         # CCNet line dedup: count agg + left-anti join
+                          # against flagged lines only, ordered rebuild
+    "late_orders",        # TPC-H Q4: EXISTS as ONE LeftSemi hash join,
+                          # no match-list inflation, no distinct
 ]
 
 MARKERS = [
