@@ -847,11 +847,14 @@ def line_dedup(
     Returns (id, n_lines, n_kept, text) — ``text`` rebuilt from the
     surviving lines ('' when everything was boilerplate).
 
-    Shape for scale: explode -> one hash-count agg -> LEFT ANTI join
-    against only the FLAGGED lines (the >= min_count survivors of the
-    count agg — a tiny fraction of distinct lines, broadcastable by
-    AQE once the threshold filter has run) -> one groupBy rebuild.
-    The count agg is map-side combinable; nothing driver-side."""
+    Shape for scale: explode -> one hash-count agg over distinct lines
+    -> a LEFT join against only the FLAGGED lines (the >= min_count
+    survivors of the count agg — a tiny fraction of distinct lines,
+    broadcastable once the threshold filter has run) -> ONE
+    conditional-agg rebuild computing n_lines, n_kept and the
+    surviving text in the same pass (collect_list skips the
+    flagged-to-NULL entries). Two exchanges total; the count agg is
+    map-side combinable; nothing driver-side."""
     lines = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
@@ -861,23 +864,20 @@ def line_dedup(
         .groupBy("norm")
         .count()
         .filter(F.col("count") >= min_count)
-        .select("norm")
+        .select("norm", F.lit(True).alias("_boiler"))
     )
-    kept = lines.join(flagged, on="norm", how="left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
+    marked = lines.join(flagged, on="norm", how="left")
+    keep = F.col("_boiler").isNull()
+    return marked.groupBy(id_col).agg(
+        F.count("*").alias("n_lines"),
+        F.count(F.when(keep, 1)).alias("n_kept"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                F.array_sort(
+                    F.collect_list(F.when(keep, F.struct("pos", "line")))
+                ),
                 lambda s: s["line"],
             ),
             "\n",
         ).alias(text_col),
-        F.count("*").alias("n_kept"),
-    )
-    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
-    return totals.join(rebuilt, on=id_col, how="left").select(
-        F.col(id_col),
-        "n_lines",
-        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-        F.coalesce(text_col, F.lit("")).alias(text_col),
     )
