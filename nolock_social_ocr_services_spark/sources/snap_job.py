@@ -385,3 +385,47 @@ def maintain_agg_snap(
             out.append(F.col("d_s").alias(sum_col))
         merged = delta.select(*keys, *out)
     return agg.overwrite(merged, protocol={"mv_source_snapshot": to_id})
+
+
+def stream_maintain_agg(
+    source_dir: str,
+    agg_dir: str,
+    keys: list[str],
+    value_col: str | None = None,
+):
+    """foreachBatch sink that keeps a per-``keys`` rollup current while
+    landing the stream in a snapshot table: each epoch is an
+    exactly-once append on the SOURCE (epoch id committed atomically
+    with the rows, replays skipped from metadata — the
+    :func:`exactly_once_sink` protocol), followed by
+    :func:`maintain_agg_snap` advancing the agg from ITS OWN changelog
+    cursor.
+
+    The cursor makes maintenance self-healing rather than
+    epoch-coupled: a crash between append and maintain just leaves a
+    larger delta for the next trigger; a replayed epoch appends
+    nothing, and its maintain call either catches the agg up or
+    no-ops. The MV can trail the source by at most one crash window
+    and can never diverge from it — the same two-commit shape as the
+    ingest-dedup loop, with the cursor playing the epoch-marker role
+    on the agg side.
+
+    Usage::
+
+        q = (stream.writeStream
+             .foreachBatch(stream_maintain_agg(src, agg, ["g"], "v"))
+             .option("checkpointLocation", ckpt).start())
+    """
+    append_once = exactly_once_sink(source_dir)
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        append_once(batch_df, epoch_id)
+        maintain_agg_snap(
+            batch_df.sparkSession,
+            SnapTable(source_dir),
+            SnapTable(agg_dir),
+            keys=keys,
+            value_col=value_col,
+        )
+
+    return write_batch

@@ -466,6 +466,37 @@ def test_maintain_agg_snap_tracks_source_incrementally(spark, tmp_path):
     assert got == {0: (1, 0), 1: (1, 10)}
 
 
+def test_stream_maintain_agg_replay_and_crash_catchup(spark, tmp_path):
+    """Composed foreachBatch sink: appends land exactly once under
+    epoch replay, and the MV self-heals — an epoch whose maintain step
+    'crashed' (simulated by appending via the raw sink) is caught up
+    by the next trigger's cursor advance."""
+    from nolock_social_ocr_services_spark.sources.snap_job import (
+        exactly_once_sink,
+        stream_maintain_agg,
+    )
+
+    src_dir = str(tmp_path / "src")
+    agg_dir = str(tmp_path / "agg")
+    with_g = lambda lo, hi: _df(spark, lo, hi).withColumn(  # noqa: E731
+        "g", (F.col("k") % 2).cast("long")
+    )
+    sink = stream_maintain_agg(src_dir, agg_dir, keys=["g"], value_col="v")
+    sink(with_g(0, 4), 0)
+    sink(with_g(0, 4), 0)  # crash-replay: no double rows, no double agg
+    got = {r.g: (r.n_rows, r.sum_v) for r in SnapTable(agg_dir).read(spark).collect()}
+    assert got == {0: (2, 0 + 20), 1: (2, 10 + 30)}
+    # epoch 1 appends but its maintain step never runs (crash window)
+    exactly_once_sink(src_dir)(with_g(4, 6), 1)
+    # next trigger replays epoch 1: append skipped, maintain catches up
+    sink(with_g(4, 6), 1)
+    got = {r.g: (r.n_rows, r.sum_v) for r in SnapTable(agg_dir).read(spark).collect()}
+    assert got == {0: (3, 0 + 20 + 40), 1: (3, 10 + 30 + 50)}
+    assert sorted(
+        r.k for r in SnapTable(src_dir).read(spark).collect()
+    ) == list(range(6))
+
+
 def test_compact_zorder_prunes_on_every_listed_column(spark, tmp_path):
     """OPTIMIZE ZORDER BY: after a z-ordered rewrite, a range scan on
     EITHER listed column opens a small fraction of the files — where a
