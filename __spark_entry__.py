@@ -379,7 +379,7 @@ def _q_union_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lsh_candidates is re-verified inside jaccard_rerank's oracle CTE.
 # The driver checks at most ~50 queries; everything below is still a
 # full queries()+oracle_sql() pair (run `python tools/check_oracle.py`
-# to gate-check ALL entries locally — all green as of r2), ordered so
+# to gate-check ALL entries locally — all 123 green as of late r3), ordered so
 # the first 50 of the merged registry are the strongest non-overlapping
 # set. A tail entry is one whose semantics are re-verified inside a
 # head query's oracle, whose mechanics a head query subsumes, or whose
@@ -560,6 +560,12 @@ _REDUNDANT_TAIL = (
     "srp_recall",  # recall-dial twin of the r2-green near_dup_srp —
     # same banding machinery, second setting of the recall/cost dial
     # (the ivf_top3_np2 precedent); stays locally gate-checked
+    "small_qty_revenue",  # TPC-H Q17 correlated-scalar-subquery rewrite
+    # (pre-agg + equi-join, integer-exact threshold) — born late-r3
+    # directly into the tail: the join family already holds three
+    # checked head reps (regional_revenue, late_orders,
+    # interval_overlap) and every head slot is a first-check; verified
+    # by the local gate like the rest of the tail
     "decontaminate_excise",  # apply-side twin of the head decontaminate
     # — same broadcast probe stages, output is the excised rebuilt text
     # demoted late-r3 for the three new corpus-curation queries

@@ -4309,6 +4309,61 @@ GROUP BY n_name
 """
 
 
+# -- small-quantity revenue (TPC-H Q17 shape: correlated scalar subquery) ------
+# The correlated-scalar-subquery member of the join family: lineitems
+# whose quantity is below 20% of their part's average, revenue summed
+# per brand. The per-part scalar subquery is rewritten as ONE pre-agg
+# + equi-join (Catalyst's target shape — no re-aggregation per probe
+# row). The 20%-of-average threshold is evaluated INTEGER-EXACTLY
+# (5 * qty * n_part < sum_qty_part) so no cross-engine float-average
+# boundary flip can move a row across the filter.
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    stats = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sq"),
+        F.count("*").alias("nq"),
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        li.join(stats, on="l_partkey")
+        .filter(
+            F.lit(5) * F.col("l_quantity").cast("long") * F.col("nq")
+            < F.col("sq")
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(cents).alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_SMALL_QTY_REVENUE = """
+WITH s AS (
+  SELECT l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS sq,
+         COUNT(*) AS nq
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN s USING (l_partkey)
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE 5 * CAST(l_quantity AS BIGINT) * nq < sq
+GROUP BY p_brand
+"""
+
+
 # -- late orders (TPC-H Q4 shape: EXISTS -> left-semi join) --------------------
 # The semi-join member of the join family: orders in a quarter that
 # HAVE at least one lineitem shipped > 60 days after the order date,
@@ -4680,4 +4735,5 @@ def extra_queries() -> dict[str, tuple]:
         "embedding_gram": (q_embedding_gram, SQL_EMBEDDING_GRAM),
         "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
         "late_orders": (q_late_orders, SQL_LATE_ORDERS),
+        "small_qty_revenue": (q_small_qty_revenue, SQL_SMALL_QTY_REVENUE),
     }
