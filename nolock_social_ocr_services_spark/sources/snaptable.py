@@ -524,6 +524,7 @@ class SnapTable:
         protocol: dict | None = None,
         dropped: list | None = None,
         refs: dict | None = None,
+        deletes: list | None = None,
     ) -> int:
         """keep_parent_files: callable(parent_files) -> surviving subset.
         Appends rebase on conflict; anything that removes files raises
@@ -539,8 +540,17 @@ class SnapTable:
         stream epochs). Unlike ``summary`` (per-commit bookkeeping),
         protocol state is FOLDED FORWARD from the parent by every
         commit — an interleaved plain append or a compact can never
-        silently erase another job's resume/dedup record."""
+        silently erase another job's resume/dedup record.
+        ``deletes``: merge-on-read delete-file records (see
+        ``delete_keys``); like refs they fold forward from the parent
+        unless explicitly replaced (compaction clears them)."""
         added_shards: list[dict] | None = None  # cached across rebases
+        shards_seq: int | None = None  # snap id the cached shards embed
+        # only files WRITTEN by this commit get (re)stamped with a data
+        # sequence — a rollback resurrects old entries whose original
+        # seq must survive, or the target's pending deletes would stop
+        # applying to them
+        fresh = [e for e in added if "seq" not in e]
         for _ in range(retries):
             parent_id = self.current_snapshot_id()
             if expected_parent is not None and parent_id != expected_parent:
@@ -573,17 +583,35 @@ class SnapTable:
                 # named snapshot refs (Iceberg tags): fold forward so an
                 # interleaved append/compact never drops a tag
                 "refs": refs if refs is not None else parent.get("refs", {}),
+                # pending MoR delete files fold forward until an
+                # operation (compact/overwrite/rollback) replaces them
+                "deletes": (
+                    deletes
+                    if deletes is not None
+                    else parent.get("deletes", [])
+                ),
             }
+            # data-sequence number (Iceberg v2): every added file records
+            # the snapshot it lands in, so an equality delete at seq d
+            # suppresses only rows from files with seq < d. Re-stamped on
+            # every rebase — a file that ends up landing AFTER a delete
+            # must not be suppressed by it.
+            for e in fresh:
+                e["seq"] = parent_id + 1
             if operation in ("append", "evolve", "tag") and "manifests" in parent:
                 # manifest REUSE: an append never rewrites (or even
                 # reads) the parent's shards — commit cost is O(added),
                 # the property that keeps appends cheap on a 10^12-row
                 # table. Shards for the added files are written once and
                 # survive CAS rebases (they reference only tx data).
-                if added_shards is None:
+                if added_shards is None or shards_seq != parent_id + 1:
+                    # (re)write shards so their entries carry the seq of
+                    # the snapshot actually being attempted; a stale
+                    # cached shard would mis-order files vs deletes
                     added_shards = (
                         self._write_manifest_shards(added) if added else []
                     )
+                    shards_seq = parent_id + 1
                 snap["manifests"] = list(parent["manifests"]) + added_shards
             else:
                 files = keep_parent_files(self._snap_files(parent)) + added
@@ -664,7 +692,7 @@ class SnapTable:
         return self._commit(
             "overwrite", added, lambda pf: [], df.schema.json(),
             {"added_files": len(added)}, partition_by=partition_by,
-            dropped=[], protocol=protocol,
+            dropped=[], protocol=protocol, deletes=[],
         )
 
     def _write_schema_json(self, df: DataFrame, merge: bool = False) -> str:
@@ -927,10 +955,18 @@ class SnapTable:
         schema_json = self._write_schema_json(df)  # validate BEFORE I/O
         import bisect
 
+        base = self.current_snapshot_id()
+        if base and self._load(base).get("deletes"):
+            # a copy-on-write rewrite of a touched file would RESURRECT
+            # rows a pending MoR delete suppresses (the rewritten file
+            # gets a fresh seq above the delete's) — materialize first
+            raise ValueError(
+                f"{self.path}: pending row-level deletes; run "
+                "compact() to materialize them before merge_upsert"
+            )
         rows = (
             df.select(key).distinct().limit(_MERGE_KEYSET_LIMIT + 1).collect()
         )
-        base = self.current_snapshot_id()
         if partition_by is None:
             # default to the partitioning recorded at write time:
             # rewriting a partitioned table's files WITHOUT partitionBy
@@ -1026,6 +1062,61 @@ class SnapTable:
             partition_by=partition_by,
         )
 
+    def delete_keys(self, spark: SparkSession, keys_df: DataFrame, key: str) -> int:
+        """Merge-on-read row-level DELETE (Iceberg v2 equality-delete
+        files): the keys land in a DELETE FILE; data files are
+        untouched; readers apply an anti-join. Commit cost is
+        O(deleted keys) where ``merge_upsert``'s copy-on-write pays a
+        file rewrite — the right trade for frequent small deletions
+        (GDPR erasure, retraction feeds) against a 10^12-row table.
+        ``compact()`` materializes pending deletes into the data files
+        and clears them.
+
+        Sequence semantics (the Iceberg v2 rule): the delete records
+        the snapshot it commits at, every data file records the
+        snapshot it was added at, and the delete suppresses only rows
+        from OLDER files — so a later append may re-insert a deleted
+        key and reads it back correctly. Deletes are destructive, so
+        losing a commit race raises rather than rebasing; and
+        ``merge_upsert`` refuses to run over pending deletes (its
+        rewrite would re-sequence carried-over rows above the delete,
+        resurrecting them)."""
+        base = self.current_snapshot_id()
+        if not base:
+            raise ValueError(f"{self.path}: cannot delete from an empty table")
+        snap = self._load(base)
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+        if key not in schema.fieldNames():
+            raise ValueError(f"delete key {key!r} is not a table column")
+        added = self._write_tx(keys_df.select(key).distinct(), None)
+        del_entries = [
+            {"path": e["path"], "key": key, "seq": None} for e in added
+        ]
+        # seq is stamped by _commit on `added`; mirror it post-commit is
+        # racy — instead the delete's seq IS its snapshot id, recorded
+        # below after the commit shape is known. _commit stamps added
+        # entries with parent_id+1 and a delete never rebases, so the
+        # planned id is the committed id.
+        planned = base + 1
+        for d in del_entries:
+            d["seq"] = planned
+        return self._commit(
+            "delete",
+            [],  # no new DATA files; the delete files ride `deletes`
+            lambda pf: pf,
+            snap["schema"],
+            {"delete_files": len(del_entries), "delete_key": key},
+            expected_parent=base,
+            deletes=snap.get("deletes", []) + del_entries,
+        )
+
+    def pending_deletes(self, snapshot_id: int | None = None) -> list[dict]:
+        """The MoR delete-file records pending at a snapshot."""
+        sid = (
+            self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        )
+        return self._load(sid).get("deletes", []) if sid else []
+
     def current_summary(self) -> dict:
         """Latest snapshot's summary, with the folded-forward protocol
         state merged in (protocol keys win): readers of durable job
@@ -1051,6 +1142,9 @@ class SnapTable:
             "rollback", self._snap_files(old), keep, old["schema"],
             {"rolled_back_to": snapshot_id},
             partition_by=old.get("partition_by"),
+            # table state reverts wholesale: the target's pending
+            # deletes, not the current tip's, are what apply
+            deletes=old.get("deletes", []),
         )
 
     # ------------------------------------------------------------------
@@ -1219,7 +1313,11 @@ class SnapTable:
             )
         paths = [os.path.join(self.path, f["path"]) for f in files]
         schema = StructType.fromJson(json.loads(schema_hint))
-        df = spark.read.schema(schema).parquet(*paths)
+        dels = self.pending_deletes(snapshot_id)
+        if dels:
+            df = self._read_with_deletes(spark, files, schema, dels)
+        else:
+            df = spark.read.schema(schema).parquet(*paths)
         if partition_by:
             # partition value lives in the path, not the file; restore it
             # as a column (url-decoded, cast to the declared type) the
@@ -1237,6 +1335,44 @@ class SnapTable:
             for col, v in point.items():
                 df = df.where(F.col(col) == F.lit(v))
         return df
+
+    def _read_with_deletes(
+        self, spark: SparkSession, files: list[dict], schema, dels: list[dict]
+    ) -> DataFrame:
+        """Apply MoR equality-delete files with Iceberg v2 sequence
+        semantics: a delete at seq d suppresses rows only from data
+        files with seq < d. Files are grouped by WHICH deletes apply
+        (the delete seqs cut file seqs into <= n_deletes+1 intervals);
+        each group is anti-joined against the union of its applicable
+        delete keysets and the groups are unioned back. Work is
+        bounded by the number of PENDING delete commits (compaction
+        clears them), never by table size."""
+        del_seqs = sorted({d["seq"] for d in dels})
+        groups: dict[tuple, list] = {}
+        for f in files:
+            fseq = f.get("seq") or 0
+            app = tuple(s for s in del_seqs if s > fseq)
+            groups.setdefault(app, []).append(f)
+        out = None
+        for app, fs in sorted(groups.items()):
+            part = spark.read.schema(schema).parquet(
+                *(os.path.join(self.path, f["path"]) for f in fs)
+            )
+            by_key: dict[str, list] = {}
+            for d in dels:
+                if d["seq"] in app:
+                    by_key.setdefault(d["key"], []).append(d["path"])
+            for k, dpaths in sorted(by_key.items()):
+                kdf = (
+                    spark.read.parquet(
+                        *(os.path.join(self.path, p) for p in dpaths)
+                    )
+                    .select(k)
+                    .distinct()
+                )
+                part = part.join(kdf, on=k, how="left_anti")
+            out = part if out is None else out.unionByName(part)
+        return out
 
     def read_incremental(
         self,
@@ -1350,6 +1486,18 @@ class SnapTable:
             if to_snapshot_id is None
             else to_snapshot_id
         )
+        d_from = {d["path"] for d in self.pending_deletes(from_snapshot_id)}
+        d_to = {d["path"] for d in self.pending_deletes(to_id)}
+        if d_from != d_to:
+            # a MoR delete changes VISIBLE rows without touching data
+            # files, so the file-set diff below would miss it; equal
+            # sets are fine (both endpoints suppress identically and
+            # pre-delete files can only leave via operations that also
+            # clear the set, which lands in the other branch)
+            raise ValueError(
+                f"{self.path}: changelog undefined across row-level "
+                "delete commits; compact() to materialize them first"
+            )
         from_files, _ = self.scan_files(snapshot_id=from_snapshot_id)
         to_files, schema_hint = self.scan_files(snapshot_id=to_id)
         fpaths = {f["path"] for f in from_files}
@@ -1515,6 +1663,9 @@ class SnapTable:
             "compact", added, lambda pf: [], df.schema.json(),
             {"compacted_to": len(added)},
             expected_parent=base, partition_by=partition_by,
+            # the rewrite read through read(), which applied pending MoR
+            # deletes — they are now materialized in the data files
+            deletes=[],
         )
 
     def expire_snapshots(
@@ -1559,6 +1710,10 @@ class SnapTable:
                 live_man.add(os.path.basename(m["path"]))
             for f in self._snap_files(snap):
                 live_tx.add(f["path"].split(os.sep)[1])
+            for d in snap.get("deletes", []):
+                # MoR delete files live in tx dirs too: a sweep that
+                # missed them would un-delete rows at surviving snaps
+                live_tx.add(d["path"].split(os.sep)[1])
         for s in snaps:
             if s not in survivors:
                 os.unlink(s)

@@ -497,6 +497,61 @@ def test_stream_maintain_agg_replay_and_crash_catchup(spark, tmp_path):
     ) == list(range(6))
 
 
+def test_delete_keys_mor_sequence_semantics(spark, tmp_path):
+    """Merge-on-read row-level delete: O(delete) commit, anti-join at
+    read, Iceberg v2 sequence rule (a later append re-inserting a
+    deleted key is NOT suppressed), merge refuses over pending deletes,
+    compaction materializes and clears them."""
+    t = SnapTable(str(tmp_path / "t"))
+    s1 = t.append(_df(spark, 0, 6))
+    s2 = t.delete_keys(
+        spark, spark.createDataFrame([(1,), (3,)], "k long"), key="k"
+    )
+    assert sorted(r.k for r in t.read(spark).collect()) == [0, 2, 4, 5]
+    # time travel: the pre-delete snapshot still sees every row
+    assert sorted(
+        r.k for r in t.read(spark, snapshot_id=s1).collect()
+    ) == list(range(6))
+    # a LATER append re-inserts a deleted key: seq rule keeps it
+    t.append(spark.createDataFrame([(3, 999)], "k long, v long"))
+    got = sorted((r.k, r.v) for r in t.read(spark).collect())
+    assert (3, 999) in got and (3, 30) not in got
+    assert [k for k, _ in got] == [0, 2, 3, 4, 5]
+    # rollback reverts the delete state wholesale, both directions
+    t.rollback(s1)
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(6))
+    t.rollback(s2)
+    assert sorted(r.k for r in t.read(spark).collect()) == [0, 2, 4, 5]
+    # merge over pending deletes refuses: its rewrite would resurrect
+    up = spark.createDataFrame([(0, 1)], "k long, v long")
+    with pytest.raises(ValueError, match="pending row-level deletes"):
+        t.merge_upsert(spark, up, key="k")
+    # compact materializes the deletes into data files and clears them
+    t.compact(spark, target_files=2)
+    assert t.pending_deletes() == []
+    assert sorted(r.k for r in t.read(spark).collect()) == [0, 2, 4, 5]
+    t.merge_upsert(spark, spark.createDataFrame([(0, 111)], "k long, v long"), key="k")
+    assert (0, 111) in {(r.k, r.v) for r in t.read(spark).collect()}
+
+
+def test_delete_keys_changelog_guard_and_expiry(spark, tmp_path):
+    """The file-set changelog is undefined across a MoR delete (raises
+    until materialized); equal delete sets pass; snapshot expiry never
+    sweeps a delete file a surviving snapshot references."""
+    t = SnapTable(str(tmp_path / "t"))
+    s1 = t.append(_df(spark, 0, 4))
+    s2 = t.delete_keys(
+        spark, spark.createDataFrame([(2,)], "k long"), key="k"
+    )
+    with pytest.raises(ValueError, match="changelog undefined"):
+        t.read_changes(spark, s1, s2)
+    s3 = t.append(_df(spark, 4, 5))
+    ch = t.read_changes(spark, s2, s3).collect()
+    assert sorted((r.k, r._change_type) for r in ch) == [(4, "insert")]
+    t.expire_snapshots(keep_last=1, orphan_grace_s=0)
+    assert sorted(r.k for r in t.read(spark).collect()) == [0, 1, 3, 4]
+
+
 def test_compact_zorder_prunes_on_every_listed_column(spark, tmp_path):
     """OPTIMIZE ZORDER BY: after a z-ordered rewrite, a range scan on
     EITHER listed column opens a small fraction of the files — where a
