@@ -4,10 +4,14 @@ The north rule targets Iceberg tables; this sandbox ships no Iceberg
 runtime jar (``pyspark/jars`` has no table-format jars and installs are
 not allowed), so this module re-implements the part of the Iceberg spec
 the pipeline depends on — atomic snapshot commits, snapshot-isolated
-reads, time travel, rollback, partition-level overwrite, metadata-only
-schema evolution (``evolve_schema``: add/widen/drop with Iceberg's
-legal type promotions), and named snapshot refs (``tag``/``drop_tag``,
-retention-protected from expiry) — over plain parquet, from the
+reads, time travel, rollback, partition-level overwrite, copy-on-write
+MERGE and merge-on-read row-level DELETE (equality-delete files with
+v2 data-sequence semantics), metadata-only schema evolution
+(``evolve_schema``: add/widen/drop with Iceberg's legal type
+promotions), named snapshot refs (``tag``/``drop_tag``,
+retention-protected from expiry), changelog (CDC) scans, and
+maintenance (compaction with sort or multi-column z-order clustering,
+snapshot expiry with orphan cleanup) — over plain parquet, from the
 published spec (https://iceberg.apache.org/spec/).
 
 On a real cluster this entire module is replaced by the Iceberg catalog:
@@ -1109,6 +1113,23 @@ class SnapTable:
             expected_parent=base,
             deletes=snap.get("deletes", []) + del_entries,
         )
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        key: str,
+        between: dict | None = None,
+        point: dict | None = None,
+    ) -> int:
+        """DELETE WHERE sugar over :meth:`delete_keys`: resolve the
+        matching keys with a PRUNED scan (manifest/file skipping and
+        bloom probes via ``read(between=/point=)``), then commit them
+        as an equality-delete file. A point retraction against a
+        clustered table therefore reads the one file that can hold the
+        key and writes a one-row delete file — O(predicate), never
+        O(table)."""
+        keys = self.read(spark, between=between, point=point).select(key)
+        return self.delete_keys(spark, keys, key=key)
 
     def pending_deletes(self, snapshot_id: int | None = None) -> list[dict]:
         """The MoR delete-file records pending at a snapshot."""

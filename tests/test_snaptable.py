@@ -534,6 +534,20 @@ def test_delete_keys_mor_sequence_semantics(spark, tmp_path):
     assert (0, 111) in {(r.k, r.v) for r in t.read(spark).collect()}
 
 
+def test_delete_where_uses_pruned_scan(spark, tmp_path):
+    """Predicate-form delete: keys resolve through the file-skipping
+    read path and the committed delete removes exactly the matches."""
+    t = SnapTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 2000), cluster_by="k", cluster_files=16)
+    t.delete_where(spark, key="k", between={"k": (100, 104)})
+    got = sorted(r.k for r in t.read(spark).collect())
+    assert len(got) == 1995 and all(k < 100 or k > 104 for k in got)
+    # the resolved keyset came from a pruned scan: the between read
+    # plans a small fraction of the 16 clustered files
+    hit, _ = t.scan_files(between={"k": (100, 104)})
+    assert 0 < len(hit) <= 2
+
+
 def test_delete_keys_changelog_guard_and_expiry(spark, tmp_path):
     """The file-set changelog is undefined across a MoR delete (raises
     until materialized); equal delete sets pass; snapshot expiry never
