@@ -399,6 +399,17 @@ def _q_union_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   top_parts/explode_tokens/repetition -> window/agg/explode/quality
 #   families each keep a checked representative.
 _REDUNDANT_TAIL = (
+    "late_orders",  # demoted for the new fuzzy_pairs (blocked
+    # edit-distance entity resolution — a primitive with no other rep
+    # anywhere in the registry); the Q4 left-semi EXISTS shape stays
+    # head-exercised by decontaminate's semi/anti gate and pinned by
+    # its PLANS.md section + tests/test_joins.py
+    "matryoshka_top3",  # tail from birth: composes cosine_topk (whose
+    # O(N^2) baseline twin cosine_top3 is already tail-repped with an
+    # r1-green row) over a plan-side slice; the slice+renorm mechanics
+    # have their own pytest vs numpy, and the ANN ladder keeps
+    # pq_adc_top3 / ivfpq_top3 / rrf_fusion / containment_rerank in
+    # the head
     # demoted late-r3 for the five new ops (containment_rerank,
     # kmv_overlap, rrf_fusion, bitext_mine, phash_near_dup); each
     # demotee is r2-driver-green and its family keeps checked head reps:

@@ -611,3 +611,32 @@ def gram_matrix(
 
     parts = qdf.mapInPandas(batches, schema="i int, j int, s long")
     return parts.groupBy("i", "j").agg(F.sum("s").alias("gram"))
+
+
+def matryoshka_topk(
+    df: DataFrame,
+    dims: int = 16,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Matryoshka-truncated retrieval (Kusupati et al. 2022): rank by
+    cosine over only the FIRST ``dims`` coordinates, re-normalized.
+
+    This is the cheap-first-pass dial for 100-TB retrieval: a 4x dim
+    truncation cuts the dot-product FLOPs and the shuffled bytes 4x
+    while MRL-trained embeddings keep most of the recall; the full-dim
+    `cosine_topk` (or the SRP/IVF bucketed paths) then re-ranks the
+    shortlist. Truncation is a plan-side ``slice`` — no Python, no
+    extra shuffle; normalization of the slice happens inside
+    ``cosine_topk`` (unit vectors computed once per side)."""
+    cut = df.select(
+        id_col, F.slice(F.col(vec_col), 1, dims).alias(vec_col)
+    )
+    qcut = (
+        queries.select(id_col, F.slice(F.col(vec_col), 1, dims).alias(vec_col))
+        if queries is not None
+        else None
+    )
+    return cosine_topk(cut, k=k, id_col=id_col, vec_col=vec_col, queries=qcut)

@@ -4588,6 +4588,81 @@ r{i} AS (
     )
 
 
+# -- entity-resolution fuzzy dedup ---------------------------------------------
+# The classic ER pipeline over dirty short keys (merchant names, the
+# surface the reference normalizes via exact extension->MIME lookup —
+# ModelsTests.cs exercises only exact keys; this is the fuzzy twin):
+# exact dedup first (hash-groupBy to distinct representatives), then
+# BLOCKED candidate generation (lowercased prefix x length bucket) and
+# exact Levenshtein verification on candidates only. Sub-quadratic at
+# 100 TB because block-key cardinality grows with the data.
+
+
+def q_fuzzy_pairs(spark, sf_dir):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    reps = part.groupBy(F.lower(F.col("p_name")).alias("name")).agg(
+        F.min("p_partkey").alias("rep_id")
+    )
+    return dd.fuzzy_pairs(
+        reps, id_col="rep_id", text_col="name", max_dist=3, min_dist=1
+    )
+
+
+SQL_FUZZY_PAIRS = """
+WITH reps AS (
+  SELECT min(p_partkey) AS id, lower(p_name) AS txt
+  FROM part GROUP BY lower(p_name)
+),
+base AS (
+  SELECT id, txt, substring(txt, 1, 3) AS pfx,
+         CAST(floor(length(txt) / 4) AS INT) AS lb
+  FROM reps
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.txt, b.txt) AS INT) AS dist
+FROM base a JOIN base b
+  ON a.pfx = b.pfx AND abs(a.lb - b.lb) <= 1 AND a.id < b.id
+WHERE abs(length(a.txt) - length(b.txt)) <= 3
+  AND levenshtein(a.txt, b.txt) BETWEEN 1 AND 3
+"""
+
+
+# -- Matryoshka-truncated retrieval --------------------------------------------
+# Kusupati et al. 2022: rank by cosine over only the first D' coords of
+# an MRL-trained embedding — the cheap first pass of a two-stage
+# retrieval cascade (full-dim or SRP/IVF re-ranks the shortlist).
+# Truncation is a plan-side slice, so the shuffled bytes drop 4x for
+# dims=16 over D=64 with zero Python.
+
+
+def q_matryoshka_top3(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = sim.matryoshka_topk(emb, dims=16, k=3)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+SQL_MATRYOSHKA_TOP3 = """
+WITH cut AS (
+  SELECT vec_id, CAST(embedding[1:16] AS DOUBLE[]) AS emb FROM embeddings
+),
+nz AS (
+  SELECT vec_id, emb FROM cut WHERE list_dot_product(emb, emb) > 0
+),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.emb, b.emb) AS sim
+  FROM nz a JOIN nz b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
+"""
+
+
 def extra_queries() -> dict[str, tuple]:
     """name -> (callable, oracle_sql | None)"""
     return {
@@ -4736,4 +4811,6 @@ def extra_queries() -> dict[str, tuple]:
         "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
         "late_orders": (q_late_orders, SQL_LATE_ORDERS),
         "small_qty_revenue": (q_small_qty_revenue, SQL_SMALL_QTY_REVENUE),
+        "fuzzy_pairs": (q_fuzzy_pairs, SQL_FUZZY_PAIRS),
+        "matryoshka_top3": (q_matryoshka_top3, SQL_MATRYOSHKA_TOP3),
     }

@@ -487,3 +487,100 @@ def test_line_dedup_strips_corpus_repeats_keeps_order(spark):
     )
     got = {r.doc_id: r.text for r in dd.line_dedup(one, min_count=2).collect()}
     assert got == {9: "unique", 10: "other"}
+
+
+def _lev(a: str, b: str) -> int:
+    """Plain DP Levenshtein (test reference)."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_pairs_finds_typos_and_skips_exact(spark):
+    """Typo pairs inside one (prefix, length-bucket) block are found
+    with the exact edit distance; min_dist=1 drops exact duplicates;
+    pairs whose prefixes differ are (by the documented blocking
+    contract) NOT emitted."""
+    rows = [
+        (1, "hot rod"),
+        (2, "hot rode"),      # dist 1 to "hot rod"
+        (3, "hot ring"),      # dist 3 to "hot rod"
+        (4, "hot rod"),       # exact dup of 1
+        (5, "cold rod"),      # dist 2 to "hot rod" but prefix differs
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = {
+        (r.id_a, r.id_b): r.dist
+        for r in dd.fuzzy_pairs(
+            df, id_col="id", text_col="name", max_dist=3, min_dist=1
+        ).collect()
+    }
+    assert out[(1, 2)] == 1
+    assert out[(1, 3)] == 3
+    assert out[(2, 3)] == 3
+    assert (1, 4) not in out          # exact dup excluded by min_dist
+    assert all(5 not in p for p in out)  # blocked: no shared prefix
+    # min_dist=0 re-admits the exact pair at dist 0
+    out0 = {
+        (r.id_a, r.id_b): r.dist
+        for r in dd.fuzzy_pairs(
+            df, id_col="id", text_col="name", max_dist=3, min_dist=0
+        ).collect()
+    }
+    assert out0[(1, 4)] == 0
+
+
+def test_fuzzy_pairs_straddles_length_bucket_boundary(spark):
+    """A pair whose lengths fall in ADJACENT length buckets still meets
+    (each row is emitted under its own bucket and the next), and the
+    two block copies dedup to one output row."""
+    # len 7 -> bucket 1; len 8 -> bucket 2 (len_bucket=4)
+    df = spark.createDataFrame(
+        [(1, "abcdefg"), (2, "abcdefgh")], "id long, name string"
+    )
+    out = dd.fuzzy_pairs(
+        df, id_col="id", text_col="name", max_dist=3, min_dist=1
+    ).collect()
+    assert len(out) == 1 and out[0].dist == 1
+
+
+def test_fuzzy_pairs_matches_blocked_brute_force(spark):
+    """Against a Python re-implementation of the SAME blocking rule
+    (shared 3-prefix, |length-bucket delta| <= 1) the Spark output is
+    exactly equal — ids, pair set, and distances."""
+    import random
+
+    rng = random.Random(11)
+    words = ["ring", "rind", "rings", "rodeo", "rod", "ride", "rude",
+             "gear", "gears", "geese", "bolt", "bolts", "boat"]
+    rows = [
+        (i, rng.choice(words) + (" x" * rng.randint(0, 3)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in dd.fuzzy_pairs(
+            df, id_col="id", text_col="name", max_dist=2, min_dist=1
+        ).collect()
+    }
+    want = set()
+    for ia, ta in rows:
+        for ib, tb in rows:
+            if ia >= ib:
+                continue
+            a, b = ta.lower(), tb.lower()
+            if a[:3] != b[:3] or abs(len(a) // 4 - len(b) // 4) > 1:
+                continue
+            if abs(len(a) - len(b)) > 2:
+                continue
+            d = _lev(a, b)
+            if 1 <= d <= 2:
+                want.add((ia, ib, d))
+    assert got == want and want  # non-vacuous

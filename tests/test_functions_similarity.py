@@ -403,3 +403,58 @@ def test_gram_matrix_plan_single_exchange(spark):
     assert plan.count("MapInPandas") == 1
     assert "BatchEvalPython" not in plan
     assert plan.count("Exchange") <= 2  # partial+final agg pair max
+
+
+def test_matryoshka_topk_matches_numpy_on_truncated_dims(spark):
+    """Ranking must equal numpy brute-force cosine over the FIRST dims
+    coordinates (re-normalized), not the full vector — on data crafted
+    so the two orders differ."""
+    import numpy as np
+
+    from nolock_social_ocr_services_spark.functions import similarity as sim
+
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((30, 16)).astype(np.float32)
+    rows = [(i, X[i].tolist()) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    dims, k = 4, 3
+    out = sim.matryoshka_topk(emb, dims=dims, k=k)
+    got = {
+        (r.query_id, r.rank): r.neighbor_id for r in out.collect()
+    }
+    Xt = X[:, :dims].astype(np.float64)
+    U = Xt / np.linalg.norm(Xt, axis=1, keepdims=True)
+    S = U @ U.T
+    differs = 0
+    Xf = X.astype(np.float64)
+    Uf = Xf / np.linalg.norm(Xf, axis=1, keepdims=True)
+    Sf = Uf @ Uf.T
+    for q in range(30):
+        order = sorted(
+            (i for i in range(30) if i != q), key=lambda i: (-S[q, i], i)
+        )[:k]
+        for r, nb in enumerate(order, 1):
+            assert got[(q, r)] == nb, (q, r)
+        full = sorted(
+            (i for i in range(30) if i != q), key=lambda i: (-Sf[q, i], i)
+        )[:k]
+        differs += order != full
+    assert differs > 0  # truncation genuinely changes the ranking
+
+
+def test_matryoshka_topk_no_python_in_plan(spark):
+    """The truncation is a plan-side slice: zero Python eval nodes of
+    any kind in the executed plan."""
+    from nolock_social_ocr_services_spark.functions import similarity as sim
+
+    rows = [(i, [float(i), 1.0, 0.5, 0.25]) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = (
+        sim.matryoshka_topk(emb, dims=2, k=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
