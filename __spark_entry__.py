@@ -404,6 +404,11 @@ _REDUNDANT_TAIL = (
     # anywhere in the registry); the Q4 left-semi EXISTS shape stays
     # head-exercised by decontaminate's semi/anti gate and pinned by
     # its PLANS.md section + tests/test_joins.py
+    "jl_project",  # tail from birth: the quantize->integer-reduction
+    # mechanics (money-trick quantization, exact int64 matmul inside
+    # mapInPandas) are head-checked by embedding_gram — same pattern,
+    # same determinism contract; JL's own seeded-matrix arithmetic is
+    # oracle-green locally + numpy-parity pytest
     "matryoshka_top3",  # tail from birth: composes cosine_topk (whose
     # O(N^2) baseline twin cosine_top3 is already tail-repped with an
     # r1-green row) over a plan-side slice; the slice+renorm mechanics

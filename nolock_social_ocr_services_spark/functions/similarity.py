@@ -640,3 +640,88 @@ def matryoshka_topk(
         else None
     )
     return cosine_topk(cut, k=k, id_col=id_col, vec_col=vec_col, queries=qcut)
+
+
+def _achlioptas_matrix(in_dims: int, out_dims: int, seed: int) -> np.ndarray:
+    """The (in_dims, out_dims) sparse sign matrix of Achlioptas 2003
+    ("Database-friendly random projections"): entries +1 / -1 / 0 with
+    probability 1/6, 1/6, 2/3, drawn from the repo's seeded-md5 hash60
+    convention (``sampling.hash60``) instead of an RNG object — so the
+    SAME matrix is reproducible in any engine, on any cluster size, and
+    in the DuckDB oracle, with no RNG state to ship."""
+    import hashlib
+
+    R = np.zeros((in_dims, out_dims), dtype=np.int64)
+    for d in range(in_dims):
+        for j in range(out_dims):
+            h = int(
+                hashlib.md5(f"{seed}:{d}:{j}".encode()).hexdigest()[:15], 16
+            )
+            m = h % 6
+            if m == 0:
+                R[d, j] = 1
+            elif m == 1:
+                R[d, j] = -1
+    return R
+
+
+def jl_project(
+    df: DataFrame,
+    out_dims: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection, integer-exact.
+
+    The data-INDEPENDENT companion to :func:`matryoshka_topk`'s learned
+    truncation: project D-dim embeddings to ``out_dims`` with the
+    Achlioptas sparse sign matrix — distances are preserved within
+    (1 +- eps) w.h.p. for out_dims ~ O(log n / eps^2), with no training
+    pass over the corpus. The 100-TB shape: one ``mapInPandas`` matmul
+    per Arrow batch (the gram_matrix pattern — dense linear algebra at
+    BLAS speed, no per-row Python), zero exchanges (pure projection),
+    and the matrix itself is built INSIDE the UDF per worker from the
+    seeded-md5 rule, so no driver job, no broadcast, and no
+    input-dimension argument: each batch reads D off its own rows.
+
+    Values are quantized ``round(v * scale)`` (the money-in-cents trick
+    shared with :func:`gram_matrix`) BEFORE the +-1 matmul, so the
+    output is int64 and bit-identical across engines, partitionings,
+    and cluster sizes — what lets a cross-engine oracle hash it.
+    Rows with NULL vectors project to NULL; ragged batches are handled
+    per distinct length.
+
+    Returns (id_col, proj array<long>).
+    """
+    out_schema = f"{id_col} long, proj array<long>"
+
+    def batches(it):
+        import pandas as pd
+
+        cache: dict[int, np.ndarray] = {}
+        for pdf in it:
+            ids = pdf[id_col]
+            vecs = pdf[vec_col]
+            proj: list = [None] * len(pdf)
+            ok = vecs.notna().to_numpy()
+            lens = np.array([len(v) if o else -1 for v, o in zip(vecs, ok)])
+            for D in np.unique(lens):
+                if D < 0:
+                    continue
+                rows = np.nonzero(lens == D)[0]
+                X = np.asarray(
+                    [vecs.iloc[i] for i in rows], dtype=np.float64
+                ) * scale
+                Q = (np.floor(np.abs(X) + 0.5) * np.sign(X)).astype(np.int64)
+                R = cache.get(int(D))
+                if R is None:
+                    R = _achlioptas_matrix(int(D), out_dims, seed)
+                    cache[int(D)] = R
+                Y = Q @ R
+                for k, i in enumerate(rows):
+                    proj[i] = Y[k].tolist()
+            yield pd.DataFrame({id_col: ids, "proj": proj})
+
+    return df.select(id_col, vec_col).mapInPandas(batches, schema=out_schema)

@@ -4663,6 +4663,44 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
 """
 
 
+# -- Johnson-Lindenstrauss random projection -----------------------------------
+# Achlioptas 2003 sparse sign matrix, integer-exact (quantize -> +-1
+# matmul in int64), matrix derived from the repo's seeded-md5 hash60
+# convention so Spark, any cluster size, and the DuckDB oracle build
+# the SAME matrix with no RNG state. One mapInPandas matmul per Arrow
+# batch, zero exchanges — the data-independent companion to the
+# learned Matryoshka truncation.
+
+
+def q_jl_project(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sim.jl_project(emb, out_dims=16, seed=7)
+
+
+SQL_JL_PROJECT = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+  FROM embeddings
+),
+dj AS (
+  SELECT d, j,
+         CASE CAST(('0x' || substr(md5('7:' || CAST(d AS VARCHAR) || ':'
+                    || CAST(j AS VARCHAR)), 1, 15)) AS UBIGINT) % 6
+           WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS r
+  FROM (SELECT unnest(generate_series(0, (SELECT max(len(qe)) FROM q) - 1)) AS d),
+       (SELECT unnest(generate_series(0, 15)) AS j)
+),
+cells AS (
+  SELECT vec_id, j, CAST(SUM(qe[d + 1] * r) AS BIGINT) AS v
+  FROM q CROSS JOIN dj
+  GROUP BY vec_id, j
+)
+SELECT vec_id, list(v ORDER BY j) AS proj FROM cells GROUP BY vec_id
+"""
+
+
 def extra_queries() -> dict[str, tuple]:
     """name -> (callable, oracle_sql | None)"""
     return {
@@ -4813,4 +4851,5 @@ def extra_queries() -> dict[str, tuple]:
         "small_qty_revenue": (q_small_qty_revenue, SQL_SMALL_QTY_REVENUE),
         "fuzzy_pairs": (q_fuzzy_pairs, SQL_FUZZY_PAIRS),
         "matryoshka_top3": (q_matryoshka_top3, SQL_MATRYOSHKA_TOP3),
+        "jl_project": (q_jl_project, SQL_JL_PROJECT),
     }

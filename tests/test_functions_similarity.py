@@ -458,3 +458,81 @@ def test_matryoshka_topk_no_python_in_plan(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_jl_project_matches_independent_python(spark):
+    """Bit-exact parity with an independently-written Python reference
+    (hashlib md5 rule + integer matmul), including a NULL vector and a
+    ragged batch (two distinct input dims)."""
+    import hashlib
+
+    import numpy as np
+
+    from nolock_social_ocr_services_spark.functions import similarity as sim
+
+    rng = np.random.default_rng(5)
+    rows = [(i, (rng.standard_normal(8) * 2).astype(np.float32).tolist())
+            for i in range(20)]
+    rows.append((20, None))
+    rows.append((21, (rng.standard_normal(5)).astype(np.float32).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.proj
+           for r in sim.jl_project(emb, out_dims=6, seed=3).collect()}
+
+    def ref(vec):
+        if vec is None:
+            return None
+        x = np.asarray(vec, dtype=np.float64) * 1_000_000
+        q = (np.floor(np.abs(x) + 0.5) * np.sign(x)).astype(np.int64)
+        out = []
+        for j in range(6):
+            s = 0
+            for d in range(len(vec)):
+                h = int(hashlib.md5(f"3:{d}:{j}".encode()).hexdigest()[:15],
+                        16) % 6
+                s += int(q[d]) * (1 if h == 0 else -1 if h == 1 else 0)
+            out.append(s)
+        return out
+
+    for vid, vec in rows:
+        assert got[vid] == ref(vec), vid
+
+
+def test_jl_project_preserves_relative_distances(spark):
+    """JL sanity: a pair of near-identical vectors stays far closer in
+    the projected space than an unrelated pair (distance ORDER survives
+    the projection)."""
+    import numpy as np
+
+    from nolock_social_ocr_services_spark.functions import similarity as sim
+
+    rng = np.random.default_rng(9)
+    a = rng.standard_normal(64)
+    rows = [
+        (0, a.astype(np.float32).tolist()),
+        (1, (a + 0.01 * rng.standard_normal(64)).astype(np.float32).tolist()),
+        (2, rng.standard_normal(64).astype(np.float32).tolist()),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    p = {r.vec_id: np.array(r.proj, dtype=np.float64)
+         for r in sim.jl_project(emb, out_dims=16).collect()}
+    near = np.linalg.norm(p[0] - p[1])
+    far = np.linalg.norm(p[0] - p[2])
+    assert near < far / 5
+
+
+def test_jl_project_plan_map_only(spark):
+    """Pure projection: one MapInPandas, zero exchanges, no row-Python."""
+    from nolock_social_ocr_services_spark.functions import similarity as sim
+
+    rows = [(i, [0.5, -1.5, 2.0]) for i in range(4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = (
+        sim.jl_project(emb, out_dims=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan

@@ -96,6 +96,12 @@ PLAN_QUERIES = [
                           # against flagged lines only, ordered rebuild
     "late_orders",        # TPC-H Q4: EXISTS as ONE LeftSemi hash join,
                           # no match-list inflation, no distinct
+    "fuzzy_pairs",        # ER blocker: (prefix, len-bucket) equi-join +
+                          # levenshtein verify on candidates, no cartesian
+    # matryoshka_top3 is NOT dumped: it composes the cosine_topk
+    # crossJoin BASELINE (like cosine_top3, also undumped); its own
+    # claim — plan-side slice, zero Python — is pinned by
+    # tests/test_functions_similarity.py::test_matryoshka_topk_no_python_in_plan
 ]
 
 MARKERS = [
