@@ -404,6 +404,24 @@ _REDUNDANT_TAIL = (
     # anywhere in the registry); the Q4 left-semi EXISTS shape stays
     # head-exercised by decontaminate's semi/anti gate and pinned by
     # its PLANS.md section + tests/test_joins.py
+    "regional_revenue",  # demoted for the new funnel_users (strict-order
+    # funnel: aggregate-HOF fold vs chained-min-join oracle — two
+    # independent formulations, the strongest kind of cross-check);
+    # Q5's star-join shape stays pinned by PLANS.md (5 broadcast
+    # joins, 1 exchange) + tests/test_joins.py, and the join+agg
+    # family keeps customer_revenue's r2-green row and
+    # bloom_join_stats/interval_overlap in the head
+    "scd2_customer",  # tail from birth: the lag-change-detect /
+    # lead-close window mechanics are the head-checked
+    # user_sessions-family spine (and event_moving_stats keeps the
+    # events window family in the head); the SCD2 composition is
+    # oracle-green locally + null-attr/chain-collapse pytest
+    "event_gapfill",  # tail from birth: its carry-forward engine
+    # (last-ignorenulls window over a key partition) is exactly the
+    # head-checked asof_click_view_salted's spine, and the events
+    # window family keeps event_moving_stats in the head; the
+    # sequence-grid explode + LOCF composition is oracle-green
+    # locally + golden/pandas-parity pytest
     "jl_project",  # tail from birth: the quantize->integer-reduction
     # mechanics (money-trick quantization, exact int64 matmul inside
     # mapInPandas) are head-checked by embedding_gram — same pattern,

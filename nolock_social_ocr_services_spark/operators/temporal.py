@@ -346,3 +346,231 @@ def interval_join(
         & (F.col("_bk") == F.expr(f"greatest({ls}, {rs}) div {w}"))
     )
     return pairs.drop("_bk")
+
+
+def gapfill_locf(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    tie_col: str = "event_id",
+    bucket_s: int = 21600,
+    cents: int = 100,
+) -> DataFrame:
+    """Time-bucket gap-fill with last-observation-carried-forward —
+    TimescaleDB's ``time_bucket_gapfill(...) + locf(...)``, the
+    hypertable regularization pass a sensor/log training pipeline
+    runs before windowed feature extraction.
+
+    Per key: (1) one hash-agg reduces events to per-bucket LAST
+    observations (winner by ``(ts, tie_col)`` via ``max_by`` — a
+    deterministic reduction, unlike a float mean whose partial-sum
+    order would differ across partitionings); (2) the key's bucket
+    GRID materializes from its own [min, max] bucket span with
+    ``sequence`` + ``explode`` — fan-out is bounded by span/bucket_s,
+    never by row count, and empty buckets appear exactly once;
+    (3) ``last(..., ignorenulls)`` over (key ORDER BY bucket) carries
+    observations forward into the gaps. Values are held in integer
+    "cents" (``round(value*cents)``) so every step is bit-identical
+    across engines and cluster sizes.
+
+    Scale shape: two key-partitioned shuffles (the observation agg and
+    the grid window — the join between them is a third exchange at
+    most, key-co-partitioned). The window per key is the standard
+    timeseries layout; a key hot enough to serialize a task gets the
+    same (key, coarse-bucket) split ``as_of_join_salted`` uses.
+
+    Returns (key, bucket_start :epoch secs, v_cents, filled) — one
+    row per key per bucket in the key's span; ``filled`` marks rows
+    whose value was carried forward rather than observed.
+    """
+    b = F.floor(F.unix_timestamp(F.col(ts)) / bucket_s).cast("long")
+    obs = (
+        df.select(
+            F.col(key),
+            b.alias("_b"),
+            F.col(ts),
+            F.col(tie_col),
+            F.round(F.col(value) * cents).cast("long").alias("_v"),
+        )
+        .groupBy(key, "_b")
+        .agg(
+            F.max_by(
+                "_v", F.struct(F.col(ts), F.col(tie_col))
+            ).alias("_v")
+        )
+    )
+    grid = (
+        obs.groupBy(key)
+        .agg(F.min("_b").alias("_lo"), F.max("_b").alias("_hi"))
+        .select(
+            key,
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_b"),
+        )
+    )
+    joined = grid.join(obs, on=[key, "_b"], how="left")
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col(key),
+        (F.col("_b") * bucket_s).alias("bucket_start"),
+        F.last("_v", ignorenulls=True).over(w).alias("v_cents"),
+        F.col("_v").isNull().alias("filled"),
+    )
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: list[str],
+    ts: str = "ts",
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 merge (Kimball): apply a batch
+    of timestamped attribute updates to a versioned dimension, closing
+    the open version and opening a new one at each REAL change —
+    consecutive updates with unchanged attributes are collapsed, and
+    closed history rows pass through untouched.
+
+    ``current``: (key, *attrs, valid_from, valid_to) with
+    ``valid_to IS NULL`` marking each key's open version.
+    ``updates``: (key, *attrs, ts). Multiple updates per key per batch
+    chain in ``ts`` order (ties broken open-row-first, so an update
+    stamped at exactly the open version's start supersedes it).
+
+    Distributed shape: the open rows and the updates union into ONE
+    key-partitioned window pass (change-detect via ``lag`` on the attr
+    struct, then ``lead`` to close intervals — the filter between the
+    two windows preserves the partitioning, so Catalyst plans a single
+    exchange); history rows never shuffle at all. At 10^12 rows the
+    open set is |keys| and the updates batch is incremental — the
+    window never sees the full history.
+
+    Returns the new dimension: (key, *attrs, valid_from, valid_to).
+    """
+    a = F.struct(*[F.col(c) for c in attrs])
+    open_rows = current.filter(F.col("valid_to").isNull()).select(
+        F.col(key),
+        a.alias("_a"),
+        F.col("valid_from"),
+        F.lit(0).alias("_src"),
+    )
+    ups = updates.select(
+        F.col(key),
+        a.alias("_a"),
+        F.col(ts).alias("valid_from"),
+        F.lit(1).alias("_src"),
+    )
+    w = Window.partitionBy(key).orderBy("valid_from", "_src")
+    cand = (
+        open_rows.unionByName(ups)
+        .withColumn("_prev", F.lag("_a").over(w))
+        # NOT eqNullSafe, not !=: a change to/from a NULL attribute
+        # value must count as a change, and struct != is NULL there
+        .filter(~F.col("_prev").eqNullSafe(F.col("_a")))
+    )
+    w2 = Window.partitionBy(key).orderBy("valid_from", "_src")
+    versions = cand.select(
+        F.col(key),
+        "_a",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+    history = current.filter(F.col("valid_to").isNotNull()).select(
+        F.col(key), a.alias("_a"), "valid_from", "valid_to"
+    )
+    return history.unionByName(versions).select(
+        key,
+        *[F.col("_a")[c].alias(c) for c in attrs],
+        "valid_from",
+        "valid_to",
+    )
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Strict-order funnel completion (the Amplitude/Mixpanel funnel,
+    SQL's MATCH_RECOGNIZE-lite): per key, the earliest time each step
+    completes, where step i must occur STRICTLY after step i-1's
+    completion; an event type can only fill its own step, and a step
+    fills at most once (earliest win).
+
+    Shape: map-side filter to funnel-relevant events (the scan drops
+    every other type before any exchange), then ONE key-partitioned
+    shuffle into collect_list -> array_sort -> a single ``aggregate``
+    HOF fold whose accumulator is an array<long> of per-step
+    completion epochs — no join chain (the join-of-aggs form costs
+    len(steps) shuffles and len(steps)-1 joins), no Python, state
+    bounded at len(steps) longs per key. Per-key event lists are
+    user-history-sized; a pathologically hot key takes the same
+    (key, coarse-bucket) pre-split as the other temporal operators.
+
+    Returns (key, steps_completed, ts_<step>... epoch secs, NULL where
+    never reached). Keys with no funnel-relevant events are absent.
+    """
+    n = len(steps)
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    ev = df.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(key),
+        F.struct(
+            F.unix_timestamp(F.col(ts)).alias("t"),
+            F.col(tie_col).cast("long").alias("tie"),
+            F.col(type_col).alias("y"),
+        ).alias("e"),
+    )
+    grouped = ev.groupBy(key).agg(
+        F.array_sort(F.collect_list("e")).alias("evs")
+    )
+    init = F.expr(f"cast(array({', '.join(['null'] * n)}) as array<bigint>)")
+
+    def step_fold(acc, e):
+        # position i (0-based) fills when still null, the event's type
+        # IS steps[i], and step i-1 completed strictly earlier.
+        # greatest(i, 1): keeps element_at's 1-based index valid when
+        # i == 0 (the `i == 0` disjunct decides that case; ANSI mode
+        # would reject index 0 even on the untaken branch).
+        return F.transform(
+            acc,
+            lambda v, i: F.coalesce(
+                v,
+                F.when(
+                    (e["y"] == F.element_at(step_arr, i + F.lit(1)))
+                    & (
+                        (i == F.lit(0))
+                        | (
+                            F.element_at(
+                                acc, F.greatest(i, F.lit(1))
+                            ).isNotNull()
+                            & (
+                                e["t"]
+                                > F.element_at(acc, F.greatest(i, F.lit(1)))
+                            )
+                        )
+                    ),
+                    e["t"],
+                ),
+            ),
+        )
+
+    done = grouped.select(
+        F.col(key), F.aggregate("evs", init, step_fold).alias("hits")
+    )
+    return done.select(
+        F.col(key),
+        F.size(F.filter("hits", lambda v: v.isNotNull())).alias(
+            "steps_completed"
+        ),
+        *[
+            F.element_at("hits", i + 1).alias(f"ts_{s}")
+            for i, s in enumerate(steps)
+        ],
+    )

@@ -4663,6 +4663,148 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
 """
 
 
+# -- strict-order funnel (MATCH_RECOGNIZE-lite) --------------------------------
+# Per-user earliest completion of signup -> view -> click -> purchase,
+# each step strictly after the previous: ONE key shuffle into a
+# collect_list/array_sort/aggregate-HOF fold (state = 4 longs per
+# key), vs the oracle's chained min-join formulation (provably equal:
+# over ts-sorted events, the first type-match strictly after the
+# previous step's min IS the min such event).
+
+
+_FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+def q_funnel_users(spark, sf_dir):
+    from .operators.temporal import funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(ev, steps=_FUNNEL_STEPS)
+
+
+SQL_FUNNEL_USERS = """
+WITH ev AS (
+  SELECT user_id, event_type AS y,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events
+  WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+),
+s1 AS (SELECT user_id, min(t) AS ts_signup FROM ev WHERE y = 'signup' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(t) AS ts_view FROM ev e JOIN s1 USING (user_id)
+       WHERE y = 'view' AND t > ts_signup GROUP BY 1),
+s3 AS (SELECT e.user_id, min(t) AS ts_click FROM ev e JOIN s2 USING (user_id)
+       WHERE y = 'click' AND t > ts_view GROUP BY 1),
+s4 AS (SELECT e.user_id, min(t) AS ts_purchase FROM ev e JOIN s3 USING (user_id)
+       WHERE y = 'purchase' AND t > ts_click GROUP BY 1)
+SELECT u.user_id,
+       CAST((ts_signup IS NOT NULL) AS INT) + CAST((ts_view IS NOT NULL) AS INT)
+       + CAST((ts_click IS NOT NULL) AS INT)
+       + CAST((ts_purchase IS NOT NULL) AS INT) AS steps_completed,
+       ts_signup, ts_view, ts_click, ts_purchase
+FROM (SELECT DISTINCT user_id FROM ev) u
+LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
+"""
+
+
+# -- SCD Type-2 dimension maintenance ------------------------------------------
+# Kimball slowly-changing-dimension merge: the customer dimension's
+# open versions + a batch of timestamped segment updates (derived from
+# the order stream) collapse into versioned validity intervals in ONE
+# key-partitioned window pass — change-detect by lag, close by lead.
+# History rows never shuffle; at 10^12 rows the window sees only
+# |keys| open rows + the incremental batch.
+
+
+def q_scd2_customer(spark, sf_dir):
+    from .operators.temporal import scd2_apply
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    current = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.to_timestamp(F.lit("1990-01-01")).alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    ups = orders.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("ts"),
+    ).agg(F.max_by("o_orderpriority", "o_orderkey").alias("segment"))
+    return scd2_apply(current, ups, key="custkey", attrs=["segment"], ts="ts")
+
+
+SQL_SCD2_CUSTOMER = """
+WITH ups AS (
+  SELECT o_custkey AS custkey, o_orderdate AS ts,
+         arg_max(o_orderpriority, o_orderkey) AS segment
+  FROM orders GROUP BY 1, 2
+),
+cand AS (
+  SELECT c_custkey AS custkey, c_mktsegment AS segment,
+         TIMESTAMP '1990-01-01' AS valid_from, 0 AS src
+  FROM customer
+  UNION ALL
+  SELECT custkey, segment, ts, 1 FROM ups
+),
+flagged AS (
+  SELECT *, lag(segment) OVER (
+    PARTITION BY custkey ORDER BY valid_from, src) AS prev
+  FROM cand
+),
+kept AS (
+  SELECT custkey, segment, valid_from, src FROM flagged
+  WHERE prev IS NULL OR prev <> segment
+)
+SELECT custkey, segment, valid_from,
+       lead(valid_from) OVER (
+         PARTITION BY custkey ORDER BY valid_from, src) AS valid_to
+FROM kept
+"""
+
+
+# -- time-bucket gap-fill + LOCF (hypertable regularization) -------------------
+# TimescaleDB's time_bucket_gapfill + locf as a Spark composition: one
+# per-(key,bucket) last-observation hash-agg, a sequence-exploded
+# bucket grid per key (fan-out bounded by span/bucket, not rows), and
+# a last-ignorenulls carry-forward window. Integer cents throughout so
+# the result is bit-identical across engines and partitionings.
+
+
+def q_event_gapfill(spark, sf_dir):
+    from .operators.temporal import gapfill_locf
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return gapfill_locf(ev, bucket_s=21600)
+
+
+SQL_EVENT_GAPFILL = """
+WITH obs AS (
+  SELECT user_id, b, v_cents FROM (
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 21600) AS BIGINT) AS b,
+           CAST(round(value * 100) AS BIGINT) AS v_cents,
+           row_number() OVER (
+             PARTITION BY user_id, CAST(floor(epoch(ts) / 21600) AS BIGINT)
+             ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
+spans AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM obs GROUP BY user_id),
+grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS b FROM spans),
+j AS (
+  SELECT g.user_id, g.b, o.v_cents
+  FROM grid g LEFT JOIN obs o USING (user_id, b)
+)
+SELECT user_id, b * 21600 AS bucket_start,
+       last_value(v_cents IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_cents,
+       v_cents IS NULL AS filled
+FROM j
+"""
+
+
 # -- Johnson-Lindenstrauss random projection -----------------------------------
 # Achlioptas 2003 sparse sign matrix, integer-exact (quantize -> +-1
 # matmul in int64), matrix derived from the repo's seeded-md5 hash60
@@ -4852,4 +4994,7 @@ def extra_queries() -> dict[str, tuple]:
         "fuzzy_pairs": (q_fuzzy_pairs, SQL_FUZZY_PAIRS),
         "matryoshka_top3": (q_matryoshka_top3, SQL_MATRYOSHKA_TOP3),
         "jl_project": (q_jl_project, SQL_JL_PROJECT),
+        "event_gapfill": (q_event_gapfill, SQL_EVENT_GAPFILL),
+        "scd2_customer": (q_scd2_customer, SQL_SCD2_CUSTOMER),
+        "funnel_users": (q_funnel_users, SQL_FUNNEL_USERS),
     }

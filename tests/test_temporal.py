@@ -249,3 +249,253 @@ def test_interval_join_carries_and_prefixes_columns(spark):
     }
     r = out.collect()[0]
     assert (r.l_start, r.l_end, r.r_start, r.r_end) == (0, 10, 5, 15)
+
+
+def test_gapfill_locf_golden(spark):
+    """Hand-computed: per-user grid spans [min,max] buckets, gaps carry
+    the last observation forward, in-bucket winner is latest (ts, tie),
+    and users never leak into each other's grids."""
+    from nolock_social_ocr_services_spark.operators.temporal import (
+        gapfill_locf,
+    )
+
+    rows = [
+        # user 1: buckets 0, 3 observed (bucket_s=10) -> 1, 2 filled
+        (0, "2024-01-01 00:00:01", 1, "e", 1.00, None),
+        (1, "2024-01-01 00:00:05", 1, "e", 2.00, None),  # same bucket, later wins
+        (2, "2024-01-01 00:00:35", 1, "e", 9.00, None),
+        # user 2: single bucket
+        (3, "2024-01-01 00:00:12", 2, "e", 5.00, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    base = 1704067200  # 2024-01-01 epoch
+    out = {
+        (r.user_id, r.bucket_start): (r.v_cents, r.filled)
+        for r in gapfill_locf(ev, bucket_s=10).collect()
+    }
+    assert out[(1, base + 0)] == (200, False)   # later obs in bucket wins
+    assert out[(1, base + 10)] == (200, True)   # gap: carried forward
+    assert out[(1, base + 20)] == (200, True)
+    assert out[(1, base + 30)] == (900, False)
+    assert out[(2, base + 10)] == (500, False)
+    assert len(out) == 5  # no rows outside each user's span
+
+
+def test_gapfill_locf_matches_pandas(spark):
+    """Parity with a pandas reference (bucket -> last obs -> reindex ->
+    ffill) on random data with real gaps."""
+    import numpy as np
+    import pandas as pd
+
+    from nolock_social_ocr_services_spark.operators.temporal import (
+        gapfill_locf,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 3_000_000, n), unit="s"),
+            "user_id": rng.integers(0, 7, n),
+            "event_type": "e",
+            "value": np.round(rng.uniform(0, 100, n), 2),
+            "props": "",
+        }
+    )
+    ev = spark.createDataFrame(pdf)
+    got = {
+        (r.user_id, r.bucket_start): (r.v_cents, r.filled)
+        for r in gapfill_locf(ev, bucket_s=21600).collect()
+    }
+    want = {}
+    pdf["b"] = (pdf.ts.astype("int64") // 10**9) // 21600
+    pdf["cents"] = (pdf.value * 100).round().astype("int64")
+    for uid, g in pdf.groupby("user_id"):
+        last = (
+            g.sort_values(["ts", "event_id"]).groupby("b")["cents"].last()
+        )
+        grid = pd.RangeIndex(last.index.min(), last.index.max() + 1)
+        re = last.reindex(grid)
+        filled = re.isna()
+        re = re.ffill()
+        for b, v, f in zip(grid, re, filled):
+            want[(uid, b * 21600)] = (int(v), bool(f))
+    assert got == want and len(want) > n  # grid larger than events
+
+
+def test_scd2_apply_golden(spark):
+    """Kimball chain: open version closes at the first REAL change,
+    consecutive no-change updates collapse, multiple changes chain,
+    history rows pass through untouched, and a NULL attribute value
+    counts as a change in both directions."""
+    from nolock_social_ocr_services_spark.operators.temporal import (
+        scd2_apply,
+    )
+
+    current = spark.createDataFrame(
+        [
+            # k=1: one closed history row + open version 'a'
+            (1, "old", _ts(0), _ts(1)),
+            (1, "a", _ts(1), None),
+            # k=2: open version 'x', no updates arrive
+            (2, "x", _ts(0), None),
+            # k=3: open 'p', update chain p -> NULL -> p
+            (3, "p", _ts(0), None),
+        ],
+        "k long, seg string, valid_from timestamp, valid_to timestamp",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "a", _ts(2)),   # no change: collapsed
+            (1, "b", _ts(3)),   # change: closes 'a'
+            (1, "b", _ts(4)),   # no change again
+            (3, None, _ts(5)),  # change to NULL
+            (3, "p", _ts(6)),   # change back from NULL
+        ],
+        "k long, seg string, ts timestamp",
+    )
+    out = scd2_apply(current, updates, key="k", attrs=["seg"], ts="ts")
+    rows = {(r.k, r.valid_from): (r.seg, r.valid_to) for r in out.collect()}
+    assert rows[(1, _ts(0))] == ("old", _ts(1))       # history untouched
+    assert rows[(1, _ts(1))] == ("a", _ts(3))         # closed at change
+    assert rows[(1, _ts(3))] == ("b", None)           # new open version
+    assert rows[(2, _ts(0))] == ("x", None)           # untouched open
+    assert rows[(3, _ts(0))] == ("p", _ts(5))
+    assert rows[(3, _ts(5))] == (None, _ts(6))        # NULL is a change
+    assert rows[(3, _ts(6))] == ("p", None)
+    assert len(rows) == 7
+
+
+def test_scd2_point_in_time_lookup_consistent(spark):
+    """Every (key, instant) resolves to at most one version, and the
+    chain tiles the key's span with no overlaps or holes."""
+    from nolock_social_ocr_services_spark.operators.temporal import (
+        scd2_apply,
+    )
+
+    current = spark.createDataFrame(
+        [(1, "a", _ts(0), None)],
+        "k long, seg string, valid_from timestamp, valid_to timestamp",
+    )
+    updates = spark.createDataFrame(
+        [(1, "b", _ts(2)), (1, "c", _ts(4)), (1, "b", _ts(6))],
+        "k long, seg string, ts timestamp",
+    )
+    out = scd2_apply(current, updates, key="k", attrs=["seg"], ts="ts")
+    vs = sorted(out.collect(), key=lambda r: r.valid_from)
+    for a, b in zip(vs, vs[1:]):
+        assert a.valid_to == b.valid_from  # tiled, no gap/overlap
+    assert vs[-1].valid_to is None
+    for m, want in [(1, "a"), (3, "b"), (5, "c"), (7, "b")]:
+        hits = [
+            r.seg for r in vs
+            if r.valid_from <= _ts(m) and (r.valid_to is None or _ts(m) < r.valid_to)
+        ]
+        assert hits == [want], m
+
+
+def test_funnel_strict_order_golden(spark):
+    """Steps must complete strictly in order: an early 'click' before
+    'view' completes is ignored, a later one counts; equal timestamps
+    do NOT satisfy the strictly-after rule; never-reached steps stay
+    NULL and don't block earlier ones."""
+    from nolock_social_ocr_services_spark.operators.temporal import funnel
+
+    rows = [
+        # u1: click at t=5 BEFORE view(t=10) is ignored; click t=20 counts
+        (0, _ts(0), 1, "signup", 0.0, ""),
+        (1, _ts(0, 5), 1, "click", 0.0, ""),
+        (2, _ts(0, 10), 1, "view", 0.0, ""),
+        (3, _ts(0, 20), 1, "click", 0.0, ""),
+        (4, _ts(0, 30), 1, "purchase", 0.0, ""),
+        # u2: view at the SAME second as signup -> not strictly after
+        (5, _ts(1), 2, "signup", 0.0, ""),
+        (6, _ts(1), 2, "view", 0.0, ""),
+        # u3: starts mid-funnel (no signup): nothing completes
+        (7, _ts(2), 3, "view", 0.0, ""),
+        (8, _ts(2, 10), 3, "purchase", 0.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        r.user_id: r
+        for r in funnel(
+            ev, steps=["signup", "view", "click", "purchase"]
+        ).collect()
+    }
+    base = int(_ts(0).replace(tzinfo=dt.timezone.utc).timestamp())
+    u1 = out[1]
+    assert u1.steps_completed == 4
+    assert (
+        u1.ts_signup, u1.ts_view, u1.ts_click, u1.ts_purchase
+    ) == (base, base + 10, base + 20, base + 30)
+    u2 = out[2]
+    assert u2.steps_completed == 1 and u2.ts_view is None
+    u3 = out[3]
+    assert u3.steps_completed == 0
+    assert u3.ts_view is None and u3.ts_purchase is None
+
+
+def test_funnel_matches_chained_min_python(spark):
+    """Parity with the chained-min reference on random event streams."""
+    import numpy as np
+
+    from nolock_social_ocr_services_spark.operators.temporal import funnel
+
+    rng = np.random.default_rng(23)
+    types = ["signup", "view", "click", "purchase", "error"]
+    rows = [
+        (
+            i,
+            dt.datetime(2024, 1, 1)
+            + dt.timedelta(seconds=int(rng.integers(0, 5000))),
+            int(rng.integers(0, 12)),
+            types[int(rng.integers(0, 5))],
+            0.0,
+            "",
+        )
+        for i in range(600)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    steps = ["signup", "view", "click", "purchase"]
+    got = {
+        r.user_id: (r.steps_completed, r.ts_signup, r.ts_view, r.ts_click,
+                    r.ts_purchase)
+        for r in funnel(ev, steps=steps).collect()
+    }
+    want = {}
+    by_user: dict = {}
+    for _eid, ts, uid, y, _v, _p in rows:
+        if y in steps:
+            by_user.setdefault(uid, []).append(
+                (int(ts.replace(tzinfo=dt.timezone.utc).timestamp()), y)
+            )
+    for uid, evs in by_user.items():
+        hits = []
+        prev = None
+        for s in steps:
+            cand = [
+                t for t, y in evs
+                if y == s and (prev is None or t > prev)
+            ]
+            cur = min(cand) if cand else None
+            hits.append(cur)
+            if cur is None:
+                break
+            prev = cur
+        hits += [None] * (4 - len(hits))
+        want[uid] = (sum(h is not None for h in hits), *hits)
+    assert got == want and len(want) > 5

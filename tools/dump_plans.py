@@ -98,6 +98,14 @@ PLAN_QUERIES = [
                           # no match-list inflation, no distinct
     "fuzzy_pairs",        # ER blocker: (prefix, len-bucket) equi-join +
                           # levenshtein verify on candidates, no cartesian
+    "event_gapfill",      # per-key bucket grid (sequence explode) +
+                          # LOCF window: key-partitioned exchanges only
+    "scd2_customer",      # SCD2 merge: open ∪ batch -> one key window
+                          # pass (lag detect + lead close), history
+                          # rows never shuffle
+    "funnel_users",       # strict-order funnel: map-side type filter,
+                          # ONE key shuffle, aggregate-HOF fold (no
+                          # join chain, no Python)
     # matryoshka_top3 is NOT dumped: it composes the cosine_topk
     # crossJoin BASELINE (like cosine_top3, also undumped); its own
     # claim — plan-side slice, zero Python — is pinned by
