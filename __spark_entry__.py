@@ -411,6 +411,14 @@ _REDUNDANT_TAIL = (
     # joins, 1 exchange) + tests/test_joins.py, and the join+agg
     # family keeps customer_revenue's r2-green row and
     # bloom_join_stats/interval_overlap in the head
+    "user_cohorts",  # tail from birth: distinct + min-agg + key join +
+    # tiny-result agg — every mechanic has a head rep (hash_split's
+    # bucketing, customer_revenue's join+agg, token_budget's integer
+    # div); composition oracle-green locally + pytest
+    "brand_basket",  # tail from birth: per-basket self-equi-join is
+    # interval_overlap's bounded-fanout pattern on a transaction key;
+    # integer milli-rates are the token_budget/kmv_overlap contract;
+    # oracle-green locally + lift/confidence golden pytest
     "scd2_customer",  # tail from birth: the lag-change-detect /
     # lead-close window mechanics are the head-checked
     # user_sessions-family spine (and event_moving_stats keeps the

@@ -574,3 +574,55 @@ def funnel(
             for i, s in enumerate(steps)
         ],
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    period_s: int = 7 * 86400,
+    max_periods: int = 8,
+) -> DataFrame:
+    """Cohort retention table (the product-analytics staple next to
+    :func:`funnel`): users are cohorted by the period of their FIRST
+    event; retention[c][k] = how many of cohort c were active k
+    periods later, as count + milli-rate (integer arithmetic — a
+    float division per engine would differ in the last ulp).
+
+    Shape: one (key) hash-agg pins each user's cohort period (min
+    bucket — partial aggs collapse map-side); one distinct over
+    (key, period) reduces activity to user-period rows BEFORE the
+    cohort join (so a user's 10^6 events in a week cost one row);
+    the join back is key-partitioned; the final agg is over
+    (cohort, offset) — at most cohorts x max_periods rows. No row
+    explosion anywhere; every exchange is on keys or on the tiny
+    result space.
+
+    Returns (cohort_start epoch secs, period_offset, n_active,
+    cohort_size, retention_milli), offsets 0..max_periods.
+    """
+    b = F.floor(F.unix_timestamp(F.col(ts)) / period_s).cast("long")
+    activity = df.select(F.col(key), b.alias("_p")).distinct()
+    cohorts = activity.groupBy(key).agg(F.min("_p").alias("_c"))
+    sizes = cohorts.groupBy("_c").agg(F.count("*").alias("cohort_size"))
+    hits = (
+        activity.join(cohorts, on=key)
+        .withColumn("_k", (F.col("_p") - F.col("_c")).cast("int"))
+        .filter(F.col("_k") <= max_periods)
+        .groupBy("_c", "_k")
+        .agg(F.count("*").alias("n_active"))
+    )
+    return (
+        hits.join(sizes, on="_c")
+        .select(
+            (F.col("_c") * period_s).alias("cohort_start"),
+            F.col("_k").alias("period_offset"),
+            "n_active",
+            "cohort_size",
+            # integer div, not float /: a double quotient's last ulp
+            # can truncate differently across engines
+            F.expr("n_active * 1000 div cohort_size").alias(
+                "retention_milli"
+            ),
+        )
+    )

@@ -4663,6 +4663,92 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
 """
 
 
+# -- cohort retention ----------------------------------------------------------
+# Daily cohorts over the event stream: users cohorted by first-activity
+# day; retention in integer milli-units (float division would differ
+# in the last ulp across engines). Activity reduces to DISTINCT
+# (user, day) before any join — a user's 10^6 events cost one row.
+
+
+def q_user_cohorts(spark, sf_dir):
+    from .operators.temporal import cohort_retention
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cohort_retention(ev, period_s=86400, max_periods=10)
+
+
+SQL_USER_COHORTS = """
+WITH activity AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS p
+  FROM events
+),
+cohorts AS (SELECT user_id, min(p) AS c FROM activity GROUP BY 1),
+sizes AS (SELECT c, count(*) AS cohort_size FROM cohorts GROUP BY 1),
+hits AS (
+  SELECT c, CAST(a.p - c AS INT) AS k, count(*) AS n_active
+  FROM activity a JOIN cohorts USING (user_id)
+  WHERE a.p - c <= 10
+  GROUP BY 1, 2
+)
+SELECT c * 86400 AS cohort_start, k AS period_offset, n_active,
+       cohort_size, n_active * 1000 // cohort_size AS retention_milli
+FROM hits JOIN sizes USING (c)
+"""
+
+
+# -- market-basket association rules -------------------------------------------
+# The a-priori pair pass (Agrawal & Srikant 1994) over order->brand
+# baskets: support / confidence / lift in integer milli-units. The
+# self-join fans out per BASKET (bounded by max_basket), never per
+# corpus; the transaction count N for lift is the post-cap population.
+
+
+def q_brand_basket(spark, sf_dir):
+    from .functions import basket as bk
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    tx = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(
+            F.col("l_orderkey").alias("txn"), F.col("p_brand").alias("item")
+        )
+    )
+    return bk.pair_rules(tx, min_pair_count=2)
+
+
+SQL_BRAND_BASKET = """
+WITH t AS (
+  SELECT DISTINCT l.l_orderkey AS txn, p.p_brand AS item
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+sizes AS (
+  SELECT txn, count(*) AS bs FROM t GROUP BY 1 HAVING count(*) <= 1000
+),
+kept AS (SELECT t.* FROM t JOIN sizes USING (txn)),
+n AS (SELECT count(*) AS n_txn FROM sizes),
+ic AS (SELECT item, count(*) AS c FROM kept GROUP BY 1),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_count
+  FROM kept a JOIN kept b ON a.txn = b.txn AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT item_a, item_b, pair_count, ca.c AS count_a, cb.c AS count_b,
+       pair_count * 1000 // ca.c AS conf_ab_milli,
+       pair_count * 1000 // cb.c AS conf_ba_milli,
+       pair_count * (SELECT n_txn FROM n) * 1000 // (ca.c * cb.c)
+         AS lift_milli
+FROM pairs
+JOIN ic ca ON ca.item = pairs.item_a
+JOIN ic cb ON cb.item = pairs.item_b
+"""
+
+
 # -- strict-order funnel (MATCH_RECOGNIZE-lite) --------------------------------
 # Per-user earliest completion of signup -> view -> click -> purchase,
 # each step strictly after the previous: ONE key shuffle into a
@@ -4997,4 +5083,6 @@ def extra_queries() -> dict[str, tuple]:
         "event_gapfill": (q_event_gapfill, SQL_EVENT_GAPFILL),
         "scd2_customer": (q_scd2_customer, SQL_SCD2_CUSTOMER),
         "funnel_users": (q_funnel_users, SQL_FUNNEL_USERS),
+        "user_cohorts": (q_user_cohorts, SQL_USER_COHORTS),
+        "brand_basket": (q_brand_basket, SQL_BRAND_BASKET),
     }

@@ -499,3 +499,80 @@ def test_funnel_matches_chained_min_python(spark):
         hits += [None] * (4 - len(hits))
         want[uid] = (sum(h is not None for h in hits), *hits)
     assert got == want and len(want) > 5
+
+
+def test_cohort_retention_golden(spark):
+    """Two cohorts; retention counts distinct users per offset, a user
+    active twice in one period counts once, offsets beyond max_periods
+    drop, and the milli-rate is exact integer division."""
+    from nolock_social_ocr_services_spark.operators.temporal import (
+        cohort_retention,
+    )
+
+    day = 86400
+
+    def ev(eid, uid, day_off, sec=0):
+        return (
+            eid,
+            dt.datetime(2024, 1, 1) + dt.timedelta(days=day_off, seconds=sec),
+            uid,
+            "e",
+            0.0,
+            "",
+        )
+
+    rows = [
+        ev(0, 1, 0), ev(1, 1, 0, 30), ev(2, 1, 1),   # u1: cohort d0, d1
+        ev(3, 2, 0), ev(4, 2, 2),                    # u2: cohort d0, d2
+        ev(5, 3, 0), ev(6, 3, 99),                   # u3: offset 99 dropped
+        ev(7, 4, 1),                                 # u4: cohort d1 only
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        (r.cohort_start, r.period_offset): (
+            r.n_active, r.cohort_size, r.retention_milli
+        )
+        for r in cohort_retention(df, period_s=day, max_periods=5).collect()
+    }
+    base = int(
+        dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+    )
+    assert out[(base, 0)] == (3, 3, 1000)       # u1 u2 u3
+    assert out[(base, 1)] == (1, 3, 333)        # u1 only; 1000//3
+    assert out[(base, 2)] == (1, 3, 333)        # u2
+    assert out[(base + day, 0)] == (1, 1, 1000)  # u4's own cohort
+    assert len(out) == 4                         # offset-99 row dropped
+
+
+def test_pair_rules_golden(spark):
+    """Hand-computed support/confidence/lift, in-basket duplicates
+    collapse, and an over-cap basket is excluded from pairs AND from
+    the lift population."""
+    from nolock_social_ocr_services_spark.functions import basket as bk
+
+    rows = [
+        (1, "milk"), (1, "bread"), (1, "milk"),      # dup milk collapses
+        (2, "milk"), (2, "bread"),
+        (3, "milk"), (3, "eggs"),
+        (4, "bread"),
+        (5, "a"), (5, "b"), (5, "c"),                # over cap: dropped
+    ]
+    tx = spark.createDataFrame(rows, "txn long, item string")
+    out = {
+        (r.item_a, r.item_b): r
+        for r in bk.pair_rules(
+            tx, min_pair_count=2, max_basket=2
+        ).collect()
+    }
+    # post-cap population: txns 1-4 (basket 5 has 3 items > cap)
+    assert set(out) == {("bread", "milk")}
+    r = out[("bread", "milk")]
+    assert r.pair_count == 2
+    assert (r.count_a, r.count_b) == (3, 3)          # bread 1,2,4; milk 1,2,3
+    assert r.conf_ab_milli == 2 * 1000 // 3          # P(milk|bread)
+    assert r.conf_ba_milli == 2 * 1000 // 3
+    assert r.lift_milli == 2 * 4 * 1000 // 9         # lift = P(ab)/P(a)P(b)
