@@ -411,6 +411,16 @@ _REDUNDANT_TAIL = (
     # joins, 1 exchange) + tests/test_joins.py, and the join+agg
     # family keeps customer_revenue's r2-green row and
     # bloom_join_stats/interval_overlap in the head
+    "customer_neighbors",  # tail from birth: the banded-join family
+    # keeps interval_overlap (1-D) and the SimHash/SRP banded joins in
+    # the head; the 3x3-exhaustive grid claim is pinned by a
+    # brute-force-parity pytest and the brute-quadratic oracle is
+    # green locally
+    "part_triangles",  # tail from birth: the graph family keeps
+    # pagerank_trade's 4-round unrolled-CTE check in the head; the
+    # degree-oriented wedge join is pinned by an independent-
+    # formulation pytest (brute triple-join parity) and the oracle
+    # (id-canonical orientation) is green locally
     "user_cohorts",  # tail from birth: distinct + min-agg + key join +
     # tiny-result agg — every mechanic has a head rep (hash_split's
     # bucketing, customer_revenue's join+agg, token_budget's integer

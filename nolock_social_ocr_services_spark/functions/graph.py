@@ -127,3 +127,100 @@ def pagerank_reference(
             nxt[v] += (damping_pct * r[u]) // (100 * outdeg[u])
         r = nxt
     return r
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    persist: bool = True,
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient, via
+    the degree-oriented wedge join (Suri & Vassilvitskii 2011,
+    "Counting triangles and the curse of the last reducer").
+
+    The naive triple-join enumerates every wedge at a hub node —
+    O(d_max^2) rows for one key, the "last reducer" that stalls a
+    10^12-edge job. Orienting each undirected edge from its
+    lower-(degree, id) endpoint to the higher one bounds every node's
+    OUT-degree by O(sqrt(m)): wedges are generated only at a triangle's
+    smallest-degree corner, so the per-key fan-out — and the shuffle —
+    is O(m^1.5) total regardless of hubs. The closure check is one
+    equi-join back against the oriented edge set.
+
+    Input may contain duplicates, self-loops, or both directions; all
+    are canonicalized away. Output: (node, triangles, degree,
+    clustering_milli) for every node with degree >= 1, clustering in
+    exact integer milli (2T*1000 div d(d-1), 0 when d < 2).
+
+    ``persist``: the canonical edge set, degree table, and oriented
+    edges are each referenced 2-3 times downstream (wedge sides,
+    closure probe, corner counts); like :func:`pagerank`, materialize
+    them once instead of re-running the upstream edge derivation ~8
+    times (without this the plan re-computes the whole input subtree
+    per reference). Caller unpersists by releasing the DataFrames.
+    """
+    u, v = F.col(src), F.col(dst)
+    e = (
+        edges.filter(u != v)
+        .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .distinct()
+    )
+    if persist:
+        from pyspark import StorageLevel
+
+        e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    if persist:
+        from pyspark import StorageLevel
+
+        deg = deg.persist(StorageLevel.MEMORY_AND_DISK)
+    ed = (
+        e.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    lo_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = ed.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    )
+    if persist:
+        from pyspark import StorageLevel
+
+        o = o.persist(StorageLevel.MEMORY_AND_DISK)
+    o1 = o.select(F.col("s"), F.col("t").alias("b"), F.col("dt").alias("db"))
+    o2 = o.select(F.col("s"), F.col("t").alias("c"), F.col("dt").alias("dc"))
+    wedges = o1.join(o2, on="s").filter(
+        F.struct(F.col("db"), F.col("b")) < F.struct(F.col("dc"), F.col("c"))
+    )
+    closing = o.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    tri = wedges.join(closing, on=["b", "c"]).select("s", "b", "c")
+    corners = (
+        tri.select(F.col("s").alias("n"))
+        .unionAll(tri.select(F.col("b").alias("n")))
+        .unionAll(tri.select(F.col("c").alias("n")))
+    )
+    tc = corners.groupBy("n").agg(F.count("*").alias("triangles"))
+    return (
+        deg.join(tc, on="n", how="left")
+        .select(
+            F.col("n").alias("node"),
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+            F.col("d").alias("degree"),
+            F.when(
+                F.col("d") >= 2,
+                F.expr("2 * coalesce(triangles, 0) * 1000 div (d * (d - 1))"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("clustering_milli"),
+        )
+    )

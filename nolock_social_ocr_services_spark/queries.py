@@ -4663,6 +4663,103 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
 """
 
 
+# -- spatial neighbor join -----------------------------------------------------
+# 2-D grid-cell banded join (the spatial member of the interval_join /
+# simhash-band family): customers placed on a 1000x1000 integer grid by
+# the seeded-md5 convention, all pairs within radius 25 via 3x3 cell
+# explode + exact integer dist^2 verify. Oracle = the BRUTE-FORCE
+# quadratic formulation — grid banding must reproduce it exactly
+# (cell width = radius makes the 3x3 neighborhood exhaustive).
+
+
+def q_customer_neighbors(spark, sf_dir):
+    from .functions.sampling import hash60
+    from .functions.spatial import neighbor_pairs
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    key = F.col("c_custkey").cast("string")
+    pts = cust.select(
+        F.col("c_custkey").alias("pid"),
+        F.pmod(hash60(F.concat(key, F.lit(":x"))), F.lit(1000)).alias("x"),
+        F.pmod(hash60(F.concat(key, F.lit(":y"))), F.lit(1000)).alias("y"),
+    )
+    return neighbor_pairs(pts, radius=25)
+
+
+SQL_CUSTOMER_NEIGHBORS = """
+WITH pts AS (
+  SELECT c_custkey AS pid,
+         CAST(CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':x'),
+                    1, 15)) AS UBIGINT) % 1000 AS BIGINT) AS x,
+         CAST(CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':y'),
+                    1, 15)) AS UBIGINT) % 1000 AS BIGINT) AS y
+  FROM customer
+)
+SELECT a.pid AS id_a, b.pid AS id_b,
+       (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+FROM pts a JOIN pts b ON a.pid < b.pid
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 625
+"""
+
+
+# -- triangle counting / clustering coefficient --------------------------------
+# Suri & Vassilvitskii 2011 degree-oriented wedge join over the part
+# co-occurrence graph (parts sharing >= 2 orders): out-degree bounded
+# O(sqrt(m)) so no hub node becomes the "last reducer". The oracle
+# enumerates the SAME triangles by the id-canonical a<b<c triple join
+# — an independent formulation (orientation by degree vs by id).
+
+
+def q_part_triangles(spark, sf_dir):
+    from .functions.graph import triangle_stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, on="o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    return triangle_stats(pairs, src="u", dst="v")
+
+
+SQL_PART_TRIANGLES = """
+WITH pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS c
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+e AS (SELECT u, v FROM pairs WHERE c >= 2),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT a AS n FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+tc AS (SELECT n, count(*) AS t FROM corners GROUP BY 1),
+deg AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e
+  ) GROUP BY 1
+)
+SELECT deg.n AS node, CAST(COALESCE(t, 0) AS BIGINT) AS triangles,
+       CAST(d AS BIGINT) AS degree,
+       CASE WHEN d >= 2
+            THEN 2 * COALESCE(t, 0) * 1000 // (d * (d - 1))
+            ELSE 0 END AS clustering_milli
+FROM deg LEFT JOIN tc ON tc.n = deg.n
+"""
+
+
 # -- cohort retention ----------------------------------------------------------
 # Daily cohorts over the event stream: users cohorted by first-activity
 # day; retention in integer milli-units (float division would differ
@@ -5085,4 +5182,6 @@ def extra_queries() -> dict[str, tuple]:
         "funnel_users": (q_funnel_users, SQL_FUNNEL_USERS),
         "user_cohorts": (q_user_cohorts, SQL_USER_COHORTS),
         "brand_basket": (q_brand_basket, SQL_BRAND_BASKET),
+        "part_triangles": (q_part_triangles, SQL_PART_TRIANGLES),
+        "customer_neighbors": (q_customer_neighbors, SQL_CUSTOMER_NEIGHBORS),
     }

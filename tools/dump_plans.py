@@ -106,6 +106,11 @@ PLAN_QUERIES = [
     "funnel_users",       # strict-order funnel: map-side type filter,
                           # ONE key shuffle, aggregate-HOF fold (no
                           # join chain, no Python)
+    "part_triangles",     # degree-oriented wedge join: equi-joins
+                          # only, out-degree bounded, no cartesian
+    "customer_neighbors",  # grid-cell spatial join: 3x3 explode +
+                           # cell equi-join + exact verify, no
+                           # cartesian, no distinct shuffle
     # matryoshka_top3 is NOT dumped: it composes the cosine_topk
     # crossJoin BASELINE (like cosine_top3, also undumped); its own
     # claim — plan-side slice, zero Python — is pinned by
