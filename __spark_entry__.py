@@ -411,6 +411,16 @@ _REDUNDANT_TAIL = (
     # joins, 1 exchange) + tests/test_joins.py, and the join+agg
     # family keeps customer_revenue's r2-green row and
     # bloom_join_stats/interval_overlap in the head
+    "profile_orders",  # tail from birth: single-agg + stack reshape —
+    # the agg battery is head-repped everywhere (extraction_stats,
+    # batch_stats r2-green); oracle-green locally + width/nulls pytest
+    "orders_checks",  # tail from birth: ST6 errors-as-data applied to
+    # tables; one projection + one agg, mechanics head-repped by
+    # extraction_stats/curate; oracle-green locally + rule pytest
+    "doc_len_outliers",  # tail from birth: doubled-integer median/MAD;
+    # the exact-quantile surface is head-checked via length_curriculum
+    # boundaries and value_quantiles (r2-green); oracle-green locally
+    # + hand-computed MAD pytest
     "customer_neighbors",  # tail from birth: the banded-join family
     # keeps interval_overlap (1-D) and the SimHash/SRP banded joins in
     # the head; the 3x3-exhaustive grid claim is pinned by a

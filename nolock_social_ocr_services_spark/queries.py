@@ -4663,6 +4663,99 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
 """
 
 
+# -- data-quality: profiling, constraints, robust outliers ---------------------
+# The Deequ/Great-Expectations surface: per-column profile in a fixed
+# number of passes, named row-rules as one projection + one tiny agg
+# (errors are data, never job failures — ST6's contract applied to
+# tables), and median/MAD robust outliers in doubled-integer
+# arithmetic so both engines flag the identical rows.
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def q_profile_orders(spark, sf_dir):
+    from .functions.profile import profile_table
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return profile_table(orders, cols=_PROFILE_COLS)
+
+
+SQL_PROFILE_ORDERS = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", count(*) AS n_rows,
+       count(*) - count({c}) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_str,
+       CAST(max({c}) AS VARCHAR) AS max_str FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+def q_orders_checks(spark, sf_dir):
+    from .functions.profile import check_constraints
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return check_constraints(
+        orders,
+        {
+            "key_not_null": F.col("o_orderkey").isNotNull(),
+            "status_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+            "priority_format": F.col("o_orderpriority").rlike("^[1-5]-"),
+            "price_positive": F.col("o_totalprice") > 0,
+            "price_under_100k": F.col("o_totalprice") <= 100000,
+        },
+    )
+
+
+SQL_ORDERS_CHECKS = """
+WITH a AS (
+  SELECT count(*) AS n,
+    sum(CASE WHEN NOT COALESCE(o_orderkey IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS f1,
+    sum(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 ELSE 0 END) AS f2,
+    sum(CASE WHEN NOT COALESCE(regexp_matches(o_orderpriority, '^[1-5]-'), FALSE) THEN 1 ELSE 0 END) AS f3,
+    sum(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS f4,
+    sum(CASE WHEN NOT COALESCE(o_totalprice <= 100000, FALSE) THEN 1 ELSE 0 END) AS f5
+  FROM orders
+)
+SELECT 'key_not_null' AS rule, CAST(n AS BIGINT) AS n_rows,
+       CAST(f1 AS BIGINT) AS n_fail, CAST(f1 AS BIGINT) * 1000 // n AS fail_milli FROM a
+UNION ALL SELECT 'status_domain', n, CAST(f2 AS BIGINT), CAST(f2 AS BIGINT) * 1000 // n FROM a
+UNION ALL SELECT 'priority_format', n, CAST(f3 AS BIGINT), CAST(f3 AS BIGINT) * 1000 // n FROM a
+UNION ALL SELECT 'price_positive', n, CAST(f4 AS BIGINT), CAST(f4 AS BIGINT) * 1000 // n FROM a
+UNION ALL SELECT 'price_under_100k', n, CAST(f5 AS BIGINT), CAST(f5 AS BIGINT) * 1000 // n FROM a
+"""
+
+
+def q_doc_len_outliers(spark, sf_dir):
+    from .functions.profile import mad_outliers
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mad_outliers(
+        docs, group_col="lang", id_col="doc_id", value_col="n_chars",
+        k_milli=1500,
+    )
+
+
+SQL_DOC_LEN_OUTLIERS = """
+WITH med AS (
+  SELECT lang AS g, CAST(2 * quantile_cont(n_chars, 0.5) AS BIGINT) AS med2
+  FROM documents GROUP BY 1
+),
+dev AS (
+  SELECT d.lang AS g, d.doc_id, d.n_chars,
+         abs(2 * d.n_chars - m.med2) AS a
+  FROM documents d JOIN med m ON m.g = d.lang
+),
+mad AS (
+  SELECT g, CAST(2 * quantile_cont(a, 0.5) AS BIGINT) AS mad4
+  FROM dev GROUP BY 1
+)
+SELECT dev.g AS lang, doc_id, n_chars, a AS dev2, mad4
+FROM dev JOIN mad USING (g)
+WHERE 2000 * a > 1500 * mad4
+"""
+
+
 # -- spatial neighbor join -----------------------------------------------------
 # 2-D grid-cell banded join (the spatial member of the interval_join /
 # simhash-band family): customers placed on a 1000x1000 integer grid by
@@ -5184,4 +5277,7 @@ def extra_queries() -> dict[str, tuple]:
         "brand_basket": (q_brand_basket, SQL_BRAND_BASKET),
         "part_triangles": (q_part_triangles, SQL_PART_TRIANGLES),
         "customer_neighbors": (q_customer_neighbors, SQL_CUSTOMER_NEIGHBORS),
+        "profile_orders": (q_profile_orders, SQL_PROFILE_ORDERS),
+        "orders_checks": (q_orders_checks, SQL_ORDERS_CHECKS),
+        "doc_len_outliers": (q_doc_len_outliers, SQL_DOC_LEN_OUTLIERS),
     }
