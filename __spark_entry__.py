@@ -411,6 +411,14 @@ _REDUNDANT_TAIL = (
     # joins, 1 exchange) + tests/test_joins.py, and the join+agg
     # family keeps customer_revenue's r2-green row and
     # bloom_join_stats/interval_overlap in the head
+    "postings_index",  # tail from birth: explode-distinct-agg over the
+    # shared words() contract, head-repped by bm25_topk (same
+    # tokenizer, the consuming stage) and vocab_oov's r2-green row;
+    # oracle-green locally + stopword-cap/sorted-postings pytest
+    "customer_kanon",  # tail from birth: class hash-agg + key join —
+    # join+agg mechanics head-repped broadly; the k-anonymity
+    # INVARIANT (every released class >= k, suppression by absence)
+    # is pinned by its own pytest; oracle-green locally
     "profile_orders",  # tail from birth: single-agg + stack reshape —
     # the agg battery is head-repped everywhere (extraction_stats,
     # batch_stats r2-green); oracle-green locally + width/nulls pytest

@@ -205,3 +205,49 @@ def bm25_topk(
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+def build_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df_milli: int | None = None,
+) -> DataFrame:
+    """Inverted-index build: (term, df, postings) with the posting
+    list as a SORTED doc-id array — the core IR artifact behind the
+    BM25/decontamination/hard-negative stages (Lucene's postings,
+    materialized as a table).
+
+    Shape: tokenize map-side (the shared ``words`` contract), reduce
+    to DISTINCT (doc, term) — tf does not belong in a df index and
+    dropping duplicates map-side shrinks the only shuffle — then ONE
+    term-partitioned agg builds df + the sorted posting array.
+
+    Skew IS the stopword problem here: the hottest term's posting list
+    is the biggest reduce key. ``max_df_milli`` drops terms present in
+    more than that fraction (milli) of documents — the classic
+    stopword cut — which is precisely a hot-key cap: the surviving
+    posting lists are bounded at max_df_milli/1000 * N entries.
+    ``min_df`` prunes the hapax tail (most of the vocabulary, nearly
+    useless postings). Both dials are audit-visible: the term row
+    carries df either way before the filter, and n_docs is computed
+    once (one scalar agg) and broadcast into the predicate.
+    """
+    t = df.select(
+        F.col(id_col).alias("_d"),
+        F.explode(F.array_distinct(words(F.col(text_col)))).alias("term"),
+    )
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).alias("_n")
+    )
+    posts = t.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.array_sort(F.collect_list("_d")).alias("postings"),
+    )
+    out = posts.filter(F.col("df") >= min_df)
+    if max_df_milli is not None:
+        out = out.crossJoin(F.broadcast(n_docs)).filter(
+            F.col("df") * 1000 <= F.lit(max_df_milli) * F.col("_n")
+        ).drop("_n")
+    return out

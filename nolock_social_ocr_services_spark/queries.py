@@ -4663,6 +4663,77 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
 """
 
 
+# -- inverted index build ------------------------------------------------------
+# Lucene's postings materialized as a table: distinct (doc, term)
+# map-side, ONE term-partitioned agg -> (term, df, sorted posting
+# array). min_df prunes the hapax tail; max_df_milli is the stopword
+# cut AND the hot-key cap (the biggest reduce key is the hottest term).
+
+
+def q_postings_index(spark, sf_dir):
+    from .functions.retrieval import build_postings
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return build_postings(docs, min_df=5, max_df_milli=810)
+
+
+SQL_POSTINGS_INDEX = r"""
+WITH t AS (
+  SELECT DISTINCT doc_id AS d, term FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+    FROM documents
+  ) WHERE term <> ''
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+posts AS (
+  SELECT term, count(*) AS df, list(d ORDER BY d) AS postings
+  FROM t GROUP BY term
+)
+SELECT term, df, postings FROM posts, n
+WHERE df >= 5 AND df * 1000 <= 810 * n_docs
+"""
+
+
+# -- k-anonymity release -------------------------------------------------------
+# Sweeney 2002: every released row's quasi-identifier combination
+# covers >= k rows; smaller equivalence classes are suppressed by
+# absence (identifiers never appear in the output at all). One class
+# hash-agg + one key join.
+
+
+def q_customer_kanon(spark, sf_dir):
+    from .functions.privacy import k_anonymize
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return k_anonymize(
+        cust,
+        quasi={
+            "nation": F.col("c_nationkey"),
+            "segment": F.col("c_mktsegment"),
+        },
+        sensitive={
+            "acctbal_cents": F.round(F.col("c_acctbal") * 100).cast("long")
+        },
+        k=5,
+    )
+
+
+SQL_CUSTOMER_KANON = """
+WITH g AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+  FROM customer
+),
+sizes AS (
+  SELECT nation, segment, count(*) AS class_size FROM g GROUP BY 1, 2
+  HAVING count(*) >= 5
+)
+SELECT g.nation, g.segment, g.acctbal_cents, s.class_size
+FROM g JOIN sizes s USING (nation, segment)
+"""
+
+
 # -- data-quality: profiling, constraints, robust outliers ---------------------
 # The Deequ/Great-Expectations surface: per-column profile in a fixed
 # number of passes, named row-rules as one projection + one tiny agg
@@ -5280,4 +5351,6 @@ def extra_queries() -> dict[str, tuple]:
         "profile_orders": (q_profile_orders, SQL_PROFILE_ORDERS),
         "orders_checks": (q_orders_checks, SQL_ORDERS_CHECKS),
         "doc_len_outliers": (q_doc_len_outliers, SQL_DOC_LEN_OUTLIERS),
+        "postings_index": (q_postings_index, SQL_POSTINGS_INDEX),
+        "customer_kanon": (q_customer_kanon, SQL_CUSTOMER_KANON),
     }
