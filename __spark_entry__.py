@@ -379,7 +379,7 @@ def _q_union_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lsh_candidates is re-verified inside jaccard_rerank's oracle CTE.
 # The driver checks at most ~50 queries; everything below is still a
 # full queries()+oracle_sql() pair (run `python tools/check_oracle.py`
-# to gate-check ALL entries locally — all 123 green as of late r3), ordered so
+# to gate-check ALL entries locally — all 138 green as of late r3), ordered so
 # the first 50 of the merged registry are the strongest non-overlapping
 # set. A tail entry is one whose semantics are re-verified inside a
 # head query's oracle, whose mechanics a head query subsumes, or whose
