@@ -379,7 +379,7 @@ def _q_union_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lsh_candidates is re-verified inside jaccard_rerank's oracle CTE.
 # The driver checks at most ~50 queries; everything below is still a
 # full queries()+oracle_sql() pair (run `python tools/check_oracle.py`
-# to gate-check ALL entries locally — all 138 green as of late r3), ordered so
+# to gate-check ALL entries locally — all 139 green as of late r3), ordered so
 # the first 50 of the merged registry are the strongest non-overlapping
 # set. A tail entry is one whose semantics are re-verified inside a
 # head query's oracle, whose mechanics a head query subsumes, or whose
@@ -411,6 +411,10 @@ _REDUNDANT_TAIL = (
     # joins, 1 exchange) + tests/test_joins.py, and the join+agg
     # family keeps customer_revenue's r2-green row and
     # bloom_join_stats/interval_overlap in the head
+    "customer_ldiv",  # tail from birth: one hash-agg with
+    # count_distinct — the l-diversity INVARIANT is pinned by pytest
+    # (a uniform-sensitive class passes k-anon but fails diversity);
+    # oracle-green locally
     "postings_index",  # tail from birth: explode-distinct-agg over the
     # shared words() contract, head-repped by bm25_topk (same
     # tokenizer, the consuming stage) and vocab_oov's r2-green row;

@@ -62,3 +62,36 @@ def k_anonymity_report(
             (F.col("class_size") >= k).alias("released"),
         )
     )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi: dict[str, Column],
+    sensitive: Column,
+    l: int = 2,
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala 2007 — the attack k-anonymity
+    misses: a class can be large yet carry ONE sensitive value, so
+    membership alone discloses it). One row per equivalence class:
+    (quasi..., class_size, n_sensitive, diverse) with ``diverse`` true
+    when the class holds >= l distinct sensitive values. Same single
+    hash-agg shape as :func:`k_anonymity_report` — count_distinct
+    rides the same shuffle."""
+    qnames = list(quasi)
+    return (
+        df.select(
+            *[expr.alias(name) for name, expr in quasi.items()],
+            sensitive.alias("_s"),
+        )
+        .groupBy(*qnames)
+        .agg(
+            F.count("*").alias("class_size"),
+            F.count_distinct(F.col("_s")).alias("n_sensitive"),
+        )
+        .select(
+            *qnames,
+            "class_size",
+            "n_sensitive",
+            (F.col("n_sensitive") >= l).alias("diverse"),
+        )
+    )

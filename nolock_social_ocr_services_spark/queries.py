@@ -4734,6 +4734,34 @@ FROM g JOIN sizes s USING (nation, segment)
 """
 
 
+def q_customer_ldiv(spark, sf_dir):
+    """l-diversity audit over the same release classes as
+    customer_kanon: a big class with one distinct balance would pass
+    k-anonymity yet disclose the balance by membership alone."""
+    from .functions.privacy import l_diversity_report
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return l_diversity_report(
+        cust,
+        quasi={
+            "nation": F.col("c_nationkey"),
+            "segment": F.col("c_mktsegment"),
+        },
+        sensitive=F.round(F.col("c_acctbal") * 100).cast("long"),
+        l=3,
+    )
+
+
+SQL_CUSTOMER_LDIV = """
+SELECT c_nationkey AS nation, c_mktsegment AS segment,
+       count(*) AS class_size,
+       count(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT)) AS n_sensitive,
+       count(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT)) >= 3 AS diverse
+FROM customer
+GROUP BY 1, 2
+"""
+
+
 # -- data-quality: profiling, constraints, robust outliers ---------------------
 # The Deequ/Great-Expectations surface: per-column profile in a fixed
 # number of passes, named row-rules as one projection + one tiny agg
@@ -5353,4 +5381,5 @@ def extra_queries() -> dict[str, tuple]:
         "doc_len_outliers": (q_doc_len_outliers, SQL_DOC_LEN_OUTLIERS),
         "postings_index": (q_postings_index, SQL_POSTINGS_INDEX),
         "customer_kanon": (q_customer_kanon, SQL_CUSTOMER_KANON),
+        "customer_ldiv": (q_customer_ldiv, SQL_CUSTOMER_LDIV),
     }

@@ -65,3 +65,22 @@ def test_build_postings_sorted_df_and_stopword_cap(spark):
     assert set(out) == {"cat", "sat"}
     assert out["cat"].df == 2 and out["cat"].postings == [2, 3]
     assert out["sat"].postings == [1, 3]  # sorted doc ids
+
+
+def test_l_diversity_catches_uniform_sensitive_class(spark):
+    """A class can satisfy k-anonymity (size 4 >= 3) while every member
+    shares ONE sensitive value — k-anon passes, l-diversity fails it."""
+    from nolock_social_ocr_services_spark.functions.privacy import (
+        l_diversity_report,
+    )
+
+    rows = [(i, "uniform", 500) for i in range(4)]
+    rows += [(i + 10, "varied", 100 + i) for i in range(4)]
+    df = spark.createDataFrame(rows, "pid long, g string, wage long")
+    rep = {r.g: r for r in l_diversity_report(
+        df, quasi={"g": F.col("g")}, sensitive=F.col("wage"), l=2
+    ).collect()}
+    assert rep["uniform"].class_size == 4       # k-anonymous at k<=4...
+    assert rep["uniform"].n_sensitive == 1
+    assert not rep["uniform"].diverse           # ...but discloses wage
+    assert rep["varied"].diverse and rep["varied"].n_sensitive == 4
