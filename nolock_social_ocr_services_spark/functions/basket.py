@@ -83,8 +83,15 @@ def pair_rules(
             "count_b",
             F.expr("pair_count * 1000 div count_a").alias("conf_ab_milli"),
             F.expr("pair_count * 1000 div count_b").alias("conf_ba_milli"),
+            # decimal(38,0) intermediates: pair_count * _n * 1000 in
+            # long arithmetic overflows int64 once pair_count * _n
+            # passes ~9.2e15 (a few million co-occurrences over a few
+            # billion baskets) and, with ANSI off, wraps SILENTLY to a
+            # wrong lift. The 38-digit product is exact to ~1e38; the
+            # quotient itself (lift in milli) is small and fits long.
             F.expr(
-                "pair_count * _n * 1000 div (count_a * count_b)"
+                "CAST(pair_count AS DECIMAL(38,0)) * _n * 1000 "
+                "div (CAST(count_a AS DECIMAL(38,0)) * count_b)"
             ).alias("lift_milli"),
         )
     )

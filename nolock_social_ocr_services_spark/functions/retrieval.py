@@ -230,9 +230,17 @@ def build_postings(
     stopword cut — which is precisely a hot-key cap: the surviving
     posting lists are bounded at max_df_milli/1000 * N entries.
     ``min_df`` prunes the hapax tail (most of the vocabulary, nearly
-    useless postings). Both dials are audit-visible: the term row
-    carries df either way before the filter, and n_docs is computed
-    once (one scalar agg) and broadcast into the predicate.
+    useless postings). n_docs is computed once (one scalar agg) and
+    broadcast into the predicate.
+
+    The df gate runs BEFORE the posting arrays are built: a cheap
+    count-only agg (map-side partial sums, a handful of longs per
+    term) computes df, the min_df/max_df filter prunes the term set,
+    and only SURVIVING terms flow into the collect_list agg — so the
+    hottest stopword's posting array (up to N doc ids in one reduce
+    task) is never materialized just to be discarded. Both aggs hash
+    on ``term``; the extra shuffle of the pruned df table is tiny
+    (one row per surviving term).
     """
     t = df.select(
         F.col(id_col).alias("_d"),
@@ -241,13 +249,18 @@ def build_postings(
     n_docs = df.select(
         F.count_distinct(F.col(id_col)).alias("_n")
     )
-    posts = t.groupBy("term").agg(
-        F.count("*").alias("df"),
-        F.array_sort(F.collect_list("_d")).alias("postings"),
+    dfreq = (
+        t.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
     )
-    out = posts.filter(F.col("df") >= min_df)
     if max_df_milli is not None:
-        out = out.crossJoin(F.broadcast(n_docs)).filter(
+        dfreq = dfreq.crossJoin(F.broadcast(n_docs)).filter(
             F.col("df") * 1000 <= F.lit(max_df_milli) * F.col("_n")
         ).drop("_n")
-    return out
+    return (
+        t.join(dfreq, on="term")
+        .groupBy("term", "df")
+        .agg(F.array_sort(F.collect_list("_d")).alias("postings"))
+        .select("term", "df", "postings")
+    )

@@ -693,9 +693,12 @@ def jl_project(
     Rows with NULL vectors project to NULL; ragged batches are handled
     per distinct length.
 
-    Returns (id_col, proj array<long>).
+    Returns (id_col, proj array<long>). The id field keeps the INPUT
+    column's type (string doc ids work) — hardcoding long here would
+    make Arrow mis-map any non-long id at runtime.
     """
-    out_schema = f"{id_col} long, proj array<long>"
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, proj array<long>"
 
     def batches(it):
         import pandas as pd
