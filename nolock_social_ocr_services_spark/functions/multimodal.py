@@ -73,6 +73,86 @@ class PillowCodec:
         return img.resize((target_w, target_h)).tobytes()
 
 
+class BmpCodec:
+    """Pure-Python codec for uncompressed 24-bit BMP — no image library
+    needed, so the REAL-codec branch of decode/resize (the closure
+    capture, per-payload try/except, feature extraction, byte output)
+    is exercisable end-to-end in this container. Same contract as
+    PillowCodec: decode -> (w, h, channels, FEATURE_DIM features with
+    the ITU-R 601 luma 4x4 thumbnail), resample -> raw RGB bytes
+    (nearest-neighbor). BMP is the right format for a ~60-line decoder:
+    fixed little-endian headers, raw BGR rows bottom-up, 4-byte row
+    padding, no compression. Malformed payloads raise ValueError, which
+    ``decode_image_batch`` turns into decode_ok=False rows (ST6)."""
+
+    def _parse(self, payload: bytes):
+        import struct
+
+        if len(payload) < 54 or payload[:2] != b"BM":
+            raise ValueError("not a BMP")
+        pix_off = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size = struct.unpack_from("<I", payload, 14)[0]
+        if hdr_size < 40:
+            raise ValueError("unsupported BMP header")
+        width, height = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        comp = struct.unpack_from("<I", payload, 30)[0]
+        if bpp != 24 or comp != 0 or width <= 0 or height == 0:
+            raise ValueError("only uncompressed 24-bit BMP supported")
+        bottom_up = height > 0
+        height = abs(height)
+        stride = (width * 3 + 3) & ~3
+        if len(payload) < pix_off + stride * height:
+            raise ValueError("truncated BMP pixel data")
+        # rows as (height, width, 3) RGB, top-down
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * height, offset=pix_off
+        ).reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+        if bottom_up:
+            rows = rows[::-1]
+        return rows[:, :, ::-1]  # BGR -> RGB
+
+    def decode(self, payload: bytes) -> tuple[int, int, int, np.ndarray]:
+        px = self._parse(payload)
+        h, w = px.shape[:2]
+        # ITU-R 601 integer luma (Pillow convert("L") formula), then a
+        # 4x4 nearest-neighbor thumbnail, row-major, [0,1]
+        luma = (
+            px[:, :, 0].astype(np.int64) * 299
+            + px[:, :, 1].astype(np.int64) * 587
+            + px[:, :, 2].astype(np.int64) * 114
+        ) // 1000
+        sy = (np.arange(4) * h) // 4
+        sx = (np.arange(4) * w) // 4
+        thumb = luma[np.ix_(sy, sx)]
+        feats = thumb.astype(np.float64).reshape(FEATURE_DIM) / 255.0
+        return w, h, 3, feats
+
+    def resample(self, payload: bytes, target_w: int, target_h: int) -> bytes:
+        px = self._parse(payload)
+        h, w = px.shape[:2]
+        sy = (np.arange(target_h) * h) // target_h
+        sx = (np.arange(target_w) * w) // target_w
+        return px[np.ix_(sy, sx)].tobytes()
+
+
+def encode_bmp(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit
+    bottom-up BMP — the test-side generator for BmpCodec round-trips."""
+    import struct
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for row in px[::-1]:  # bottom-up
+        line = row[:, ::-1].tobytes()  # RGB -> BGR
+        body += line + b"\x00" * (stride - len(line))
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    return header + info + bytes(body)
+
+
 _REGISTERED_CODEC = None
 
 

@@ -179,6 +179,141 @@ def margin_mine(
     )
 
 
+def margin_mine_bucketed(
+    src: DataFrame,
+    tgt: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    knn: int = 4,
+    threshold: float = 1.05,
+    dim: int | None = None,
+    bits: int = 12,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Margin-based bitext mining over SRP-banded candidates — the
+    100-TB form of :func:`margin_mine` (Artetxe & Schwenk 2019 run
+    their margin rule over faiss ANN candidates for exactly this
+    reason; this is the Spark equivalent).
+
+    Candidate spec (deterministic, oracle-recomputable): a (src, tgt)
+    pair is a candidate iff the hamming distance between the two
+    ``bits``-bit sign-random-projection signatures is <= bands-1.
+    Candidates are GENERATED by the banded equi-join (cut the
+    signature into ``bands`` bands; hamming <= bands-1 pigeonholes at
+    least one identical band), so the pair space is
+    sum-of-squared-band-bucket-sizes per band — never |src| x |tgt|.
+    Each candidate then gets ONE exact dot product; the margin
+    arithmetic (sim / mean-of-top-knn neighborhood density, both
+    sides) runs unchanged on candidates, with deg over candidate-kNN
+    instead of exact-kNN — the standard ANN trade.
+
+    Returns one row per src vector whose best-margin candidate clears
+    ``threshold``: (src_id, tgt_id, margin). Same float contract as
+    margin_mine: sims and degs rounded to 9 dp, margins to 6, rankings
+    over the rounded values with id tie-breaks. Zero-norm vectors are
+    excluded (no cosine direction)."""
+    from pyspark.sql import Window
+
+    if bits % bands != 0:
+        raise ValueError("bits must be divisible by bands")
+    if dim is None:
+        meta = src.schema[vec_col].metadata or {}
+        dim = meta.get("dim")
+    if dim is None:
+        raise ValueError(
+            f"vector dimension unknown: pass dim= or attach {{'dim': n}} "
+            f"metadata to column {vec_col!r} (plan-build must not run a job)"
+        )
+    planes = random_hyperplanes(int(dim), bits, seed)
+    raw = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def _side(df: DataFrame, side: str) -> DataFrame:
+        return (
+            with_unit_vector(df, vec_col)
+            .filter(F.col("unit").isNotNull())
+            .select(
+                F.col(id_col).alias(f"{side}_id"),
+                F.col("unit").alias(f"u{side}"),
+                srp_signature(raw, planes).cast("long").alias(f"sig_{side}"),
+            )
+        )
+
+    s = _side(src, "src")
+    t = _side(tgt, "tgt")
+    r = bits // bands
+    mask = (1 << r) - 1
+
+    def _banded(df: DataFrame, side: str) -> DataFrame:
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col(f"sig_{side}"), b * r)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for b in range(bands)
+        ]
+        return df.select(
+            f"{side}_id",
+            f"sig_{side}",
+            F.explode(F.array(*band_structs)).alias("band"),
+        ).select(f"{side}_id", f"sig_{side}", "band.band_idx", "band.band_val")
+
+    cand = (
+        _banded(s, "src")
+        .join(_banded(t, "tgt"), on=["band_idx", "band_val"])
+        .filter(
+            F.bit_count(F.col("sig_src").bitwiseXOR(F.col("sig_tgt")))
+            <= bands - 1
+        )
+        .select("src_id", "tgt_id")
+        .distinct()
+    )
+    sims = (
+        cand.join(s.select("src_id", "usrc"), "src_id")
+        .join(t.select("tgt_id", "utgt"), "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round(_dot(F.col("usrc"), F.col("utgt")), 9).alias("sim"),
+        )
+    )
+    w_src = Window.partitionBy("src_id").orderBy(F.desc("sim"), "tgt_id")
+    deg_src = (
+        sims.withColumn("rn", F.row_number().over(w_src))
+        .filter(F.col("rn") <= knn)
+        .groupBy("src_id")
+        .agg(F.round(F.avg("sim"), 9).alias("deg_src"))
+    )
+    w_tgt = Window.partitionBy("tgt_id").orderBy(F.desc("sim"), "src_id")
+    deg_tgt = (
+        sims.withColumn("rn", F.row_number().over(w_tgt))
+        .filter(F.col("rn") <= knn)
+        .groupBy("tgt_id")
+        .agg(F.round(F.avg("sim"), 9).alias("deg_tgt"))
+    )
+    margins = (
+        sims.join(deg_src, on="src_id")
+        .join(deg_tgt, on="tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round(
+                F.col("sim")
+                / ((F.col("deg_src") + F.col("deg_tgt")) / F.lit(2.0)),
+                6,
+            ).alias("margin"),
+        )
+    )
+    w_best = Window.partitionBy("src_id").orderBy(F.desc("margin"), "tgt_id")
+    return (
+        margins.withColumn("rn", F.row_number().over(w_best))
+        .filter((F.col("rn") == 1) & (F.col("margin") >= threshold))
+        .select("src_id", "tgt_id", "margin")
+    )
+
+
 def random_hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes (driver-side, tiny)."""
     rng = np.random.default_rng(seed)
@@ -640,6 +775,82 @@ def matryoshka_topk(
         else None
     )
     return cosine_topk(cut, k=k, id_col=id_col, vec_col=vec_col, queries=qcut)
+
+
+def matryoshka_rerank_topk(
+    df: DataFrame,
+    dims: int = 16,
+    k: int = 3,
+    shortlist_k: int = 10,
+    bits: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka retrieval the way it is actually deployed (Kusupati
+    et al. 2022 §4: "adaptive retrieval" — shortlist with the cheap
+    truncated prefix, re-rank the shortlist at full dimension):
+
+    1. SHORTLIST: slice to the first ``dims`` coordinates (plan-side,
+       no Python) and run :func:`lsh_topk` over the truncated space —
+       SRP bucket equi-join + in-bucket rank, sub-quadratic — keeping
+       ``shortlist_k`` candidates per query.
+    2. RERANK: one exact FULL-dimension dot product per shortlist
+       pair, window top-``k``.
+
+    The FLOPs and shuffled bytes of the candidate stage shrink by
+    D/dims, and the full-dim math runs on shortlist_k rows per query
+    instead of N. No cartesian product anywhere — this retires
+    :func:`matryoshka_topk`'s composition over the quadratic
+    ``cosine_topk``, which stays as the oracle baseline.
+
+    Returns (query_id, neighbor_id, rank, sim) with sim the FULL-dim
+    cosine. Vectors whose truncated prefix has zero norm have no
+    truncated direction and are excluded from both sides (a nonzero
+    prefix implies a nonzero full vector, so the full-dim join below
+    drops nothing)."""
+    from pyspark.sql import Window
+
+    cut = df.select(id_col, F.slice(F.col(vec_col), 1, dims).alias(vec_col))
+    short = lsh_topk(
+        cut,
+        k=shortlist_k,
+        bits=bits,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dims,
+        seed=seed,
+    ).select("query_id", "neighbor_id")
+    unit = (
+        with_unit_vector(df, vec_col)
+        .filter(F.col("unit").isNotNull())
+        .select(F.col(id_col).alias("id"), "unit")
+    )
+    scored = (
+        short.join(
+            unit.select(F.col("id").alias("query_id"), F.col("unit").alias("uq")),
+            "query_id",
+        )
+        .join(
+            unit.select(
+                F.col("id").alias("neighbor_id"), F.col("unit").alias("un")
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            _dot(F.col("uq"), F.col("un")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
 
 
 def _achlioptas_matrix(in_dims: int, out_dims: int, seed: int) -> np.ndarray:

@@ -772,20 +772,55 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
 """
 
 
-def q_bitext_mine(spark, sf_dir):
+def q_bitext_mine_exact(spark, sf_dir):
     """Margin-based bitext mining (Artetxe & Schwenk 2019, the
     CCMatrix rule): even vec_ids play the source language, odd the
     target; a pair is mined when cos / (mean-kNN-density) clears the
-    margin threshold, so hub vectors face a higher bar. Brute pair
-    scoring is the correctness baseline — the margin arithmetic runs
-    unchanged over the bucketed SRP/IVF candidate ops at 100 TB."""
+    margin threshold, so hub vectors face a higher bar. This is the
+    brute all-pairs correctness baseline — the CHECKED head query is
+    q_bitext_mine (SRP-banded candidates, same margin arithmetic);
+    recall between the two is pinned in test_functions_similarity."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     src = emb.filter(F.col("vec_id") % 2 == 0)
     tgt = emb.filter(F.col("vec_id") % 2 == 1)
     return sim.margin_mine(src, tgt, knn=4, threshold=1.05)
 
 
-SQL_BITEXT_MINE = """
+# bitext dials: bits=8/bands=4 keeps candidate sets dense enough that
+# candidate-kNN deg tracks exact-kNN deg on RANDOM embeddings (the
+# worst case for margin mining — no true translations exist, so every
+# margin rides the noise floor); at 100 TB bits grows with the corpus
+# so each band bucket stays task-sized, exactly the near_dup_srp dial.
+_BTX_BITS = 8
+_BTX_BANDS = 4
+_BTX_SEED = 42
+_BTX_KNN = 4
+_BTX_THRESHOLD = 1.05
+
+
+def q_bitext_mine(spark, sf_dir):
+    """Margin-based bitext mining over SRP-banded candidates — the
+    scale path (Artetxe & Schwenk run the margin rule over faiss ANN
+    candidates; this is the Spark equivalent). Candidate spec is
+    deterministic (signature hamming <= bands-1), so the oracle can
+    recompute it brute-force; the plan itself contains NO cartesian
+    product — candidates come from a banded equi-join."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    return sim.margin_mine_bucketed(
+        src,
+        tgt,
+        knn=_BTX_KNN,
+        threshold=_BTX_THRESHOLD,
+        dim=64,
+        bits=_BTX_BITS,
+        bands=_BTX_BANDS,
+        seed=_BTX_SEED,
+    )
+
+
+SQL_BITEXT_MINE_EXACT = """
 WITH nz AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
   WHERE list_dot_product(embedding, embedding) > 0
@@ -827,6 +862,83 @@ SELECT src_id, tgt_id, margin FROM (
                             ORDER BY margin DESC, tgt_id) AS rn
   FROM m
 ) WHERE rn = 1 AND margin >= 1.05
+"""
+
+
+def _sql_srp_sig_terms_for(dim: int, bits: int, seed: int) -> str:
+    """DuckDB SRP signature as a sum of CASE terms over column ``emb``
+    (a DOUBLE[]), with the SAME deterministic hyperplanes (seeded
+    numpy) injected as shortest-roundtrip literals — parses back to
+    identical doubles, so both engines see the same planes."""
+    planes = sim.random_hyperplanes(dim, bits, seed)
+    terms = []
+    for j, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(emb, {lit}) > 0 "
+            f"THEN (1::BIGINT << {j}) ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _sql_bitext_mine() -> str:
+    """Brute recompute of the BUCKETED spec: candidates = signature
+    hamming <= bands-1 (recomputed over all pairs — the oracle may be
+    quadratic; the Spark plan may not), then the same margin
+    arithmetic restricted to candidates."""
+    return f"""
+WITH nz AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+  WHERE list_dot_product(embedding, embedding) > 0
+),
+sig AS (
+  SELECT vec_id, ({_sql_srp_sig_terms_for(64, _BTX_BITS, _BTX_SEED)}) AS sig
+  FROM nz
+),
+u AS (
+  SELECT vec_id,
+         list_transform(emb, x -> x / sqrt(list_dot_product(emb, emb))) AS uv
+  FROM nz
+),
+cand AS (
+  SELECT s.vec_id AS src_id, t.vec_id AS tgt_id
+  FROM sig s JOIN sig t ON s.vec_id % 2 = 0 AND t.vec_id % 2 = 1
+  WHERE bit_count(xor(s.sig::UBIGINT, t.sig::UBIGINT)) <= {_BTX_BANDS - 1}
+),
+sims AS (
+  SELECT c.src_id, c.tgt_id,
+         round(list_dot_product(us.uv, ut.uv), 9) AS sim
+  FROM cand c
+  JOIN u us ON us.vec_id = c.src_id
+  JOIN u ut ON ut.vec_id = c.tgt_id
+),
+ds AS (
+  SELECT src_id, round(avg(sim), 9) AS deg_src FROM (
+    SELECT src_id, sim,
+           row_number() OVER (PARTITION BY src_id
+                              ORDER BY sim DESC, tgt_id) AS rn
+    FROM sims
+  ) WHERE rn <= {_BTX_KNN} GROUP BY src_id
+),
+dt AS (
+  SELECT tgt_id, round(avg(sim), 9) AS deg_tgt FROM (
+    SELECT tgt_id, sim,
+           row_number() OVER (PARTITION BY tgt_id
+                              ORDER BY sim DESC, src_id) AS rn
+    FROM sims
+  ) WHERE rn <= {_BTX_KNN} GROUP BY tgt_id
+),
+m AS (
+  SELECT s.src_id, s.tgt_id,
+         round(s.sim / ((ds.deg_src + dt.deg_tgt) / 2.0), 6) AS margin
+  FROM sims s JOIN ds USING (src_id) JOIN dt USING (tgt_id)
+)
+SELECT src_id, tgt_id, margin FROM (
+  SELECT src_id, tgt_id, margin,
+         row_number() OVER (PARTITION BY src_id
+                            ORDER BY margin DESC, tgt_id) AS rn
+  FROM m
+) WHERE rn = 1 AND margin >= {_BTX_THRESHOLD}
 """
 
 
@@ -4663,6 +4775,77 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
 """
 
 
+# Matryoshka ADAPTIVE retrieval (the deployed two-stage cascade):
+# truncated-prefix LSH shortlist, full-dim rerank. No cartesian
+# product anywhere in the plan — this is the head-checked form;
+# matryoshka_top3 (exact truncated all-pairs) stays tail-gated as the
+# baseline the shortlist recall is measured against in pytest.
+_MAT_DIMS = 16
+_MAT_BITS = 4
+_MAT_SHORTLIST = 10
+_MAT_SEED = 42
+
+
+def q_matryoshka_rerank_top3(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = sim.matryoshka_rerank_topk(
+        emb,
+        dims=_MAT_DIMS,
+        k=3,
+        shortlist_k=_MAT_SHORTLIST,
+        bits=_MAT_BITS,
+        seed=_MAT_SEED,
+    )
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+def _sql_matryoshka_rerank_top3() -> str:
+    """Brute recompute of the cascade spec: shortlist = top-10 by
+    truncated cosine among SAME-SRP-BUCKET pairs (signature over the
+    unit truncated vector, same planes as Spark via literal
+    injection), rerank = full-dim cosine over the shortlist."""
+    terms = _sql_srp_sig_terms_for(_MAT_DIMS, _MAT_BITS, _MAT_SEED)
+    return f"""
+WITH nzf AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv FROM embeddings
+),
+cut AS (
+  SELECT vec_id, fv, fv[1:{_MAT_DIMS}] AS cv FROM nzf
+  WHERE list_dot_product(fv[1:{_MAT_DIMS}], fv[1:{_MAT_DIMS}]) > 0
+),
+cu AS (
+  SELECT vec_id,
+         list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS emb
+  FROM cut
+),
+sig AS (SELECT vec_id, emb, ({terms}) AS sig FROM cu),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY list_dot_product(a.emb, b.emb) DESC,
+                                       b.vec_id) AS rn
+    FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id <> b.vec_id
+  ) WHERE rn <= {_MAT_SHORTLIST}
+),
+fu AS (
+  SELECT vec_id,
+         list_transform(fv, x -> x / sqrt(list_dot_product(fv, fv))) AS u
+  FROM nzf WHERE list_dot_product(fv, fv) > 0
+),
+rr AS (
+  SELECT s.query_id, s.neighbor_id,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY list_dot_product(q.u, n.u) DESC,
+                                     s.neighbor_id) AS rank
+  FROM short s
+  JOIN fu q ON q.vec_id = s.query_id
+  JOIN fu n ON n.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, rank FROM rr WHERE rank <= 3
+"""
+
+
 # -- inverted index build ------------------------------------------------------
 # Lucene's postings materialized as a table: distinct (doc, term)
 # map-side, ONE term-partitioned agg -> (term, df, sorted posting
@@ -5351,7 +5534,8 @@ def extra_queries() -> dict[str, tuple]:
         "containment_rerank": (q_containment_rerank, SQL_CONTAINMENT_RERANK),
         "kmv_overlap": (q_kmv_overlap, SQL_KMV_OVERLAP),
         "rrf_fusion": (q_rrf_fusion, _sql_rrf_fusion()),
-        "bitext_mine": (q_bitext_mine, SQL_BITEXT_MINE),
+        "bitext_mine": (q_bitext_mine, _sql_bitext_mine()),
+        "bitext_mine_exact": (q_bitext_mine_exact, SQL_BITEXT_MINE_EXACT),
         "phash_near_dup": (
             q_phash_near_dup,
             _sql_phash_near_dup().format(flat=_ORACLE_FLAT),
@@ -5368,6 +5552,10 @@ def extra_queries() -> dict[str, tuple]:
         "small_qty_revenue": (q_small_qty_revenue, SQL_SMALL_QTY_REVENUE),
         "fuzzy_pairs": (q_fuzzy_pairs, SQL_FUZZY_PAIRS),
         "matryoshka_top3": (q_matryoshka_top3, SQL_MATRYOSHKA_TOP3),
+        "matryoshka_rerank_top3": (
+            q_matryoshka_rerank_top3,
+            _sql_matryoshka_rerank_top3(),
+        ),
         "jl_project": (q_jl_project, SQL_JL_PROJECT),
         "event_gapfill": (q_event_gapfill, SQL_EVENT_GAPFILL),
         "scd2_customer": (q_scd2_customer, SQL_SCD2_CUSTOMER),

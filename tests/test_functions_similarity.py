@@ -536,3 +536,104 @@ def test_jl_project_plan_map_only(spark):
     assert plan.count("MapInPandas") == 1
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_margin_mine_bucketed_recall_vs_brute(spark, sf_dir):
+    """The checked bitext_mine form is SRP-banded; its recall against
+    the brute all-pairs margin rule is the honest measure of what the
+    8-bit/4-band dial trades for the sub-quadratic plan. Random
+    embeddings are the WORST case (no true translations — every margin
+    rides the noise floor, so deg estimation error flips borderline
+    pairs); production corpora with real parallel pairs sit far above
+    this floor."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    brute = {
+        (r.src_id, r.tgt_id)
+        for r in sim.margin_mine(src, tgt, knn=4, threshold=1.05).collect()
+    }
+    bucketed = {
+        (r.src_id, r.tgt_id)
+        for r in sim.margin_mine_bucketed(
+            src, tgt, knn=4, threshold=1.05, dim=64, bits=8, bands=4, seed=42
+        ).collect()
+    }
+    assert brute, "brute baseline empty — threshold no longer exercised"
+    recall = len(brute & bucketed) / len(brute)
+    assert recall >= 0.5, f"recall {recall:.3f}"
+
+
+def test_margin_mine_bucketed_plan_no_cartesian(spark, sf_dir):
+    """The whole point of the bucketed twin: candidates come from a
+    banded equi-join, so the plan must contain NO cartesian product or
+    nested-loop join anywhere (margin_mine's crossJoin is exactly what
+    this form retires from the head registry)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    out = sim.margin_mine_bucketed(
+        src, tgt, knn=4, threshold=1.05, dim=64, bits=8, bands=4, seed=42
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_margin_mine_bucketed_deterministic(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(120)
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    kw = dict(knn=3, threshold=1.0, dim=64, bits=8, bands=4, seed=42)
+    a = sorted(map(tuple, sim.margin_mine_bucketed(src, tgt, **kw).collect()))
+    b = sorted(map(tuple, sim.margin_mine_bucketed(src, tgt, **kw).collect()))
+    assert a == b and a
+
+
+def test_matryoshka_rerank_plan_no_cartesian(spark, sf_dir):
+    """The cascade retires matryoshka_topk's quadratic cosine_topk
+    composition: shortlist comes from an SRP-bucket equi-join, rerank
+    from equi-joins on ids — the plan must be cartesian-free."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = sim.matryoshka_rerank_topk(emb, dims=16, k=3, shortlist_k=10, bits=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_matryoshka_rerank_recall_vs_exact_full_dim(spark, sf_dir):
+    """Cascade recall against the exact FULL-dim top-3 — the number a
+    deployment actually cares about. Random embeddings are the worst
+    case for prefix truncation (no MRL training concentrated the
+    signal in the prefix), so this floor is conservative."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.cosine_topk(emb, k=3).collect()
+    }
+    cascade = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.matryoshka_rerank_topk(
+            emb, dims=16, k=3, shortlist_k=10, bits=4
+        ).collect()
+    }
+    assert exact
+    recall = len(exact & cascade) / len(exact)
+    assert 0.05 < recall <= 1.0, recall
+
+
+def test_matryoshka_rerank_sims_are_full_dim_exact(spark, sf_dir):
+    """Reranked sims must equal the exact full-dim cosine for the same
+    pair — the rerank stage does real full-dimension math, not an
+    approximation of one."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    exact = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in sim.cosine_topk(emb, k=99).collect()
+    }
+    for r in sim.matryoshka_rerank_topk(
+        emb, dims=16, k=3, shortlist_k=5, bits=4
+    ).collect():
+        assert exact[(r.query_id, r.neighbor_id)] == pytest.approx(
+            r.sim, rel=1e-9
+        )

@@ -1464,3 +1464,243 @@ def test_stream_ingest_dedup_through_restarted_stream(spark, tmp_path):
     # epochs recorded once each in the shared index lineage
     epochs = idx.current_summary()["epochs"]
     assert epochs == sorted(set(epochs))
+
+
+# -- merge_upsert concurrency (racing writers on row-level updates) ------------
+
+
+def _hook_after_plan(table, fire):
+    """Make ``fire()`` run after ``table``'s merge has PLANNED (resolved
+    its base snapshot + keep-filter) but before its commit: _write_tx is
+    the first I/O merge_upsert does after planning, so an interleaved
+    winner here lands exactly in the plan->commit window."""
+    real = table._write_tx
+    fired = []
+
+    def hooked(*a, **k):
+        if not fired:
+            fired.append(1)
+            fire()
+        return real(*a, **k)
+
+    table._write_tx = hooked
+    return lambda: setattr(table, "_write_tx", real)
+
+
+def test_concurrent_merge_upserts_loser_raises_winner_consistent(
+    spark, tmp_path
+):
+    """Two merge_upserts race: the one whose commit lands second must
+    RAISE (its keep-filter was planned against a stale snapshot — a
+    silent rebase would drop the winner's rewritten files), the
+    winner's state must be fully consistent (no resurrected old rows,
+    no duplicate keys, blooms + stats intact on every surviving file),
+    and the loser's retry on the fresh snapshot must succeed."""
+    path = str(tmp_path / "t")
+    t1, t2 = SnapTable(path), SnapTable(path)
+    t1.append(
+        _df(spark, 0, 10), cluster_by="k", cluster_files=2, bloom_cols=["k"]
+    )
+
+    upd1 = spark.createDataFrame([Row(k=5, v=9999)])
+    upd2 = spark.createDataFrame([Row(k=5, v=5000), Row(k=20, v=200)])
+    unhook = _hook_after_plan(
+        t1, lambda: t2.merge_upsert(spark, upd2, key="k")
+    )
+    with pytest.raises(CommitConflict):
+        t1.merge_upsert(spark, upd1, key="k")
+    unhook()
+
+    # winner's state: k=5 replaced exactly once (no resurrection of the
+    # old row, no duplicate), insert landed, loser left NO trace
+    rows = {r.k: r.v for r in t1.read(spark).collect()}
+    assert rows[5] == 5000 and rows[20] == 200
+    assert len(t1.read(spark).collect()) == 11  # 10 base + 1 insert
+    ops = [s["operation"] for s in t1.snapshots()]
+    assert ops == ["append", "merge"]
+    # blooms + key stats survive the winner's rewrite on EVERY file
+    files = t1._snap_files(t1._load(t1.current_snapshot_id()))
+    assert files
+    for f in files:
+        assert (f.get("stats") or {}).get("k") is not None
+        assert (f.get("bloom") or {}).get("k") is not None
+
+    # loser retries against the fresh snapshot and wins cleanly
+    t1.merge_upsert(spark, upd1, key="k")
+    rows = {r.k: r.v for r in t1.read(spark).collect()}
+    assert rows[5] == 9999 and rows[20] == 200
+    assert len(rows) == 11
+
+
+def test_merge_vs_append_interleave_raises_then_retry_keeps_both(
+    spark, tmp_path
+):
+    """An append sneaking into the merge's plan->commit window must
+    fail the merge (expected_parent pin): the merge's keep-filter was
+    planned before the append existed, so rebasing would silently drop
+    the appended file. The append must survive untouched and the
+    merge retry must see it."""
+    path = str(tmp_path / "t")
+    t1, t2 = SnapTable(path), SnapTable(path)
+    t1.append(_df(spark, 0, 5))
+
+    unhook = _hook_after_plan(t1, lambda: t2.append(_df(spark, 50, 52)))
+    with pytest.raises(CommitConflict):
+        t1.merge_upsert(
+            spark, spark.createDataFrame([Row(k=2, v=2222)]), key="k"
+        )
+    unhook()
+
+    # the appended rows are there; the failed merge changed NOTHING
+    rows = {r.k: r.v for r in t1.read(spark).collect()}
+    assert rows[50] == 500 and rows[51] == 510
+    assert rows[2] == 20
+    assert [s["operation"] for s in t1.snapshots()] == ["append", "append"]
+
+    # retry lands on the new snapshot: update applied, append intact
+    t1.merge_upsert(spark, spark.createDataFrame([Row(k=2, v=2222)]), key="k")
+    rows = {r.k: r.v for r in t1.read(spark).collect()}
+    assert rows[2] == 2222 and rows[50] == 500
+    assert len(rows) == 7
+
+
+def test_merge_vs_merge_no_overlap_still_raises(spark, tmp_path):
+    """Even DISJOINT-key merges must not both land from the same base:
+    each one's keep-filter enumerates the other's rewritten files as
+    parent files to keep by path, so a silent rebase would resurrect
+    the pre-merge versions of the other's keys. Serializable isolation
+    means the second RAISES regardless of key overlap."""
+    path = str(tmp_path / "t")
+    t1, t2 = SnapTable(path), SnapTable(path)
+    t1.append(_df(spark, 0, 4))
+
+    unhook = _hook_after_plan(
+        t1,
+        lambda: t2.merge_upsert(
+            spark, spark.createDataFrame([Row(k=0, v=111)]), key="k"
+        ),
+    )
+    with pytest.raises(CommitConflict):
+        t1.merge_upsert(
+            spark, spark.createDataFrame([Row(k=3, v=333)]), key="k"
+        )
+    unhook()
+    rows = {r.k: r.v for r in t1.read(spark).collect()}
+    assert rows == {0: 111, 1: 10, 2: 20, 3: 30}
+
+
+def test_ingest_dedup_kill_between_verdicts_and_index_commit(
+    spark, tmp_path, monkeypatch
+):
+    """The EXACT kill window the two-table protocol exists for: batch
+    b's verdicts overwrite has committed, the index append (which
+    carries the batch marker) has NOT. On resume the batch must re-run
+    against the UNCHANGED index and produce byte-identical verdicts
+    (idempotent overwrite of its own partition), the index must end up
+    with each survivor exactly once, and the final state must equal an
+    uninterrupted run's."""
+    from nolock_social_ocr_services_spark.sources import snaptable as st
+    from nolock_social_ocr_services_spark.sources.snap_job import (
+        run_ingest_dedup,
+    )
+
+    docs = _ingest_docs(spark)
+    path = str(tmp_path / "ingest_window")
+    real_commit = st.SnapTable._commit
+    state = {"index_appends": 0}
+
+    def failing(self, operation, *a, **k):
+        if operation == "append" and self.path.endswith("_index"):
+            state["index_appends"] += 1
+            if state["index_appends"] == 2:
+                raise RuntimeError("injected kill in the commit window")
+        return real_commit(self, operation, *a, **k)
+
+    monkeypatch.setattr(st.SnapTable, "_commit", failing)
+    with pytest.raises(RuntimeError, match="injected kill"):
+        run_ingest_dedup(
+            spark, docs, path, num_batches=2, bands=8, k=6, min_agree=8
+        )
+    # the window is real: batch 0 fully committed (marker present),
+    # batch 1's VERDICTS are durable but its index marker is not
+    assert SnapTable(path + "_index").current_summary()[
+        "committed_batches"
+    ] == [0]
+    v_t = SnapTable(path)
+    pre = {
+        tuple(r) for r in v_t.read(spark).filter("batch_id = 1").collect()
+    }
+    assert pre, "kill landed before the verdict overwrite — window missed"
+
+    # resume: batch 1 re-runs (it is unmarked) and nothing else does
+    monkeypatch.setattr(st.SnapTable, "_commit", real_commit)
+    assert run_ingest_dedup(
+        spark, docs, path, num_batches=2, bands=8, k=6, min_agree=8
+    ) == [1]
+    post = {
+        tuple(r) for r in v_t.read(spark).filter("batch_id = 1").collect()
+    }
+    assert post == pre  # replay against the unchanged index: identical
+
+    # exactly-once: every index entry appears once, and the whole state
+    # matches a clean uninterrupted run
+    clean = str(tmp_path / "ingest_window_clean")
+    run_ingest_dedup(
+        spark, docs, clean, num_batches=2, bands=8, k=6, min_agree=8
+    )
+    idx = [r.doc_id for r in SnapTable(path + "_index").read(spark).collect()]
+    assert len(idx) == len(set(idx))
+    assert set(idx) == {
+        r.doc_id for r in SnapTable(clean + "_index").read(spark).collect()
+    }
+    got = {
+        (r.doc_id, r.verdict, r.exact_dup_of)
+        for r in v_t.read(spark).collect()
+    }
+    want = {
+        (r.doc_id, r.verdict, r.exact_dup_of)
+        for r in SnapTable(clean).read(spark).collect()
+    }
+    assert got == want
+
+
+def test_stream_epoch_replay_after_kill_in_commit_window(
+    spark, tmp_path, monkeypatch
+):
+    """foreachBatch replays the LAST epoch with the same epoch_id after
+    a crash. Kill epoch 0 inside the commit window (verdicts landed,
+    index marker not), then replay the same epoch — the sink must
+    re-run it idempotently; a second replay after success must be a
+    pure no-op (no new snapshots on either table)."""
+    from nolock_social_ocr_services_spark.sources import snaptable as st
+    from nolock_social_ocr_services_spark.sources.snap_job import (
+        stream_ingest_dedup,
+    )
+
+    docs = _ingest_docs(spark)
+    path = str(tmp_path / "stream_window")
+    sink = stream_ingest_dedup(path, bands=8, k=6, min_agree=8)
+    real_commit = st.SnapTable._commit
+
+    def failing(self, operation, *a, **k):
+        if operation == "append" and self.path.endswith("_index"):
+            raise RuntimeError("injected kill in the commit window")
+        return real_commit(self, operation, *a, **k)
+
+    monkeypatch.setattr(st.SnapTable, "_commit", failing)
+    with pytest.raises(RuntimeError, match="injected kill"):
+        sink(docs, 0)
+    assert SnapTable(path).read(spark).count() > 0  # verdicts durable
+    assert SnapTable(path + "_index").current_snapshot_id() == 0
+
+    monkeypatch.setattr(st.SnapTable, "_commit", real_commit)
+    sink(docs, 0)  # the replay foreachBatch would issue
+    verdicts = {r.doc_id: r.verdict for r in SnapTable(path).read(spark).collect()}
+    assert len(verdicts) == 6
+    idx_snap = SnapTable(path + "_index").current_snapshot_id()
+    out_snap = SnapTable(path).current_snapshot_id()
+    assert SnapTable(path + "_index").current_summary()["epochs"] == [0]
+
+    sink(docs, 0)  # second replay after success: metadata-detected no-op
+    assert SnapTable(path + "_index").current_snapshot_id() == idx_snap
+    assert SnapTable(path).current_snapshot_id() == out_snap

@@ -77,8 +77,12 @@ PLAN_QUERIES = [
                           # pair combine joins G sketch rows only
     "rrf_fusion",         # bounded candidate lists: TakeOrdered sparse +
                           # per-probe dense windows + fusion hash-agg
-    "bitext_mine",        # brute pair scoring baseline (documented);
-                          # margin degs = candidate-space windows
+    "bitext_mine",        # SRP-banded margin mining: banded equi-join
+                          # candidates + hamming gate, margin degs as
+                          # candidate-space windows — no cartesian
+    "bitext_mine_exact",  # brute all-pairs baseline (tail, documented)
+    "matryoshka_rerank_top3",  # truncated-prefix LSH shortlist +
+                               # full-dim rerank; equi-joins only
     "phash_near_dup",     # mapInPandas decode -> codegen'd bit fold ->
                           # banded hamming self-join, no cartesian
     "bloom_join_stats",   # scan-speed array_contains prefilter ->
