@@ -390,6 +390,7 @@ _R4_HEAD = (
     # (a) new or changed semantics this round
     "bitext_mine",            # now the SRP-banded margin mine (was brute)
     "matryoshka_rerank_top3",  # new: truncated-LSH shortlist + full rerank
+    "bmp_decode_phash",       # new: REAL-codec (BmpCodec) decode branch
     # (b) never driver-checked
     "small_qty_revenue",
     "customer_kanon",

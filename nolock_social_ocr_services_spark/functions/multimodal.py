@@ -237,6 +237,7 @@ def decode_images(
     df: DataFrame,
     payload_col: str = "payload",
     deterministic_fake: bool = False,
+    codec=None,
 ) -> DataFrame:
     """mapInPandas stage: append image metadata + feature vector columns.
 
@@ -247,8 +248,11 @@ def decode_images(
     Codec resolution happens HERE (driver, plan build): the resolved
     codec object rides the closure to executors, so the same code is the
     real decoder on a cluster with Pillow and the guarded fake here.
+    Pass ``codec=`` to pin one explicitly for this stage (a query
+    should not have to mutate the process-global registry).
     """
-    codec = None if deterministic_fake else available_codec()
+    if codec is None:
+        codec = None if deterministic_fake else available_codec()
     out_schema = T.StructType(
         list(df.schema.fields)
         + [

@@ -2152,6 +2152,70 @@ WHERE bit_count(xor(a.phash::UBIGINT, b.phash::UBIGINT)) <= 2
 """
 
 
+def q_bmp_decode_phash(spark, sf_dir):
+    """The REAL-codec decode path, driver-checked: deterministic
+    two-tone BMP payloads are synthesized per doc_id (left half color
+    A(d), right half color B(d), dims 8+d%5 x 6+d%3), decoded by the
+    pure-Python BmpCodec (NOT the deterministic fake — this exercises
+    the same mapInPandas branch Pillow rides on a real cluster), and
+    perceptual-hashed. The two-tone construction makes every output
+    SQL-recomputable: the 4x4 luma thumbnail is always [A,A,B,B] per
+    row (the nearest-neighbor column samples (tx*w)//4 split 2/2
+    around w//2 for every w), so the aHash bits collapse to
+    0x3333 (13107) when A is brighter, 0xCCCC (52428) when B is, 0 on
+    a tie — integer-exact on both engines."""
+    from .functions import multimodal as mm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 8 + d % 5, 6 + d % 3
+                px = np.zeros((h, w, 3), np.uint8)
+                px[:, : w // 2] = (d % 256, (2 * d) % 256, (3 * d) % 256)
+                px[:, w // 2 :] = (
+                    (5 * d) % 256,
+                    (7 * d) % 256,
+                    (11 * d) % 256,
+                )
+                payloads.append(mm.encode_bmp(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    gen_df = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    out = mm.with_phash(
+        mm.decode_images(gen_df, codec=mm.BmpCodec())
+    )
+    return out.select(
+        "doc_id", "width", "height", "channels", "decode_ok", "phash"
+    )
+
+
+SQL_BMP_DECODE_PHASH = """
+SELECT doc_id,
+       CAST(8 + doc_id % 5 AS INT) AS width,
+       CAST(6 + doc_id % 3 AS INT) AS height,
+       3 AS channels,
+       TRUE AS decode_ok,
+       CAST(CASE WHEN lA > lB THEN 13107
+                 WHEN lB > lA THEN 52428
+                 ELSE 0 END AS BIGINT) AS phash
+FROM (
+  SELECT doc_id,
+         (299 * (doc_id % 256) + 587 * ((2 * doc_id) % 256)
+          + 114 * ((3 * doc_id) % 256)) // 1000 AS lA,
+         (299 * ((5 * doc_id) % 256) + 587 * ((7 * doc_id) % 256)
+          + 114 * ((11 * doc_id) % 256)) // 1000 AS lB
+  FROM documents
+)
+"""
+
+
 def q_resize_plan(spark, sf_dir):
     """Decode (fake) then compute aspect-preserving resize targets —
     the JVM-side half of the resize stage (resize_dims), composed on
@@ -5536,6 +5600,7 @@ def extra_queries() -> dict[str, tuple]:
         "rrf_fusion": (q_rrf_fusion, _sql_rrf_fusion()),
         "bitext_mine": (q_bitext_mine, _sql_bitext_mine()),
         "bitext_mine_exact": (q_bitext_mine_exact, SQL_BITEXT_MINE_EXACT),
+        "bmp_decode_phash": (q_bmp_decode_phash, SQL_BMP_DECODE_PHASH),
         "phash_near_dup": (
             q_phash_near_dup,
             _sql_phash_near_dup().format(flat=_ORACLE_FLAT),

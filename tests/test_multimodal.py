@@ -303,3 +303,30 @@ def test_bmp_codec_resize_images_bytes_exact(spark, bmp_codec):
     expected = mm.BmpCodec().resample(payload, 4, 3)
     assert bytes(out.resized) == expected
     assert len(expected) == 4 * 3 * 3
+
+
+def test_bmp_two_tone_thumbnail_collapse_rule():
+    """The invariant bmp_decode_phash's oracle rides on: for ANY width
+    8..12, the 4x4 nearest-neighbor column samples split exactly 2/2
+    around w//2, so a left/right two-tone image always yields thumbnail
+    rows [A, A, B, B] and an aHash of 0x3333 / 0xCCCC / 0."""
+    import numpy as np
+
+    codec = mm.BmpCodec()
+    for d in [0, 3, 17, 255, 256, 511, 9999]:
+        w, h = 8 + d % 5, 6 + d % 3
+        a = (d % 256, (2 * d) % 256, (3 * d) % 256)
+        b = ((5 * d) % 256, (7 * d) % 256, (11 * d) % 256)
+        px = np.zeros((h, w, 3), np.uint8)
+        px[:, : w // 2] = a
+        px[:, w // 2 :] = b
+        gw, gh, gc, feats = codec.decode(mm.encode_bmp(px))
+        assert (gw, gh, gc) == (w, h, 3)
+        la = (299 * a[0] + 587 * a[1] + 114 * a[2]) // 1000
+        lb = (299 * b[0] + 587 * b[1] + 114 * b[2]) // 1000
+        np.testing.assert_array_equal(
+            feats, np.array([la, la, lb, lb] * 4, dtype=np.float64) / 255.0
+        )
+        mean = feats.sum() / 16
+        phash = sum(1 << i for i, v in enumerate(feats) if v > mean)
+        assert phash == (13107 if la > lb else 52428 if lb > la else 0)

@@ -636,6 +636,14 @@ single host, {time.strftime('%Y-%m-%d')}.
     # generations are stated with their known biases — nothing hidden.
     pools: dict[str, list] = {"v3+": [], "v2": [], "v1": []}
     tainted: list[float] = []  # pool members inside the leak window
+    # rev filter: runs measured on THIS round's code — every commit
+    # after the round-3 marker (3009ceb) — so the pooled headline can
+    # be shown to cover the shipped code, not only earlier revisions.
+    round_revs = subprocess.run(
+        ["git", "-C", REPO, "rev-list", "3009ceb..HEAD"],
+        capture_output=True, text=True,
+    ).stdout.split()
+    round_pool: list[float] = []
     with open(runs_path) as f:
         for line in f:
             try:
@@ -654,6 +662,10 @@ single host, {time.strftime('%Y-%m-%d')}.
                         CANARY_LEAK_WINDOW[0] <= rec.get("ts", "")
                         <= CANARY_LEAK_WINDOW[1]):
                     tainted.append(rec["median_efficiency"])
+                if gen == "v3+" and rec.get("rev") and any(
+                    full.startswith(rec["rev"]) for full in round_revs
+                ):
+                    round_pool.append(rec["median_efficiency"])
             except (ValueError, KeyError):
                 pass
     gen_note = {
@@ -706,6 +718,15 @@ single host, {time.strftime('%Y-%m-%d')}.
                 f" {statistics.median(clean):.3f} over {len(clean)}"
                 f" run(s)."
             )
+    if round_pool:
+        lines.append("")
+        lines.append(
+            f"THIS-ROUND REV FILTER: {len(round_pool)} pooled run(s)"
+            f" were measured on this round's code (commits after the"
+            f" round-3 marker): "
+            f"{', '.join(f'{m:.3f}' for m in round_pool)} —"
+            f" median {statistics.median(round_pool):.3f}."
+        )
     for g in ("v3+", "v2", "v1"):
         if g == headline_gen or not pools[g]:
             continue
