@@ -83,6 +83,8 @@ PLAN_QUERIES = [
     "bitext_mine_exact",  # brute all-pairs baseline (tail, documented)
     "matryoshka_rerank_top3",  # truncated-prefix LSH shortlist +
                                # full-dim rerank; equi-joins only
+    "bmp_decode_phash",   # REAL-codec branch: 2 MapInPandas stages
+                          # (synth + decode), codegen'd phash fold
     "phash_near_dup",     # mapInPandas decode -> codegen'd bit fold ->
                           # banded hamming self-join, no cartesian
     "bloom_join_stats",   # scan-speed array_contains prefilter ->
