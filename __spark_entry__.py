@@ -391,6 +391,7 @@ _R4_HEAD = (
     "bitext_mine",            # now the SRP-banded margin mine (was brute)
     "matryoshka_rerank_top3",  # new: truncated-LSH shortlist + full rerank
     "bmp_decode_phash",       # new: REAL-codec (BmpCodec) decode branch
+    "bitext_recall",          # new: banded-vs-brute margin-mine audit
     # (b) never driver-checked
     "small_qty_revenue",
     "customer_kanon",

@@ -865,6 +865,70 @@ SELECT src_id, tgt_id, margin FROM (
 """
 
 
+def q_bitext_recall(spark, sf_dir):
+    """Recall audit of the banded margin mine against the brute
+    all-pairs rule — the honest measurement of what the 8-bit/4-band
+    candidate gate trades (the srp_recall precedent). Unlike SRP
+    near-dup, the bucketed output is NOT a subset of the brute output:
+    deg over candidate-kNN shifts borderline margins in both
+    directions, so all three counts are reported. All integers;
+    recall in exact milli units of the brute set."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    exact = sim.margin_mine(src, tgt, knn=_BTX_KNN, threshold=_BTX_THRESHOLD)
+    buck = sim.margin_mine_bucketed(
+        src,
+        tgt,
+        knn=_BTX_KNN,
+        threshold=_BTX_THRESHOLD,
+        dim=64,
+        bits=_BTX_BITS,
+        bands=_BTX_BANDS,
+        seed=_BTX_SEED,
+    )
+    pairs = (
+        exact.select(
+            "src_id", "tgt_id", F.lit(1).alias("e"), F.lit(0).alias("s")
+        )
+        .unionByName(
+            buck.select(
+                "src_id", "tgt_id", F.lit(0).alias("e"), F.lit(1).alias("s")
+            )
+        )
+        .groupBy("src_id", "tgt_id")
+        .agg(F.max("e").alias("has_e"), F.max("s").alias("has_s"))
+    )
+    return pairs.agg(
+        F.sum("has_e").cast("long").alias("n_exact"),
+        F.sum("has_s").cast("long").alias("n_banded"),
+        F.sum(F.col("has_e") * F.col("has_s")).cast("long").alias("n_hit"),
+        F.floor(
+            F.lit(1000) * F.sum(F.col("has_e") * F.col("has_s")) / F.sum("has_e")
+        ).cast("long").alias("recall_milli"),
+    )
+
+
+def _sql_bitext_recall() -> str:
+    return f"""
+WITH exact AS (SELECT src_id, tgt_id FROM ({SQL_BITEXT_MINE_EXACT})),
+banded AS (SELECT src_id, tgt_id FROM ({_sql_bitext_mine()})),
+pairs AS (
+  SELECT src_id, tgt_id, max(e) AS has_e, max(s) AS has_s FROM (
+    SELECT src_id, tgt_id, 1 AS e, 0 AS s FROM exact
+    UNION ALL
+    SELECT src_id, tgt_id, 0 AS e, 1 AS s FROM banded
+  ) GROUP BY src_id, tgt_id
+)
+SELECT CAST(sum(has_e) AS BIGINT) AS n_exact,
+       CAST(sum(has_s) AS BIGINT) AS n_banded,
+       CAST(sum(has_e * has_s) AS BIGINT) AS n_hit,
+       CAST(floor(1000 * sum(has_e * has_s) / sum(has_e)) AS BIGINT)
+           AS recall_milli
+FROM pairs
+"""
+
+
 def _sql_srp_sig_terms_for(dim: int, bits: int, seed: int) -> str:
     """DuckDB SRP signature as a sum of CASE terms over column ``emb``
     (a DOUBLE[]), with the SAME deterministic hyperplanes (seeded
@@ -5601,6 +5665,7 @@ def extra_queries() -> dict[str, tuple]:
         "bitext_mine": (q_bitext_mine, _sql_bitext_mine()),
         "bitext_mine_exact": (q_bitext_mine_exact, SQL_BITEXT_MINE_EXACT),
         "bmp_decode_phash": (q_bmp_decode_phash, SQL_BMP_DECODE_PHASH),
+        "bitext_recall": (q_bitext_recall, _sql_bitext_recall()),
         "phash_near_dup": (
             q_phash_near_dup,
             _sql_phash_near_dup().format(flat=_ORACLE_FLAT),
