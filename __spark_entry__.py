@@ -385,64 +385,70 @@ def _q_union_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # `bitext_mine_exact` and `length_curriculum_ntile` are quadratic/global-
 # sort BASELINES whose scale twins (bitext_mine, length_curriculum) are
 # head-checked; they exist as oracle ground truth (the cosine_top3 /
-# near_dup_pairs precedent) and stay tail-gated locally.
-_R4_HEAD = (
-    # (a) new or changed semantics this round
-    "bitext_mine",            # now the SRP-banded margin mine (was brute)
-    "matryoshka_rerank_top3",  # new: truncated-LSH shortlist + full rerank
-    "bmp_decode_phash",       # new: REAL-codec (BmpCodec) decode branch
-    "bitext_recall",          # new: banded-vs-brute margin-mine audit
-    # (b) never driver-checked
-    "small_qty_revenue",
-    "customer_kanon",
-    "customer_ldiv",
+# near_dup_pairs precedent) and stay tail-gated locally. Same rule keeps
+# `matryoshka_top3` (O(N^2) cross-join baseline; driver-green r4, its
+# cascade twin matryoshka_rerank_top3 is the checked form) out of the
+# head from r5 on — head-checked scale-killers are a perf defect even
+# when green.
+_R5_HEAD = (
+    # (a) changed semantics this round: the two r4 driver-errored
+    # array-output queries now serialize to scalars (postings ->
+    # array_join, proj -> space-joined string), and both recall audits
+    # now hash-sample their brute side (capped audit; new oracle)
     "postings_index",
-    "part_triangles",
-    "customer_neighbors",
-    "scd2_customer",
-    "event_gapfill",
     "jl_project",
-    "matryoshka_top3",
-    "brand_basket",
-    "user_cohorts",
-    "doc_len_outliers",
-    "orders_checks",
-    "profile_orders",
+    "bitext_recall",
     "srp_recall",
-    "decontaminate_excise",
-    "bpe_tokens",
-    "block_dedup_apply",
-    "ivf_top3_np2",
-    "corpus_report",
-    "session_window",
-    "resize_plan",
-    "minhash_signature",
-    "lsh_candidates",
-    "late_orders",
-    "regional_revenue",
-    # (c) oldest evidence: r1-only rows
-    "repetition",
-    "first_events",
-    "event_pivot",
-    "top_parts",
-    "explode_tokens",
-    "mime_from_url",
-    "users_intersect",
-    "event_cube",
-    "top_tokens",
-    "simhash60",
-    "union_spans",
-    "mime_histogram",
-    # (c) oldest evidence: r2-only rows (9 of 16; the rest rotate next)
-    "tfidf_top_term",
-    "receipt_items",
-    "validate_enums",
-    "kmv_by_lang",
-    "ocr_page_regions",
-    "chunk_text",
-    "vocab_oov",
+    # (b) oldest evidence: last driver-green in r2 (all 40 such rows —
+    # including mixture_sample/bigram_counts, which fell off the 50-row
+    # window in r4)
     "mixture_sample",
     "bigram_counts",
+    "classify_spans",
+    "extract_receipts",
+    "extract_checks",
+    "extract_checks_full",
+    "ocr_result_meta",
+    "ocr_text",
+    "html_strip",
+    "extraction_stats",
+    "batch_stats",
+    "filter_route",
+    "text_stats",
+    "lang_id",
+    "fingerprint",
+    "pii_redact",
+    "exact_dedup",
+    "near_dup_srp",
+    "lineitem_agg",
+    "customer_revenue",
+    "event_gaps",
+    "users_except",
+    "events_json",
+    "value_quantiles",
+    "event_rollup",
+    "classify_strict",
+    "classify_url_fallback",
+    "doc_quality",
+    "jaccard_rerank",
+    "simhash_near_dup",
+    "dedup_clusters",
+    "asof_click_view",
+    "user_sessions",
+    "ivf_top3",
+    "decode_image_meta",
+    "doc_group_summary",
+    "stream_running_counts",
+    "stream_dedup_hashes",
+    "hash_split",
+    "pack_sequences",
+    # (c) oldest r3 evidence, filling the head to exactly 50
+    "extract_receipts_full",
+    "span_reassembly",
+    "asof_click_view_salted",
+    "stratified_sample",
+    "kmv_distinct",
+    "length_curriculum",
 )
 
 
@@ -470,9 +476,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     for name, (fn, _sql) in extra_queries().items():
         qs[name] = fn
-    missing = [k for k in _R4_HEAD if k not in qs]
-    assert not missing, f"_R4_HEAD names not in registry: {missing}"
-    ordered = {k: qs[k] for k in _R4_HEAD}
+    missing = [k for k in _R5_HEAD if k not in qs]
+    assert not missing, f"_R5_HEAD names not in registry: {missing}"
+    ordered = {k: qs[k] for k in _R5_HEAD}
     ordered.update({k: v for k, v in qs.items() if k not in ordered})
     return ordered
 

@@ -820,7 +820,22 @@ def q_bitext_mine(spark, sf_dir):
     )
 
 
-SQL_BITEXT_MINE_EXACT = """
+def _sql_hash60_mod0(col: str, k: int) -> str:
+    """DuckDB twin of ``sampling.hash60(col) % k == 0`` — the repo's
+    deterministic seed-free sampling convention (md5 hex prefix ->
+    60-bit integer), so Spark and the oracle keep the SAME rows."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15)) "
+        f"AS UBIGINT) % {k} = 0"
+    )
+
+
+def _sql_bitext_mine_exact(src_extra: str = "") -> str:
+    """Brute all-pairs margin mine (oracle baseline). ``src_extra`` is
+    an extra AND-predicate on the src side (alias ``s``) — the recall
+    audit injects a deterministic hash-sample there so the brute side
+    stays capped at any corpus size."""
+    return f"""
 WITH nz AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
   WHERE list_dot_product(embedding, embedding) > 0
@@ -833,7 +848,7 @@ u AS (
 sims AS (
   SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
          round(list_dot_product(s.uv, t.uv), 9) AS sim
-  FROM u s JOIN u t ON s.vec_id % 2 = 0 AND t.vec_id % 2 = 1
+  FROM u s JOIN u t ON s.vec_id % 2 = 0{src_extra} AND t.vec_id % 2 = 1
 ),
 ds AS (
   SELECT src_id, round(avg(sim), 9) AS deg_src FROM (
@@ -865,6 +880,18 @@ SELECT src_id, tgt_id, margin FROM (
 """
 
 
+SQL_BITEXT_MINE_EXACT = _sql_bitext_mine_exact()
+
+# Brute side of the recall audits is CAPPED by a deterministic
+# hash-sample of the query side (hash60 % mod == 0) — at oracle scale
+# this halves the audit; at 100 TB the modulus grows with the corpus so
+# the brute cost stays ~constant (K sampled queries x |tgt|, linear)
+# while remaining an unbiased recall estimate. Seed-free: the same rows
+# are sampled on any cluster size and in the DuckDB twin.
+_BTX_AUDIT_MOD = 2
+_SRP_AUDIT_MOD = 2
+
+
 def q_bitext_recall(spark, sf_dir):
     """Recall audit of the banded margin mine against the brute
     all-pairs rule — the honest measurement of what the 8-bit/4-band
@@ -872,9 +899,16 @@ def q_bitext_recall(spark, sf_dir):
     near-dup, the bucketed output is NOT a subset of the brute output:
     deg over candidate-kNN shifts borderline margins in both
     directions, so all three counts are reported. All integers;
-    recall in exact milli units of the brute set."""
+    recall in exact milli units of the brute set.
+
+    The brute twin runs over a hash-sampled src slice (_BTX_AUDIT_MOD)
+    so the audit itself is never the quadratic scale-killer it
+    measures; the banded side is restricted to the SAME slice so the
+    comparison is the identical subproblem on both engines."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    src = emb.filter(F.col("vec_id") % 2 == 0)
+    src = emb.filter(F.col("vec_id") % 2 == 0).filter(
+        F.pmod(sampling.hash60(F.col("vec_id")), F.lit(_BTX_AUDIT_MOD)) == 0
+    )
     tgt = emb.filter(F.col("vec_id") % 2 == 1)
     exact = sim.margin_mine(src, tgt, knn=_BTX_KNN, threshold=_BTX_THRESHOLD)
     buck = sim.margin_mine_bucketed(
@@ -910,9 +944,10 @@ def q_bitext_recall(spark, sf_dir):
 
 
 def _sql_bitext_recall() -> str:
+    pred = " AND " + _sql_hash60_mod0("s.vec_id", _BTX_AUDIT_MOD)
     return f"""
-WITH exact AS (SELECT src_id, tgt_id FROM ({SQL_BITEXT_MINE_EXACT})),
-banded AS (SELECT src_id, tgt_id FROM ({_sql_bitext_mine()})),
+WITH exact AS (SELECT src_id, tgt_id FROM ({_sql_bitext_mine_exact(pred)})),
+banded AS (SELECT src_id, tgt_id FROM ({_sql_bitext_mine(pred)})),
 pairs AS (
   SELECT src_id, tgt_id, max(e) AS has_e, max(s) AS has_s FROM (
     SELECT src_id, tgt_id, 1 AS e, 0 AS s FROM exact
@@ -945,11 +980,12 @@ def _sql_srp_sig_terms_for(dim: int, bits: int, seed: int) -> str:
     return " + ".join(terms)
 
 
-def _sql_bitext_mine() -> str:
+def _sql_bitext_mine(src_extra: str = "") -> str:
     """Brute recompute of the BUCKETED spec: candidates = signature
     hamming <= bands-1 (recomputed over all pairs — the oracle may be
     quadratic; the Spark plan may not), then the same margin
-    arithmetic restricted to candidates."""
+    arithmetic restricted to candidates. ``src_extra`` narrows the src
+    side (alias ``s``) — the recall audit's hash-sample slice."""
     return f"""
 WITH nz AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
@@ -966,7 +1002,7 @@ u AS (
 ),
 cand AS (
   SELECT s.vec_id AS src_id, t.vec_id AS tgt_id
-  FROM sig s JOIN sig t ON s.vec_id % 2 = 0 AND t.vec_id % 2 = 1
+  FROM sig s JOIN sig t ON s.vec_id % 2 = 0{src_extra} AND t.vec_id % 2 = 1
   WHERE bit_count(xor(s.sig::UBIGINT, t.sig::UBIGINT)) <= {_BTX_BANDS - 1}
 ),
 sims AS (
@@ -1518,14 +1554,23 @@ def q_near_dup_pairs(spark, sf_dir):
     return sim.near_dup_pairs(emb, threshold=0.35).select("id_a", "id_b")
 
 
-SQL_NEAR_DUP_PAIRS = """
+def _sql_near_dup_pairs(sample_pred: str = "") -> str:
+    """Brute all-pairs cosine oracle. ``sample_pred`` restricts the
+    vector set (the recall audit's hash-sample slice) so the quadratic
+    side stays capped."""
+    where = f"WHERE {sample_pred}" if sample_pred else ""
+    return f"""
 -- CAST to DOUBLE[]: list_cosine_similarity on FLOAT[] computes in
 -- float32, which diverges from Spark's double math near the threshold.
+WITH e AS (SELECT * FROM embeddings {where})
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.35
 """
+
+
+SQL_NEAR_DUP_PAIRS = _sql_near_dup_pairs()
 
 
 # -- bucketed embedding near-dup (the 100-TB path) ------------------------------
@@ -1569,11 +1614,12 @@ def _sql_srp_sig_terms() -> str:
     return " + ".join(terms)
 
 
-def _sql_near_dup_srp() -> str:
+def _sql_near_dup_srp(sample_pred: str = "") -> str:
+    extra = f" AND {sample_pred}" if sample_pred else ""
     return f"""
 WITH nz AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-  FROM embeddings WHERE list_dot_product(embedding, embedding) > 0
+  FROM embeddings WHERE list_dot_product(embedding, embedding) > 0{extra}
 ),
 sig AS (SELECT vec_id, ({_sql_srp_sig_terms()}) AS sig FROM nz),
 unitt AS (
@@ -1603,8 +1649,17 @@ def q_srp_recall(spark, sf_dir):
     SRP output is provably a subset of the exact pair set (banding
     only generates candidates; the cosine verify applies the same
     threshold), so n_hit == n_srp and recall = n_srp / n_exact. All
-    integers; recall reported in exact milli units."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    integers; recall reported in exact milli units.
+
+    Audited over a deterministic hash-sample of the vector set
+    (_SRP_AUDIT_MOD): the brute side is quadratic only in the SAMPLE
+    (mod 2 -> a quarter of the pairs; at 100x scale raise the modulus
+    so the sampled subproblem stays task-sized), while the bucketed
+    side runs on the same slice so recall compares the identical
+    subproblem. Seed-free, so any cluster size audits the same rows."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.pmod(sampling.hash60(F.col("vec_id")), F.lit(_SRP_AUDIT_MOD)) == 0
+    )
     exact = sim.near_dup_pairs(emb, threshold=_SRP_THRESHOLD).select(
         "id_a", "id_b", F.lit(1).alias("e"), F.lit(0).alias("s")
     )
@@ -1634,9 +1689,10 @@ def q_srp_recall(spark, sf_dir):
 
 
 def _sql_srp_recall() -> str:
+    pred = _sql_hash60_mod0("vec_id", _SRP_AUDIT_MOD)
     return f"""
-WITH exact AS (SELECT id_a, id_b FROM ({SQL_NEAR_DUP_PAIRS})),
-srp AS (SELECT id_a, id_b FROM ({_sql_near_dup_srp()})),
+WITH exact AS (SELECT id_a, id_b FROM ({_sql_near_dup_pairs(pred)})),
+srp AS (SELECT id_a, id_b FROM ({_sql_near_dup_srp(pred)})),
 pairs AS (
   SELECT id_a, id_b, max(e) AS has_e, max(s) AS has_s FROM (
     SELECT id_a, id_b, 1 AS e, 0 AS s FROM exact
@@ -4979,13 +5035,21 @@ SELECT query_id, neighbor_id, rank FROM rr WHERE rank <= 3
 # map-side, ONE term-partitioned agg -> (term, df, sorted posting
 # array). min_df prunes the hapax tail; max_df_milli is the stopword
 # cut AND the hot-key cap (the biggest reduce key is the hottest term).
+#
+# Oracle contract: the library keeps the posting list as a real
+# array<string> (the IR artifact downstream joins consume); the
+# REGISTERED query serializes it with array_join — the driver
+# canonicalizes results by pandas sort_values over raw columns, and
+# list-typed cells are unhashable there (the r4 `unhashable type:
+# 'list'` failure). tests/test_query_contract.py pins the rule.
 
 
 def q_postings_index(spark, sf_dir):
     from .functions.retrieval import build_postings
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return build_postings(docs, min_df=5, max_df_milli=810)
+    idx = build_postings(docs, min_df=5, max_df_milli=810)
+    return idx.withColumn("postings", F.array_join("postings", " "))
 
 
 SQL_POSTINGS_INDEX = r"""
@@ -4998,7 +5062,8 @@ WITH t AS (
 ),
 n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
 posts AS (
-  SELECT term, count(*) AS df, list(d ORDER BY d) AS postings
+  SELECT term, count(*) AS df,
+         array_to_string(list(d ORDER BY d), ' ') AS postings
   FROM t GROUP BY term
 )
 SELECT term, df, postings FROM posts, n
@@ -5501,8 +5566,16 @@ FROM j
 
 
 def q_jl_project(spark, sf_dir):
+    # The library keeps proj as array<long> (downstream ANN consumes
+    # it); the registered query serializes to a space-joined string so
+    # the driver's pandas sort_values canonicalization can hash the
+    # cell (r4: list cells are unhashable). Integer-exact, so the
+    # string is bit-stable across engines and cluster sizes.
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return sim.jl_project(emb, out_dims=16, seed=7)
+    out = sim.jl_project(emb, out_dims=16, seed=7)
+    return out.withColumn(
+        "proj", F.array_join(F.transform("proj", lambda v: v.cast("string")), " ")
+    )
 
 
 SQL_JL_PROJECT = """
@@ -5525,7 +5598,8 @@ cells AS (
   FROM q CROSS JOIN dj
   GROUP BY vec_id, j
 )
-SELECT vec_id, list(v ORDER BY j) AS proj FROM cells GROUP BY vec_id
+SELECT vec_id, string_agg(CAST(v AS VARCHAR), ' ' ORDER BY j) AS proj
+FROM cells GROUP BY vec_id
 """
 
 

@@ -23,3 +23,26 @@ def test_each_query_runs_smoke(spark, sf_dir):
     for name, fn in entrymod.queries().items():
         df = fn(spark, sf_dir)
         assert df.limit(1).count() >= 0, name
+
+
+def test_no_complex_output_columns(spark, sf_dir):
+    """Driver-canonicalization contract: the round driver sorts the raw
+    pandas result (``sort_values`` over all columns) before hashing, and
+    list/dict/struct cells are unhashable there — how postings_index and
+    jl_project errored in r4 despite passing the (then laxer) local
+    gate. EVERY registered query must therefore emit only scalar
+    top-level columns; library functions keep their array outputs, the
+    registered query serializes (array_join / to_json) at the edge."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = {}
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        cx = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if cx:
+            bad[name] = cx
+    assert not bad, f"complex top-level output columns (driver-unhashable): {bad}"

@@ -10,6 +10,12 @@ become float64 in pandas while Spark BIGINT stays int64 and DECIMAL
 stays ``decimal.Decimal`` — value-equal rows then stringify differently.
 Stringifying post-pandas catches exactly that class locally.
 
+It ALSO mimics the driver's stricter canonicalization order: the round
+driver sorts the raw pandas frame before stringifying, so list-typed
+cells (array columns) raise "unhashable type: 'list'" there — the r4
+postings_index/jl_project failure. ``driver_canon_error`` reproduces
+that check so array-output queries fail HERE first.
+
 Usage: python tools/check_oracle.py [query ...]
 """
 
@@ -54,6 +60,29 @@ def canon(v) -> str:
     return str(v)
 
 
+def driver_canon_error(df) -> str | None:
+    """Mimic the ROUND DRIVER's canonicalization, which sorts the RAW
+    pandas frame (``df.sort_values`` over all columns) BEFORE any
+    stringification. List/dict/ndarray cells are unhashable there —
+    exactly how postings_index and jl_project errored in r4 while this
+    gate (which stringifies first) passed them. Returns an error string
+    if the driver would blow up on this frame, else None."""
+    bad = [
+        c
+        for c in df.columns
+        if df[c].map(lambda v: isinstance(v, (list, dict, set))).any()
+        or str(df[c].dtype) == "object"
+        and df[c].map(lambda v: type(v).__name__ == "ndarray").any()
+    ]
+    if bad:
+        return f"DRIVER-CANON: non-scalar cells in columns {bad}"
+    try:
+        df.sort_values(by=sorted(df.columns))
+    except TypeError as exc:  # the r4 failure signature
+        return f"DRIVER-CANON: sort_values raised {exc!r}"
+    return None
+
+
 def frame_rows(df) -> list[tuple]:
     cols = sorted(df.columns)
     out = []
@@ -83,6 +112,11 @@ def main() -> int:
         spark_pd = sdf.toPandas()
         spark_cols = sorted(spark_pd.columns)
         spark_rows = frame_rows(spark_pd)
+        canon_err = driver_canon_error(spark_pd)
+        if canon_err:
+            print(f"{name:24s} rows={len(spark_rows):7d}  {canon_err}")
+            failures.append((name, canon_err))
+            continue
         if name not in oracles:
             print(f"{name:24s} rows={len(spark_rows):7d}  (no oracle: rows-only)")
             if not spark_rows:
