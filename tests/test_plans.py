@@ -290,3 +290,21 @@ def test_domain_cap_plan_broadcast_thresholds(spark, sf_dir):
     assert has_broadcast_join(capped)
     assert "SortMergeJoin" not in plan
     assert batch_eval_count(capped) == 0
+
+
+def test_recall_audits_brute_side_is_hash_capped(spark, sf_dir):
+    """r5 audit contract: bitext_recall / srp_recall execute their
+    brute (quadratic) twin only over a deterministic hash60-sampled
+    slice — the audit can never itself become the scale-killer it
+    measures, and the modulus is the dial that keeps the sampled
+    subproblem task-sized at any corpus scale. The cap must be visible
+    in the plan as the md5-derived pmod filter on the brute side."""
+    from nolock_social_ocr_services_spark.queries import (
+        q_bitext_recall,
+        q_srp_recall,
+    )
+
+    for q in (q_bitext_recall, q_srp_recall):
+        plan = explain_str(q(spark, sf_dir))
+        assert "md5" in plan, q.__name__
+        assert "pmod" in plan, q.__name__

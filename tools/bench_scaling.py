@@ -637,10 +637,11 @@ single host, {time.strftime('%Y-%m-%d')}.
     pools: dict[str, list] = {"v3+": [], "v2": [], "v1": []}
     tainted: list[float] = []  # pool members inside the leak window
     # rev filter: runs measured on THIS round's code — every commit
-    # after the round-3 marker (3009ceb) — so the pooled headline can
-    # be shown to cover the shipped code, not only earlier revisions.
+    # after the round-4 marker (57d8e15, "round 4: verdict/advice/
+    # correctness/bench") — so the pooled headline can be shown to
+    # cover the shipped code, not only earlier revisions.
     round_revs = subprocess.run(
-        ["git", "-C", REPO, "rev-list", "3009ceb..HEAD"],
+        ["git", "-C", REPO, "rev-list", "57d8e15..HEAD"],
         capture_output=True, text=True,
     ).stdout.split()
     round_pool: list[float] = []
@@ -723,7 +724,7 @@ single host, {time.strftime('%Y-%m-%d')}.
         lines.append(
             f"THIS-ROUND REV FILTER: {len(round_pool)} pooled run(s)"
             f" were measured on this round's code (commits after the"
-            f" round-3 marker): "
+            f" round-4 marker): "
             f"{', '.join(f'{m:.3f}' for m in round_pool)} —"
             f" median {statistics.median(round_pool):.3f}."
         )

@@ -117,10 +117,20 @@ PLAN_QUERIES = [
     "customer_neighbors",  # grid-cell spatial join: 3x3 explode +
                            # cell equi-join + exact verify, no
                            # cartesian, no distinct shuffle
+    "postings_index",     # inverted index: df-gate count agg BEFORE the
+                          # collect_list agg (hot-term array never built
+                          # for dropped stopwords); both aggs hash on term
+    "jl_project",         # JL projection: ONE MapInPandas matmul, zero
+                          # Exchange — pure map-side projection
     # matryoshka_top3 is NOT dumped: it composes the cosine_topk
     # crossJoin BASELINE (like cosine_top3, also undumped); its own
     # claim — plan-side slice, zero Python — is pinned by
     # tests/test_functions_similarity.py::test_matryoshka_topk_no_python_in_plan
+    # bitext_recall / srp_recall are NOT dumped: each audit executes its
+    # brute twin BY DESIGN (capped to a deterministic hash-sample slice
+    # as of r5), so their plans legitimately contain the cartesian the
+    # marker table flags — the capped shape is documented in COVERAGE.md
+    # and gated by tests, not by this dump.
 ]
 
 MARKERS = [
